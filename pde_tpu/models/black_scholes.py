@@ -1,0 +1,178 @@
+"""Black-Scholes closed forms and vectorized implied volatility.
+
+TPU-native redesign of the reference's two BS stacks:
+
+* the C++ internals used for Heston implied vol
+  (src/cpp/models/heston.cpp:275-349), and
+* the Python pricing stack in data/options.py:118-455 (full price/Greeks and
+  a Newton-Raphson IV solver with Brenner-Subrahmanyam initialisation).
+
+Everything here is a pure, broadcasting jnp function: one call prices/inverts
+an entire chain.  The IV solver is a fixed-iteration masked Newton loop (no
+data-dependent Python control flow) so it jits, vmaps and shards cleanly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.stats import norm_cdf, norm_pdf
+
+__all__ = [
+    "price",
+    "vega",
+    "delta",
+    "gamma",
+    "theta",
+    "rho",
+    "greeks",
+    "implied_vol",
+]
+
+
+def _d1_d2(spot, strike, rate, dividend, maturity, vol):
+    forward = spot * jnp.exp((rate - dividend) * maturity)
+    sqrt_t = jnp.sqrt(maturity)
+    vs = vol * sqrt_t
+    d1 = (jnp.log(forward / strike) + 0.5 * vol * vol * maturity) / vs
+    d2 = d1 - vs
+    return d1, d2
+
+
+def price(spot, strike, rate, dividend, maturity, vol, is_call=True):
+    """European Black-Scholes price (broadcasts over all arguments).
+
+    Matches HestonModel::black_scholes_price (src/cpp/models/heston.cpp:275-294)
+    including the intrinsic-value shortcut at zero maturity.
+    """
+    spot, strike, maturity, vol = jnp.broadcast_arrays(
+        *map(jnp.asarray, (spot, strike, maturity, vol))
+    )
+    safe_T = jnp.where(maturity > 0.0, maturity, 1.0)
+    safe_vol = jnp.where(vol > 0.0, vol, 1e-12)
+    d1, d2 = _d1_d2(spot, strike, rate, dividend, safe_T, safe_vol)
+    disc_r = jnp.exp(-rate * safe_T)
+    disc_q = jnp.exp(-dividend * safe_T)
+
+    call = spot * disc_q * norm_cdf(d1) - strike * disc_r * norm_cdf(d2)
+    put = strike * disc_r * norm_cdf(-d2) - spot * disc_q * norm_cdf(-d1)
+    val = jnp.where(is_call, call, put)
+
+    intrinsic = jnp.where(is_call, jnp.maximum(spot - strike, 0.0), jnp.maximum(strike - spot, 0.0))
+    return jnp.where(maturity <= 0.0, intrinsic, val)
+
+
+def vega(spot, strike, rate, dividend, maturity, vol):
+    """dV/dsigma.  Matches src/cpp/models/heston.cpp:296-309."""
+    spot, strike, maturity, vol = jnp.broadcast_arrays(
+        *map(jnp.asarray, (spot, strike, maturity, vol))
+    )
+    ok = (maturity > 0.0) & (vol > 0.0)
+    safe_T = jnp.where(ok, maturity, 1.0)
+    safe_vol = jnp.where(ok, vol, 1.0)
+    d1, _ = _d1_d2(spot, strike, rate, dividend, safe_T, safe_vol)
+    v = spot * jnp.exp(-dividend * safe_T) * jnp.sqrt(safe_T) * norm_pdf(d1)
+    return jnp.where(ok, v, 0.0)
+
+
+def delta(spot, strike, rate, dividend, maturity, vol, is_call=True):
+    d1, _ = _d1_d2(spot, strike, rate, dividend, maturity, vol)
+    dq = jnp.exp(-dividend * maturity)
+    return jnp.where(is_call, dq * norm_cdf(d1), dq * (norm_cdf(d1) - 1.0))
+
+
+def gamma(spot, strike, rate, dividend, maturity, vol):
+    d1, _ = _d1_d2(spot, strike, rate, dividend, maturity, vol)
+    return jnp.exp(-dividend * maturity) * norm_pdf(d1) / (spot * vol * jnp.sqrt(maturity))
+
+
+def theta(spot, strike, rate, dividend, maturity, vol, is_call=True):
+    """Calendar theta (per year).  Reference: data/options.py BS Greeks."""
+    d1, d2 = _d1_d2(spot, strike, rate, dividend, maturity, vol)
+    dq = jnp.exp(-dividend * maturity)
+    dr = jnp.exp(-rate * maturity)
+    decay = -spot * dq * norm_pdf(d1) * vol / (2.0 * jnp.sqrt(maturity))
+    call = decay - rate * strike * dr * norm_cdf(d2) + dividend * spot * dq * norm_cdf(d1)
+    put = decay + rate * strike * dr * norm_cdf(-d2) - dividend * spot * dq * norm_cdf(-d1)
+    return jnp.where(is_call, call, put)
+
+
+def rho(spot, strike, rate, dividend, maturity, vol, is_call=True):
+    _, d2 = _d1_d2(spot, strike, rate, dividend, maturity, vol)
+    dr = jnp.exp(-rate * maturity)
+    return jnp.where(
+        is_call,
+        strike * maturity * dr * norm_cdf(d2),
+        -strike * maturity * dr * norm_cdf(-d2),
+    )
+
+
+def greeks(spot, strike, rate, dividend, maturity, vol, is_call=True):
+    """All first/second-order BS Greeks as a dict of broadcast arrays."""
+    return {
+        "delta": delta(spot, strike, rate, dividend, maturity, vol, is_call),
+        "gamma": gamma(spot, strike, rate, dividend, maturity, vol),
+        "vega": vega(spot, strike, rate, dividend, maturity, vol),
+        "theta": theta(spot, strike, rate, dividend, maturity, vol, is_call),
+        "rho": rho(spot, strike, rate, dividend, maturity, vol, is_call),
+    }
+
+
+def _brenner_subrahmanyam_init(target, spot, strike, rate, dividend, maturity):
+    """sigma ~ sqrt(2 pi / T) * P / S initial guess (data/options.py:260-320)."""
+    approx = jnp.sqrt(2.0 * jnp.pi / maturity) * target / spot
+    del strike, rate, dividend
+    return jnp.clip(approx, 0.05, 2.0)
+
+
+def implied_vol(
+    target_price,
+    spot,
+    strike,
+    rate,
+    dividend,
+    maturity,
+    is_call=True,
+    init_vol=None,
+    max_iter: int = 100,
+    tol: float = 1e-8,
+):
+    """Vectorized Newton-Raphson implied volatility.
+
+    Reproduces the reference solver semantics
+    (HestonModel::implied_volatility, src/cpp/models/heston.cpp:311-349):
+
+    * when local vega < 1e-12 the vol is multiplied by 1.5 and iteration
+      continues;
+    * otherwise a Newton step clipped into [0.001, 5.0] is taken;
+    * iteration stops (per element, via masking) once |BS - target| < tol.
+
+    ``init_vol`` defaults to a Brenner-Subrahmanyam guess
+    (data/options.py:260-320); pass ``sqrt(v0)`` to match the C++ Heston IV.
+    """
+    target_price, spot, strike, maturity = jnp.broadcast_arrays(
+        *map(jnp.asarray, (target_price, spot, strike, maturity))
+    )
+    if init_vol is None:
+        vol0 = _brenner_subrahmanyam_init(target_price, spot, strike, rate, dividend, maturity)
+    else:
+        vol0 = jnp.broadcast_to(jnp.asarray(init_vol, dtype=target_price.dtype), target_price.shape)
+
+    done0 = jnp.zeros(target_price.shape, dtype=bool)
+
+    def body(_, state):
+        vol, done = state
+        bs = price(spot, strike, rate, dividend, maturity, vol, is_call)
+        vg = vega(spot, strike, rate, dividend, maturity, vol)
+        diff = bs - target_price
+
+        newton = jnp.clip(vol - diff / jnp.where(vg < 1e-12, 1.0, vg), 0.001, 5.0)
+        proposal = jnp.where(vg < 1e-12, vol * 1.5, newton)
+
+        new_done = done | (jnp.abs(diff) < tol)
+        vol = jnp.where(new_done, vol, proposal)
+        return vol, new_done
+
+    vol, _ = jax.lax.fori_loop(0, max_iter, body, (vol0, done0))
+    return jnp.where(maturity <= 0.0, 0.0, vol)

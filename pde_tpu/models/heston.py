@@ -1,0 +1,310 @@
+"""Heston (1993) stochastic-volatility model, TPU-native.
+
+Redesign of the reference C++ engine (src/cpp/models/heston.{hpp,cpp}) as pure
+broadcasting JAX:
+
+* :func:`characteristic_function` — Heston (1993) Eq. 17 with the numerically
+  stable d/g/C/D formulation (reference: heston.cpp:37-92).
+* :func:`price_carr_madan` — damped Carr-Madan integrand summed on the exact
+  reference quadrature grid (1024 points, du=0.01, alpha=0.75;
+  heston.cpp:94-151).  Where the C++ evaluates the integrand in a scalar loop
+  per option (OpenMP over options, heston.cpp:236-244), here the full
+  (options x quadrature) tensor is evaluated as one fused VPU computation,
+  which also batches over calibration populations via ``vmap``.
+* :func:`price_fft` — the true FFT formulation of Carr-Madan (1999): one
+  ``jnp.fft.fft`` prices an entire log-strike grid per maturity.
+* FD Greeks and Newton implied vol matching heston.cpp:169-218 and :311-349.
+
+Parity: with float64 inputs this reproduces the C++ prices to ~1e-12 (same
+discretization, same branch choices of complex sqrt/log).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.precision import complex_dtype_for, result_dtype
+from . import black_scholes as bs
+
+__all__ = [
+    "HestonParams",
+    "characteristic_function",
+    "price_carr_madan",
+    "price_options",
+    "price_with_greeks",
+    "implied_volatility",
+    "price_fft",
+]
+
+INTEGRATION_ALPHA = 0.75  # damping parameter (reference: heston.hpp)
+N_QUADRATURE = 1024  # trapezoid points (heston.cpp:126)
+DU = 0.01  # quadrature spacing (heston.cpp:127)
+
+
+class HestonParams(NamedTuple):
+    """Heston parameters (kappa, theta, sigma, rho, v0) as a JAX pytree.
+
+    Mirrors HestonParameters (src/cpp/models/heston.hpp:42-108) but as an
+    immutable pytree so it vmaps/jits/shards; fields may be scalars or
+    batched arrays.
+    """
+
+    kappa: jnp.ndarray
+    theta: jnp.ndarray
+    sigma: jnp.ndarray
+    rho: jnp.ndarray
+    v0: jnp.ndarray
+
+    def feller_value(self):
+        """2*kappa*theta - sigma^2 (>= 0 when the Feller condition holds)."""
+        return 2.0 * self.kappa * self.theta - self.sigma**2
+
+    def feller_satisfied(self):
+        return self.feller_value() >= 0.0
+
+    def validate(self) -> None:
+        """Eager host-side validation (raises ValueError like the reference)."""
+        import numpy as np
+
+        k, t, s, r, v = (np.asarray(x) for x in self)
+        if np.any(k <= 0):
+            raise ValueError("kappa must be positive")
+        if np.any(t <= 0):
+            raise ValueError("theta must be positive")
+        if np.any(s <= 0):
+            raise ValueError("sigma must be positive")
+        if np.any(v <= 0):
+            raise ValueError("v0 must be positive")
+        if np.any(np.abs(r) >= 1):
+            raise ValueError("rho must be in (-1, 1)")
+
+    def to_array(self):
+        return jnp.stack(jnp.broadcast_arrays(*map(jnp.asarray, self)), axis=-1)
+
+    @classmethod
+    def from_array(cls, arr):
+        return cls(arr[..., 0], arr[..., 1], arr[..., 2], arr[..., 3], arr[..., 4])
+
+
+def characteristic_function(params: HestonParams, u, maturity, spot, rate=0.0, dividend=0.0):
+    """Heston characteristic function phi(u) of log-spot at maturity T.
+
+    ``u`` may be complex (the Carr-Madan contour uses u = v - (alpha+1)i).
+    Broadcasts over all arguments.  Reference: heston.cpp:37-92 (Eq. 17 of
+    Heston 1993 in the stable branch-cut formulation).
+    """
+    rdt = result_dtype(maturity, spot)
+    cdt = complex_dtype_for(rdt)
+    u = jnp.asarray(u, dtype=cdt)
+    T = jnp.asarray(maturity, dtype=rdt)
+    i = jnp.asarray(1j, dtype=cdt)
+
+    kappa = jnp.asarray(params.kappa, dtype=rdt)
+    th = jnp.asarray(params.theta, dtype=rdt)
+    sig = jnp.asarray(params.sigma, dtype=rdt)
+    rho_ = jnp.asarray(params.rho, dtype=rdt)
+    v0 = jnp.asarray(params.v0, dtype=rdt)
+
+    sigma2 = sig * sig
+    xi = kappa - rho_ * sig * i * u
+    d = jnp.sqrt(xi * xi + sigma2 * (i * u + u * u))
+    g = (xi - d) / (xi + d)
+
+    exp_mdT = jnp.exp(-d * T)
+    C = (kappa * th / sigma2) * ((xi - d) * T - 2.0 * jnp.log((1.0 - g * exp_mdT) / (1.0 - g)))
+    D = ((xi - d) / sigma2) * ((1.0 - exp_mdT) / (1.0 - g * exp_mdT))
+
+    drift = (rate - dividend) * i * u * T
+    phi = jnp.exp(C + D * v0 + i * u * jnp.log(jnp.asarray(spot, dtype=rdt)) + drift)
+    # T <= 0 edge case: phi = exp(i u log S0)   (heston.cpp:77-79)
+    phi0 = jnp.exp(i * u * jnp.log(jnp.asarray(spot, dtype=rdt)))
+    return jnp.where(T <= 0.0, phi0, phi)
+
+
+def _carr_madan_integral(params, strike, maturity, spot, rate, dividend, n_points, du, alpha):
+    """du * sum_{j>=1} Re[ e^{-i v_j ln K} phi(v_j - (alpha+1)i) / denom(v_j) ].
+
+    Replicates the reference trapezoid exactly: the j=0 term is zeroed by the
+    v < 1e-10 guard (heston.cpp:110) so only j = 1..n_points-1 contribute
+    (heston.cpp:124-137).
+    """
+    rdt = result_dtype(strike, maturity, spot)
+    cdt = complex_dtype_for(rdt)
+    strike = jnp.asarray(strike, dtype=rdt)
+    maturity = jnp.asarray(maturity, dtype=rdt)
+
+    v = (jnp.arange(1, n_points, dtype=rdt)) * jnp.asarray(du, dtype=rdt)  # (n_u,)
+    u = v.astype(cdt) - 1j * (alpha + 1.0)
+
+    # broadcast: options axis in front, quadrature axis last
+    log_k = jnp.log(strike)[..., None]
+    T = maturity[..., None]
+
+    phi = characteristic_function(params, u, T, spot, rate, dividend)
+    numer = jnp.exp(-1j * v.astype(cdt) * log_k)
+    denom = (alpha * alpha + alpha - v * v) + 1j * ((2.0 * alpha + 1.0) * v)
+    integrand = (numer * phi / denom).real
+    return du * jnp.sum(integrand, axis=-1)
+
+
+def price_carr_madan(
+    params: HestonParams,
+    strike,
+    maturity,
+    spot,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_points: int = N_QUADRATURE,
+    du: float = DU,
+    alpha: float = INTEGRATION_ALPHA,
+):
+    """European option price via the damped Carr-Madan integral.
+
+    Vectorized over strikes/maturities (and over params via vmap).  Semantics
+    match HestonModel::price_option_integration (heston.cpp:94-151): price
+    floored at zero, puts via put-call parity, intrinsic value at T <= 0.
+    """
+    rdt = result_dtype(strike, maturity, spot)
+    strike, maturity = jnp.broadcast_arrays(
+        jnp.asarray(strike, dtype=rdt), jnp.asarray(maturity, dtype=rdt)
+    )
+    spot = jnp.asarray(spot, dtype=rdt)
+
+    integral = _carr_madan_integral(
+        params, strike, maturity, spot, rate, dividend, n_points, du, alpha
+    )
+    discount = jnp.exp(-rate * maturity)
+    call = (jnp.exp(-alpha * jnp.log(strike)) / jnp.pi) * discount * integral
+    call = jnp.maximum(call, 0.0)
+
+    put = jnp.maximum(call - spot * jnp.exp(-dividend * maturity) + strike * discount, 0.0)
+    price = jnp.where(is_call, call, put)
+
+    intrinsic = jnp.where(
+        is_call, jnp.maximum(spot - strike, 0.0), jnp.maximum(strike - spot, 0.0)
+    )
+    return jnp.where(maturity <= 0.0, intrinsic, price)
+
+
+def price_options(params, strikes, maturities, spot, rate=0.0, dividend=0.0, is_call=True):
+    """Batch pricing over a quote vector.
+
+    The reference parallelizes this loop with OpenMP (heston.cpp:236-244);
+    here the batch axis is a tensor axis, so one jitted call prices the whole
+    chain on the VPU and shards across devices over the quote axis.
+    """
+    return price_carr_madan(params, strikes, maturities, spot, rate, dividend, is_call)
+
+
+def implied_volatility(params, strike, maturity, spot, rate=0.0, dividend=0.0, is_call=True):
+    """Black-Scholes implied vol of the Heston price.
+
+    Matches HestonModel::implied_volatility (heston.cpp:311-349): Newton from
+    vol0 = sqrt(v0), vega guard, clip [0.001, 5].
+    """
+    target = price_carr_madan(params, strike, maturity, spot, rate, dividend, is_call)
+    return bs.implied_vol(
+        target,
+        spot,
+        strike,
+        rate,
+        dividend,
+        maturity,
+        is_call,
+        init_vol=jnp.sqrt(params.v0),
+    )
+
+
+def price_with_greeks(params, strike, maturity, spot, rate=0.0, dividend=0.0, is_call=True):
+    """Price plus finite-difference Greeks.
+
+    Uses the reference's FD stencils and bump sizes exactly
+    (heston.cpp:169-218): delta/gamma from +/-0.1% spot bumps, rho from 1bp
+    rate bumps, theta one-sided 1/365, vega from +/-0.001 bumps of v0.
+    """
+
+    def p(spot_, rate_, maturity_, v0_):
+        pp = params._replace(v0=v0_)
+        return price_carr_madan(pp, strike, maturity_, spot_, rate_, dividend, is_call)
+
+    eps_s = spot * 0.001
+    eps_r = 0.0001
+    eps_t = 1.0 / 365.0
+    eps_v = 0.001
+
+    price = p(spot, rate, maturity, params.v0)
+    up = p(spot + eps_s, rate, maturity, params.v0)
+    dn = p(spot - eps_s, rate, maturity, params.v0)
+
+    delta = (up - dn) / (2.0 * eps_s)
+    gamma = (up - 2.0 * price + dn) / (eps_s * eps_s)
+    rho_g = (p(spot, rate + eps_r, maturity, params.v0) - p(spot, rate - eps_r, maturity, params.v0)) / (
+        2.0 * eps_r
+    )
+    theta_g = jnp.where(
+        maturity > eps_t,
+        (p(spot, rate, maturity - eps_t, params.v0) - price) / eps_t,
+        0.0,
+    )
+    vega_g = (p(spot, rate, maturity, params.v0 + eps_v) - p(spot, rate, maturity, params.v0 - eps_v)) / (
+        2.0 * eps_v
+    )
+
+    return {
+        "price": price,
+        "delta": delta,
+        "gamma": gamma,
+        "vega": vega_g,
+        "theta": theta_g,
+        "rho": rho_g,
+    }
+
+
+def price_fft(
+    params: HestonParams,
+    maturity,
+    spot,
+    rate=0.0,
+    dividend=0.0,
+    n_fft: int = 4096,
+    eta: float = 0.25,
+    alpha: float = 1.5,
+):
+    """Carr-Madan FFT: price calls on a whole log-strike grid in one FFT.
+
+    This is the "collapse the per-option loop into one transform" redesign
+    recommended by the survey: a single ``jnp.fft.fft`` of the damped
+    characteristic function yields prices for ``n_fft`` log-strikes at once.
+    Simpson weights give O(eta^4) quadrature accuracy.
+
+    Returns ``(log_strikes, call_prices)`` with log-strikes centred on log(S0).
+    vmap over ``maturity`` for a full surface.
+    """
+    rdt = result_dtype(maturity, spot)
+    cdt = complex_dtype_for(rdt)
+    T = jnp.asarray(maturity, dtype=rdt)
+    lam = 2.0 * jnp.pi / (n_fft * eta)  # log-strike spacing
+    b = 0.5 * n_fft * lam  # log-strike half-width
+
+    j = jnp.arange(n_fft, dtype=rdt)
+    v = j * eta
+    u = v.astype(cdt) - 1j * (alpha + 1.0)
+
+    phi = characteristic_function(params, u, T, spot, rate, dividend)
+    denom = (alpha * alpha + alpha - v * v) + 1j * ((2.0 * alpha + 1.0) * v)
+    psi = jnp.exp(-rate * T) * phi / denom
+
+    # Simpson's rule weights: (3 + (-1)^(j+1) - delta_{j0}) / 3
+    simpson = (3.0 + (-1.0) ** (j + 1.0)) / 3.0
+    simpson = simpson.at[0].set(1.0 / 3.0)
+
+    log_s0 = jnp.log(jnp.asarray(spot, dtype=rdt))
+    k = -b + lam * j + log_s0  # log strikes centred at the spot
+    x = jnp.exp(1j * v.astype(cdt) * (b - log_s0)) * psi * eta * simpson.astype(cdt)
+    fft_vals = jnp.fft.fft(x)
+    calls = jnp.exp(-alpha * k) / jnp.pi * fft_vals.real
+    return k, jnp.maximum(calls, 0.0)

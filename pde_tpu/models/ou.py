@@ -1,0 +1,239 @@
+"""Ornstein-Uhlenbeck process: exact MLE, simulation, boundaries, signals.
+
+TPU-native redesign of the reference C++ engine
+(src/cpp/models/ou_process.{hpp,cpp}) and the Python wrapper walk
+(src/python/quant_trading/models/ou_process.py:375-425):
+
+* :func:`fit_mle` — the closed-form AR(1) MLE (ou_process.cpp:45-151) as a
+  handful of jnp reductions; jit/vmap-able over many spreads at once.
+* :func:`simulate` — exact-discretization path via ``lax.scan`` with a JAX
+  PRNG key (the reference uses mt19937; statistics match, streams differ).
+* :func:`generate_trading_signals` — the stateful -1/0/+1 position walk as a
+  ``lax.scan`` instead of a Python loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "OUParams",
+    "OUFitResult",
+    "fit_mle",
+    "log_likelihood",
+    "conditional_mean",
+    "conditional_variance",
+    "transition_density",
+    "simulate",
+    "optimal_boundaries",
+    "generate_trading_signals",
+]
+
+_EPS = 1e-12  # matches ou_process.cpp:13
+_LOG_2PI = 1.8378770664093453
+
+
+class OUParams(NamedTuple):
+    """OU parameters dX = mu (theta - X) dt + sigma dW, as a JAX pytree.
+
+    Mirrors OUParameters (ou_process.hpp:42-118) including the derived
+    half-life and stationary-variance helpers.
+    """
+
+    theta: jnp.ndarray
+    mu: jnp.ndarray
+    sigma: jnp.ndarray
+
+    def half_life(self):
+        """ln 2 / mu (inf when mu <= 0)."""
+        return jnp.where(self.mu > 0, jnp.log(2.0) / jnp.maximum(self.mu, _EPS), jnp.inf)
+
+    def stationary_variance(self):
+        """sigma^2 / (2 mu)."""
+        return jnp.where(
+            self.mu > 0, self.sigma**2 / (2.0 * jnp.maximum(self.mu, _EPS)), jnp.inf
+        )
+
+    def stationary_std(self):
+        return jnp.sqrt(self.stationary_variance())
+
+
+class OUFitResult(NamedTuple):
+    """Closed-form MLE output (params + fit diagnostics), a JAX pytree."""
+
+    params: OUParams
+    log_likelihood: jnp.ndarray
+    aic: jnp.ndarray
+    bic: jnp.ndarray
+    converged: jnp.ndarray  # bool: variance was non-degenerate
+    b_clamped: jnp.ndarray  # bool: AR(1) slope was clamped into (0, 1)
+
+
+def conditional_mean(x_t, params: OUParams, dt):
+    """E[X_{t+dt} | X_t] = theta + (X_t - theta) e^{-mu dt}  (ou_process.cpp:160-164)."""
+    return params.theta + (x_t - params.theta) * jnp.exp(-params.mu * dt)
+
+
+def conditional_variance(params: OUParams, dt):
+    """Var[X_{t+dt} | X_t] = sigma^2 (1 - e^{-2 mu dt}) / (2 mu).
+
+    Brownian limit sigma^2 dt when mu ~ 0 (ou_process.cpp:166-175).
+    """
+    small = params.mu < _EPS
+    safe_mu = jnp.maximum(params.mu, _EPS)
+    exact = params.sigma**2 * (1.0 - jnp.exp(-2.0 * safe_mu * dt)) / (2.0 * safe_mu)
+    return jnp.where(small, params.sigma**2 * dt, exact)
+
+
+def transition_density(x_next, x_t, params: OUParams, dt):
+    """Gaussian transition density (ou_process.cpp:177-192)."""
+    m = conditional_mean(x_t, params, dt)
+    var = conditional_variance(params, dt)
+    degenerate = var < _EPS
+    safe_var = jnp.where(degenerate, 1.0, var)
+    z = (x_next - m) / jnp.sqrt(safe_var)
+    dens = jnp.exp(-0.5 * z * z) / jnp.sqrt(2.0 * jnp.pi * safe_var)
+    spike = jnp.where(jnp.abs(x_next - m) < _EPS, 1e10, 0.0)
+    return jnp.where(degenerate, spike, dens)
+
+
+def log_likelihood(x, params: OUParams, dt):
+    """Exact discrete-time log-likelihood (ou_process.cpp:194-220)."""
+    x = jnp.asarray(x)
+    n = x.shape[-1] - 1
+    var = conditional_variance(params, dt)
+    resid = x[..., 1:] - conditional_mean(x[..., :-1], params, dt)
+    ssr = jnp.sum(resid * resid, axis=-1)
+    safe_var = jnp.maximum(var, _EPS)
+    ll = -0.5 * n * _LOG_2PI - 0.5 * n * jnp.log(safe_var) - 0.5 * ssr / safe_var
+    return jnp.where(var < _EPS, -jnp.inf, ll)
+
+
+def fit_mle(x, dt) -> OUFitResult:
+    """Closed-form AR(1) maximum-likelihood fit.
+
+    Exactly mirrors OUProcess::fit_mle (ou_process.cpp:45-151): population
+    moments over consecutive pairs, slope clamp b in [1e-4, 0.9999],
+    mu = -ln b / dt, theta from the intercept, sigma from the residual
+    variance with the small-mu Brownian fallback, plus AIC/BIC.
+
+    Pure jnp reductions: jit-compiled and vmap-able over a batch of spreads.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1] - 1
+    xt = x[..., :-1]
+    xn = x[..., 1:]
+
+    mean_x = jnp.mean(xt, axis=-1)
+    mean_xn = jnp.mean(xn, axis=-1)
+    var_x = jnp.mean(xt * xt, axis=-1) - mean_x * mean_x
+    var_xn = jnp.mean(xn * xn, axis=-1) - mean_xn * mean_xn
+    cov = jnp.mean(xt * xn, axis=-1) - mean_x * mean_xn
+
+    degenerate = var_x < _EPS
+    safe_var_x = jnp.where(degenerate, 1.0, var_x)
+
+    b_raw = cov / safe_var_x
+    # clamp only the invalid slopes, exactly as ou_process.cpp:89-97
+    b = jnp.where(b_raw >= 1.0, 0.9999, jnp.where(b_raw <= 0.0, 0.0001, b_raw))
+    clamped = (b_raw >= 1.0) | (b_raw <= 0.0)
+
+    mu = -jnp.log(b) / dt
+    a = mean_xn - b * mean_x
+    theta = jnp.where(
+        jnp.abs(1.0 - b) > _EPS, a / jnp.maximum(1.0 - b, _EPS), 0.5 * (mean_x + mean_xn)
+    )
+
+    resid_var = jnp.maximum(var_xn - b * b * var_x, _EPS)
+    exp_factor = 1.0 - jnp.exp(-2.0 * mu * dt)
+    sigma_exact = jnp.sqrt(2.0 * mu * resid_var / jnp.maximum(exp_factor, _EPS))
+    sigma_bm = jnp.sqrt(resid_var / dt)
+    sigma = jnp.where((mu > _EPS) & (exp_factor > _EPS), sigma_exact, sigma_bm)
+
+    # degenerate (constant) series: theta = mean, mu = 0, sigma = 0
+    theta = jnp.where(degenerate, mean_x, theta)
+    mu = jnp.where(degenerate, 0.0, mu)
+    sigma = jnp.where(degenerate, 0.0, sigma)
+
+    params = OUParams(theta=theta, mu=mu, sigma=sigma)
+    ll = log_likelihood(x, params, dt)
+    aic = -2.0 * ll + 2.0 * 3.0
+    bic = -2.0 * ll + 3.0 * jnp.log(jnp.asarray(n, dtype=x.dtype))
+
+    return OUFitResult(
+        params=params,
+        log_likelihood=ll,
+        aic=aic,
+        bic=bic,
+        converged=~degenerate,
+        b_clamped=clamped,
+    )
+
+
+def simulate(params: OUParams, x0, T, n_steps: int, key) -> jnp.ndarray:
+    """Exact-discretization OU path of length ``n_steps + 1``.
+
+    X_{t+dt} = theta + (X_t - theta) e^{-mu dt} + std * Z
+    (ou_process.cpp:230-256), with Z from a JAX PRNG key.  ``vmap`` over keys
+    for a Monte-Carlo fan of paths.
+    """
+    dt = T / n_steps
+    decay = jnp.exp(-params.mu * dt)
+    std = jnp.sqrt(conditional_variance(params, dt))
+    z = jax.random.normal(key, (n_steps,), dtype=jnp.result_type(float))
+
+    def step(x, zi):
+        x_next = params.theta + (x - params.theta) * decay + std * zi
+        return x_next, x_next
+
+    x0 = jnp.asarray(x0, dtype=z.dtype)
+    _, path = jax.lax.scan(step, x0, z)
+    return jnp.concatenate([x0[None], path])
+
+
+def optimal_boundaries(params: OUParams, transaction_cost=0.001, risk_free_rate=0.05):
+    """Heuristic entry/exit boundaries from the stationary distribution.
+
+    Matches OUProcess::optimal_boundaries (ou_process.cpp:270-301):
+    threshold = 1.5 sigma_stat + transaction_cost, exit at theta.  The
+    rigorous free-boundary alternative lives in
+    :mod:`pde_tpu.solvers.hjb`.
+    """
+    del risk_free_rate  # unused in the heuristic (same as the reference)
+    stat_std = params.stationary_std()
+    threshold = 1.5 * stat_std + (transaction_cost / stat_std) * stat_std
+    return params.theta - threshold, params.theta + threshold, params.theta
+
+
+def generate_trading_signals(prices, params: OUParams, transaction_cost=0.001, risk_free_rate=0.05):
+    """Boundary-crossing -1/0/+1 position walk over a price series.
+
+    The reference's per-bar Python loop
+    (models/ou_process.py:375-425) becomes a ``lax.scan`` carrying the
+    current position, so a whole history (or a vmapped batch of spreads)
+    evaluates in one fused kernel.
+    """
+    prices = jnp.asarray(prices)
+    lower, upper, exit_target = optimal_boundaries(params, transaction_cost, risk_free_rate)
+
+    def step(position, price):
+        enter_long = (position == 0) & (price < lower)
+        enter_short = (position == 0) & (price > upper)
+        exit_long = (position == 1) & (price >= exit_target)
+        exit_short = (position == -1) & (price <= exit_target)
+
+        new_pos = jnp.where(enter_long, 1, position)
+        new_pos = jnp.where(enter_short, -1, new_pos)
+        new_pos = jnp.where(exit_long | exit_short, 0, new_pos)
+        return new_pos, new_pos
+
+    _, signals = jax.lax.scan(step, jnp.asarray(0), prices)
+    return {
+        "signals": signals,
+        "entry_lower": lower,
+        "entry_upper": upper,
+        "exit_target": exit_target,
+    }

@@ -1,0 +1,47 @@
+"""Test configuration: CPU backend, 8 virtual devices, float64 parity mode.
+
+This is the TPU-build analog of the reference's test substitutions (SQLite
+for TimescaleDB, mock brokers, mock metrics — SURVEY.md section 4): tests run
+on a virtual 8-device CPU mesh so multi-chip sharding logic is exercised
+without hardware, and with x64 enabled so numerical parity against the C++
+reference semantics (1e-8 price / 1e-6 implied vol) is meaningful.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere in the test process.  Force CPU
+# even if the ambient environment points at a TPU platform: the test-suite is
+# the float64 parity/virtual-mesh harness, the TPU is the bench path.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# Belt and braces: if a pytest plugin imported jax before this conftest ran,
+# the env var above was too late — flip the config knobs directly too.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def heston_test_params():
+    """The canonical parameter set used throughout the reference tests
+    (benchmarks/python_vs_cpp.py:50, tests/cpp/test_heston.cpp)."""
+    from pde_tpu.models.heston import HestonParams
+
+    return HestonParams(kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7, v0=0.04)
+
+
+@pytest.fixture(scope="session")
+def market():
+    return dict(spot=100.0, rate=0.05, dividend=0.02)

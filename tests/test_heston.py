@@ -1,0 +1,207 @@
+"""Heston model tests: analytic identities + C++ reference parity.
+
+Mirrors the reference test strategy (tests/cpp/test_heston.cpp:98-330):
+CF identities, put-call parity, intrinsic value at expiry, Greeks signs,
+IV round-trip — plus exact golden-value parity at the BASELINE.json
+tolerances (1e-8 price, 1e-6 implied vol).
+"""
+
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_tpu.models import black_scholes as bs
+from pde_tpu.models import heston
+from pde_tpu.models.heston import HestonParams
+
+GOLDEN = json.loads((pathlib.Path(__file__).parent / "golden" / "reference_values.json").read_text())
+
+MKT = dict(spot=100.0, rate=0.05, dividend=0.02)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return HestonParams(kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7, v0=0.04)
+
+
+class TestCharacteristicFunction:
+    def test_cf_at_zero_is_one(self, params):
+        phi = heston.characteristic_function(params, 0.0 + 0.0j, 1.0, 100.0, 0.05, 0.02)
+        assert abs(complex(phi) - 1.0) < 1e-12
+
+    def test_cf_zero_maturity(self, params):
+        u = 1.3 + 0.0j
+        phi = heston.characteristic_function(params, u, 0.0, 100.0, 0.05, 0.02)
+        expected = np.exp(1j * 1.3 * np.log(100.0))
+        assert abs(complex(phi) - expected) < 1e-12
+
+    def test_cf_golden_parity(self, params):
+        phi = heston.characteristic_function(params, 1.5 - 1.75j, 1.0, 100.0, 0.05, 0.02)
+        assert abs(complex(phi).real - GOLDEN["heston_cf_re"]) < 1e-6 * abs(GOLDEN["heston_cf_re"])
+        assert abs(complex(phi).imag - GOLDEN["heston_cf_im"]) < 1e-6 * abs(GOLDEN["heston_cf_im"])
+
+    def test_cf_conjugate_symmetry(self, params):
+        """phi(-u) = conj(phi(u)) for real u."""
+        u = 2.1
+        a = complex(heston.characteristic_function(params, u + 0j, 1.0, 100.0, 0.05, 0.02))
+        b = complex(heston.characteristic_function(params, -u + 0j, 1.0, 100.0, 0.05, 0.02))
+        assert abs(a.conjugate() - b) < 1e-10
+
+
+class TestPricingParity:
+    """Exact parity with the C++ Carr-Madan quadrature (heston.cpp:94-151)."""
+
+    def test_atm_call(self, params):
+        p = heston.price_carr_madan(params, 100.0, 1.0, **MKT)
+        assert abs(float(p) - GOLDEN["heston_call_atm_T1"]) < 1e-8
+
+    def test_atm_put(self, params):
+        p = heston.price_carr_madan(params, 100.0, 1.0, is_call=False, **MKT)
+        assert abs(float(p) - GOLDEN["heston_put_atm_T1"]) < 1e-8
+
+    def test_itm_short_maturity(self, params):
+        p = heston.price_carr_madan(params, 80.0, 0.25, **MKT)
+        assert abs(float(p) - GOLDEN["heston_call_k80_T025"]) < 1e-8
+
+    def test_otm_long_maturity(self, params):
+        p = heston.price_carr_madan(params, 120.0, 2.0, **MKT)
+        assert abs(float(p) - GOLDEN["heston_call_k120_T2"]) < 1e-8
+
+    def test_no_dividend(self, params):
+        p = heston.price_carr_madan(params, 90.0, 0.5, spot=100.0, rate=0.03, dividend=0.0)
+        assert abs(float(p) - GOLDEN["heston_call_k90_T05_q0"]) < 1e-8
+
+    def test_strike_sweep_vectorized(self, params):
+        """The 100-option vectorized benchmark config, one tensor call."""
+        strikes = np.linspace(80.0, 120.0, 100)
+        prices = heston.price_options(params, strikes, 1.0, **MKT)
+        np.testing.assert_allclose(
+            np.asarray(prices), np.array(GOLDEN["heston_strikes_T1"]), atol=1e-8
+        )
+
+    def test_feller_violating_params(self):
+        p2 = HestonParams(kappa=1.0, theta=0.09, sigma=0.9, rho=-0.5, v0=0.06)
+        assert not bool(p2.feller_satisfied())
+        p = heston.price_carr_madan(p2, 100.0, 1.0, **MKT)
+        assert abs(float(p) - GOLDEN["heston2_call_atm_T1"]) < 1e-8
+        p = heston.price_carr_madan(p2, 70.0, 3.0, **MKT)
+        assert abs(float(p) - GOLDEN["heston2_call_k70_T3"]) < 1e-8
+
+
+class TestPricingIdentities:
+    def test_put_call_parity(self, params):
+        """C - P = S e^{-qT} - K e^{-rT} (test_heston.cpp:197-213)."""
+        c = float(heston.price_carr_madan(params, 100.0, 1.0, **MKT))
+        p = float(heston.price_carr_madan(params, 100.0, 1.0, is_call=False, **MKT))
+        expected = 100.0 * np.exp(-0.02) - 100.0 * np.exp(-0.05)
+        assert abs((c - p) - expected) < 0.5
+
+    def test_intrinsic_at_zero_maturity(self, params):
+        c = heston.price_carr_madan(params, 90.0, 0.0, **MKT)
+        assert abs(float(c) - 10.0) < 1e-6
+        p = heston.price_carr_madan(params, 110.0, 0.0, is_call=False, **MKT)
+        assert abs(float(p) - 10.0) < 1e-6
+
+    def test_monotone_in_strike(self, params):
+        strikes = np.linspace(80.0, 120.0, 41)
+        prices = np.asarray(heston.price_options(params, strikes, 1.0, **MKT))
+        assert np.all(np.diff(prices) < 0)
+
+    def test_jit_and_vmap_over_params(self, params):
+        """Batched pricing over a parameter population (the DE hot path)."""
+        pop = HestonParams(
+            kappa=jnp.array([1.0, 2.0, 3.0]),
+            theta=jnp.array([0.03, 0.04, 0.05]),
+            sigma=jnp.array([0.2, 0.3, 0.4]),
+            rho=jnp.array([-0.5, -0.7, -0.3]),
+            v0=jnp.array([0.03, 0.04, 0.05]),
+        )
+        strikes = jnp.linspace(80.0, 120.0, 20)
+
+        @jax.jit
+        def price_pop(p):
+            return jax.vmap(lambda q: heston.price_options(q, strikes, 1.0, **MKT))(p)
+
+        out = price_pop(pop)
+        assert out.shape == (3, 20)
+        ref = heston.price_options(params, strikes, 1.0, **MKT)
+        np.testing.assert_allclose(out[1], ref, atol=1e-10)
+
+
+class TestGreeks:
+    def test_greeks_signs_and_ranges(self, params):
+        g = heston.price_with_greeks(params, 100.0, 1.0, **MKT)
+        assert 0.0 < float(g["delta"]) < 1.0  # ATM call delta
+        assert float(g["gamma"]) > 0.0
+        assert float(g["vega"]) > 0.0
+        assert float(g["theta"]) < 0.0
+        assert float(g["rho"]) > 0.0
+
+    def test_put_delta_negative(self, params):
+        g = heston.price_with_greeks(params, 100.0, 1.0, is_call=False, **MKT)
+        assert -1.0 < float(g["delta"]) < 0.0
+
+
+class TestImpliedVol:
+    def test_iv_golden_parity(self, params):
+        iv = heston.implied_volatility(params, 100.0, 1.0, **MKT)
+        assert abs(float(iv) - GOLDEN["heston_iv_atm_T1"]) < 1e-6
+        iv = heston.implied_volatility(params, 110.0, 0.5, **MKT)
+        assert abs(float(iv) - GOLDEN["heston_iv_k110_T05"]) < 1e-6
+
+    def test_iv_round_trip(self, params):
+        """BS(IV) reproduces the Heston price (test_heston.cpp:306-324)."""
+        strikes = np.array([85.0, 95.0, 100.0, 105.0, 115.0])
+        hp = heston.price_options(params, strikes, 1.0, **MKT)
+        iv = heston.implied_volatility(params, strikes, 1.0, **MKT)
+        back = bs.price(100.0, strikes, 0.05, 0.02, 1.0, iv, True)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(hp), atol=1e-6)
+
+
+class TestFFTPricer:
+    """The FFT path targets the *true* Carr-Madan integral.
+
+    The reference's 1024-point trapezoid zeroes the v=0 term and truncates at
+    v=10.24 (heston.cpp:110,126-135), giving ~2% bias vs the exact integral;
+    price_carr_madan replicates that bias for parity, price_fft does not.
+    Truth fixtures come from scipy adaptive quadrature over [0, 1000]
+    (tests/golden/true_values.json).
+    """
+
+    def test_fft_matches_true_integral(self, params):
+        truth = json.loads(
+            (pathlib.Path(__file__).parent / "golden" / "true_values.json").read_text()
+        )
+        for T in (0.25, 1.0):
+            k_grid, calls = heston.price_fft(params, T, **MKT, n_fft=16384, eta=0.1)
+            strikes = np.array([85.0, 95.0, 100.0, 110.0, 120.0])
+            fft_prices = np.interp(np.log(strikes), np.asarray(k_grid), np.asarray(calls))
+            expected = np.array(
+                [truth[f"heston_true_call_k{int(k)}_T{T}"] for k in strikes]
+            )
+            np.testing.assert_allclose(fft_prices, expected, atol=3e-3)
+
+    def test_fft_self_convergence(self, params):
+        """Doubling the FFT resolution changes prices below tolerance."""
+        k1, c1 = heston.price_fft(params, 1.0, **MKT, n_fft=8192, eta=0.1)
+        k2, c2 = heston.price_fft(params, 1.0, **MKT, n_fft=16384, eta=0.05)
+        strikes = np.array([90.0, 100.0, 110.0])
+        p1 = np.interp(np.log(strikes), np.asarray(k1), np.asarray(c1))
+        p2 = np.interp(np.log(strikes), np.asarray(k2), np.asarray(c2))
+        np.testing.assert_allclose(p1, p2, atol=5e-3)
+
+
+class TestValidation:
+    def test_invalid_params_raise(self):
+        with pytest.raises(ValueError):
+            HestonParams(kappa=-1.0, theta=0.04, sigma=0.3, rho=-0.7, v0=0.04).validate()
+        with pytest.raises(ValueError):
+            HestonParams(kappa=2.0, theta=0.04, sigma=0.3, rho=-1.5, v0=0.04).validate()
+
+    def test_feller(self, params):
+        assert bool(params.feller_satisfied())
+        assert abs(float(params.feller_value()) - (2 * 2.0 * 0.04 - 0.09)) < 1e-12
