@@ -1,0 +1,179 @@
+"""Black-Scholes 1D PDE solver (log-space Crank-Nicolson), TPU-native.
+
+Redesign of the reference BlackScholesPDESolver
+(src/cpp/solvers/black_scholes_pde.hpp): same discretization — log-space grid
+S in [K*s_min_mult, K*s_max_mult], central differences, Crank-Nicolson /
+implicit / explicit schemes, Dirichlet boundaries with discounting, per-step
+``max(V, payoff)`` projection for American exercise — but the backward time
+march is a ``lax.scan`` whose per-step work is one batched tridiagonal solve,
+so ``vmap`` over strikes/vols/expiries prices whole books per launch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import grids
+from ..ops.tridiag import thomas
+
+__all__ = ["BSPDEParams", "BSPDEResult", "solve"]
+
+
+class BSPDEParams(NamedTuple):
+    """Solver inputs (defaults match BlackScholesPDEParams, black_scholes_pde.hpp:58-62)."""
+
+    sigma: float = 0.2
+    r: float = 0.05
+    q: float = 0.0
+    T: float = 1.0
+    K: float = 100.0
+    is_call: bool = True
+    american: bool = False
+    n_space: int = 200
+    n_time: int = 100
+    s_min_mult: float = 0.2
+    s_max_mult: float = 5.0
+    scheme: str = "crank_nicolson"  # "crank_nicolson" | "implicit"
+
+
+class BSPDEResult(NamedTuple):
+    price: jnp.ndarray
+    delta: jnp.ndarray
+    gamma: jnp.ndarray
+    theta: jnp.ndarray
+    prices: jnp.ndarray  # value on the grid at t=0
+    spot_grid: jnp.ndarray
+    early_exercise_optimal: jnp.ndarray
+
+
+def _operator_coeffs(p: BSPDEParams, dx):
+    """Interior-point operator L = diffusion + advection - r I in log space.
+
+    PDE in x = log S: V_t + 0.5 sigma^2 V_xx + (r - q - sigma^2/2) V_x - r V = 0
+    (black_scholes_pde.hpp:185-206).
+    """
+    sigma2 = p.sigma * p.sigma
+    drift = p.r - p.q - 0.5 * sigma2
+    a = 0.5 * sigma2 / (dx * dx)
+    b = drift / (2.0 * dx)
+    L_m = a - b
+    L_c = -2.0 * a - p.r
+    L_p = a + b
+    return L_m, L_c, L_p
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_space", "n_time", "is_call", "american", "scheme"),
+)
+def _solve_impl(
+    S0, sigma, r, q, T, K, s_min_mult, s_max_mult, n_space, n_time, is_call, american, scheme
+):
+    p = BSPDEParams(
+        sigma=sigma, r=r, q=q, T=T, K=K, is_call=is_call, american=american,
+        n_space=n_space, n_time=n_time, s_min_mult=s_min_mult, s_max_mult=s_max_mult,
+        scheme=scheme,
+    )
+    s_grid = jnp.exp(
+        jnp.linspace(jnp.log(K * s_min_mult), jnp.log(K * s_max_mult), n_space)
+    )
+    dx = jnp.log(s_grid[-1] / s_grid[0]) / (n_space - 1)
+    dt = T / n_time
+
+    payoff = jnp.where(is_call, jnp.maximum(s_grid - K, 0.0), jnp.maximum(K - s_grid, 0.0))
+
+    L_m, L_c, L_p = _operator_coeffs(p, dx)
+
+    # implicit system diagonals (boundary rows are identity rows)
+    interior = jnp.arange(n_space)
+    is_interior = (interior > 0) & (interior < n_space - 1)
+    w = 0.5 if scheme == "crank_nicolson" else 1.0
+
+    diag = jnp.where(is_interior, 1.0 - w * dt * L_c, 1.0)
+    lower = jnp.where(is_interior[1:], -w * dt * L_m, 0.0)
+    upper = jnp.where(is_interior[:-1], -w * dt * L_p, 0.0)
+
+    def explicit_rhs(V):
+        """(I + (1-w) dt L) V on interior points."""
+        if scheme != "crank_nicolson":
+            return V
+        LV = L_m * V[:-2] + L_c * V[1:-1] + L_p * V[2:]
+        return V.at[1:-1].add(0.5 * dt * LV)
+
+    def apply_bc(V, t):
+        df = jnp.exp(-r * t)
+        if is_call:
+            V = V.at[0].set(0.0)
+            V = V.at[-1].set(s_grid[-1] - K * df)
+        else:
+            V = V.at[0].set(K * df - s_grid[0])
+            V = V.at[-1].set(0.0)
+        return V
+
+    def step(V, t_remaining):
+        rhs = explicit_rhs(V)
+        V = thomas(lower, diag, upper, rhs)
+        if american:
+            V = jnp.maximum(V, payoff)
+        V = apply_bc(V, t_remaining)
+        return V, None
+
+    # backward march; t_remaining = time left after each step (bs_pde.hpp:127)
+    t_rem = (T / n_time) * jnp.arange(n_time - 1, -1, -1, dtype=s_grid.dtype)
+    V, _ = jax.lax.scan(step, payoff, t_rem)
+
+    price = grids.interp_linear(s_grid, V, S0)
+
+    # Greeks from the grid (black_scholes_pde.hpp:292-312)
+    i = jnp.clip(grids.find_index(s_grid, S0), 1, n_space - 2)
+    delta = (V[i + 1] - V[i - 1]) / (s_grid[i + 1] - s_grid[i - 1])
+    dxm = s_grid[i] - s_grid[i - 1]
+    dxp = s_grid[i + 1] - s_grid[i]
+    davg = 0.5 * (dxm + dxp)
+    gamma = (V[i + 1] - 2.0 * V[i] + V[i - 1]) / (davg * davg)
+
+    # analytic BS theta at S0 (black_scholes_pde.hpp:314-331)
+    d1 = (jnp.log(S0 / K) + (r - q + 0.5 * sigma * sigma) * T) / (sigma * jnp.sqrt(T))
+    nd1 = jnp.exp(-0.5 * d1 * d1) / jnp.sqrt(2.0 * jnp.pi)
+    theta = -S0 * nd1 * sigma / (2.0 * jnp.sqrt(T))
+    theta = theta + jnp.where(is_call, -1.0, 1.0) * r * K * jnp.exp(-r * T) * 0.5
+
+    payoff_s0 = jnp.where(is_call, jnp.maximum(S0 - K, 0.0), jnp.maximum(K - S0, 0.0))
+    early_ex = jnp.asarray(american) & (price > payoff_s0 + 1e-10)
+
+    return BSPDEResult(price, delta, gamma, theta, V, s_grid, early_ex)
+
+
+def solve(params: BSPDEParams, S0) -> BSPDEResult:
+    """Solve the BS PDE and return price/Greeks at ``S0``.
+
+    jit-compiled with static grid sizes; ``vmap`` over S0/sigma/K to price in
+    batches (the TPU replacement for looping solver objects).
+    """
+    if params.sigma <= 0:
+        raise ValueError("sigma must be positive")
+    if params.T <= 0:
+        raise ValueError("T must be positive")
+    if params.K <= 0:
+        raise ValueError("K must be positive")
+    if params.n_space < 10 or params.n_time < 10:
+        raise ValueError("n_space and n_time must be >= 10")
+    return _solve_impl(
+        S0,
+        params.sigma,
+        params.r,
+        params.q,
+        params.T,
+        params.K,
+        params.s_min_mult,
+        params.s_max_mult,
+        params.n_space,
+        params.n_time,
+        bool(params.is_call),
+        bool(params.american),
+        params.scheme,
+    )

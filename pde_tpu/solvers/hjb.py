@@ -1,0 +1,229 @@
+"""HJB optimal-stopping solver for mean-reversion trading, TPU-native.
+
+Redesign of the reference HJBSolver (src/cpp/solvers/hjb_solver.hpp): solves
+
+    max{ V_t + mu (theta - x) V_x + 0.5 sigma^2 V_xx - r V,  g(x) - V } = 0
+
+by implicit Euler + per-step obstacle projection ``max(V, g)`` inside a
+``lax.scan`` (the reference's time loop, hjb_solver.hpp:163-178).  The four
+stopping problems (entry/exit, long/short) use the same exercise-value
+heuristics as the reference (hjb_solver.hpp:258-314).  Boundary detection
+(where V crosses the payoff) runs on the final value function.
+
+All four problems of :func:`solve_all_boundaries` are solved in one vmapped
+launch — the problem axis is just a batch axis over exercise-value vectors.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.tridiag import thomas
+
+__all__ = [
+    "StoppingProblem",
+    "HJBParams",
+    "HJBResult",
+    "OptimalTradingBoundaries",
+    "solve",
+    "solve_all_boundaries",
+]
+
+
+class StoppingProblem(enum.IntEnum):
+    ENTRY_LONG = 0
+    ENTRY_SHORT = 1
+    EXIT_LONG = 2
+    EXIT_SHORT = 3
+
+
+class HJBParams(NamedTuple):
+    """Inputs (defaults match HJBParams, hjb_solver.hpp:61-65)."""
+
+    theta: float = 0.0
+    mu: float = 5.0
+    sigma: float = 0.1
+    r: float = 0.05
+    c_entry: float = 0.001
+    c_exit: float = 0.001
+    T: float = 1.0
+    problem: StoppingProblem = StoppingProblem.ENTRY_LONG
+    n_space: int = 200
+    n_time: int = 200
+    x_min: float = -0.5
+    x_max: float = 0.5
+
+
+class HJBResult(NamedTuple):
+    value_function: np.ndarray
+    x_grid: np.ndarray
+    lower_boundary: Optional[float]
+    upper_boundary: Optional[float]
+    stop_loss: Optional[float]
+
+    def value_at(self, x: float) -> float:
+        return float(np.interp(x, self.x_grid, self.value_function))
+
+    def should_stop(self, x: float) -> bool:
+        if self.lower_boundary is not None and x <= self.lower_boundary:
+            return True
+        if self.upper_boundary is not None and x >= self.upper_boundary:
+            return True
+        return False
+
+
+class OptimalTradingBoundaries(NamedTuple):
+    entry_long: float
+    entry_short: float
+    exit_long: float
+    exit_short: float
+    stop_loss_long: float
+    stop_loss_short: float
+
+
+def _exercise_value(x, p: HJBParams, problem: StoppingProblem):
+    """Stopping payoff g(x) per problem (hjb_solver.hpp:258-314).
+
+    Entry payoffs discount the theta-reversion profit by the heuristic
+    expected hitting time log(|x - theta| / sigma) / mu (floored at 0).
+    """
+    dev = jnp.abs(x - p.theta)
+    safe = jnp.maximum(dev / p.sigma, 1e-300)
+    t_hit = jnp.maximum(jnp.log(safe) / p.mu, 0.0)
+    disc = jnp.exp(-p.r * t_hit)
+
+    profit_long = jnp.where(x >= p.theta, 0.0, (p.theta - x) * disc)
+    profit_short = jnp.where(x <= p.theta, 0.0, (x - p.theta) * disc)
+
+    if problem == StoppingProblem.ENTRY_LONG:
+        return profit_long - p.c_entry
+    if problem == StoppingProblem.ENTRY_SHORT:
+        return profit_short - p.c_entry
+    if problem == StoppingProblem.EXIT_LONG:
+        return x - p.c_exit
+    return -x - p.c_exit
+
+
+@functools.partial(jax.jit, static_argnames=("n_space", "n_time"))
+def _march(exercise, theta, mu, sigma, r, T, x_min, x_max, n_space, n_time):
+    """Implicit time march with obstacle projection; batched over a leading
+    problems axis of ``exercise``.  (hjb_solver.hpp:150-190)."""
+    x = jnp.linspace(x_min, x_max, n_space)
+    dx = (x_max - x_min) / (n_space - 1)
+    dt = T / n_time
+
+    # OU generator, central differences (hjb_solver.hpp:321-361)
+    diff = 0.5 * sigma * sigma
+    a = diff / (dx * dx)
+    drift = mu * (theta - x[1:-1])
+    b = drift / (2.0 * dx)
+    L_m = a - b
+    L_c = -2.0 * a - r
+    L_p = a + b
+
+    n = n_space
+    idx = jnp.arange(n)
+    interior = (idx > 0) & (idx < n - 1)
+    diag = jnp.where(interior, 0.0, 1.0).at[1:-1].add(1.0 - dt * L_c)
+    lower = jnp.zeros(n - 1).at[:-1].set(-dt * L_m)
+    upper = jnp.zeros(n - 1).at[1:].set(-dt * L_p)
+    # boundary coupling rows are identity (hjb_solver.hpp:354-358)
+    lower = lower.at[-1].set(0.0)
+    upper = upper.at[0].set(0.0)
+
+    def step(V, _):
+        V = thomas(lower, diag, upper, V)
+        V = jnp.maximum(V, exercise)
+        # linear extrapolation boundaries (hjb_solver.hpp:363-368)
+        V = V.at[..., 0].set(2.0 * V[..., 1] - V[..., 2])
+        V = V.at[..., -1].set(2.0 * V[..., -2] - V[..., -3])
+        return V, None
+
+    V, _ = jax.lax.scan(step, exercise, None, length=n_time)
+    return x, V
+
+
+def _find_boundaries(V: np.ndarray, x: np.ndarray, g: np.ndarray):
+    """Continuation/stopping crossings of V - g (hjb_solver.hpp:375-403)."""
+    lower_bd = upper_bd = None
+    diff = V - g
+    for i in range(1, len(x)):
+        prev, curr = diff[i - 1], diff[i]
+        if prev > 1e-10 >= curr:
+            t = prev / (prev - curr)
+            lower_bd = float(x[i - 1] + t * (x[i] - x[i - 1]))
+        if prev <= 1e-10 < curr:
+            t = -prev / (curr - prev)
+            upper_bd = float(x[i - 1] + t * (x[i] - x[i - 1]))
+    return lower_bd, upper_bd
+
+
+def solve(params: HJBParams) -> HJBResult:
+    """Solve one stopping problem; boundaries extracted host-side."""
+    if params.mu <= 0 or params.sigma <= 0:
+        raise ValueError("mu and sigma must be positive")
+    if params.r < 0 or params.T <= 0:
+        raise ValueError("r must be >= 0 and T > 0")
+    if params.n_space < 10:
+        raise ValueError("n_space must be >= 10")
+
+    x = jnp.linspace(params.x_min, params.x_max, params.n_space)
+    g = _exercise_value(x, params, params.problem)
+    x_out, V = _march(
+        g, params.theta, params.mu, params.sigma, params.r, params.T,
+        params.x_min, params.x_max, params.n_space, params.n_time,
+    )
+    x_np, V_np, g_np = np.asarray(x_out), np.asarray(V), np.asarray(g)
+    lo, hi = _find_boundaries(V_np, x_np, g_np)
+    return HJBResult(V_np, x_np, lo, hi, None)
+
+
+def solve_all_boundaries(params: HJBParams) -> OptimalTradingBoundaries:
+    """All four stopping problems in ONE batched march (hjb_solver.hpp:199-234).
+
+    The reference runs four sequential solves; here the four exercise vectors
+    stack on a batch axis and the implicit solver broadcasts over it.
+    Fallback defaults and the 2-sigma stop-loss heuristics match the
+    reference exactly.
+    """
+    x = jnp.linspace(params.x_min, params.x_max, params.n_space)
+    g_all = jnp.stack([_exercise_value(x, params, pr) for pr in StoppingProblem])
+    x_out, V_all = _march(
+        g_all, params.theta, params.mu, params.sigma, params.r, params.T,
+        params.x_min, params.x_max, params.n_space, params.n_time,
+    )
+    x_np = np.asarray(x_out)
+    sigma_stat = params.sigma / np.sqrt(2.0 * params.mu)
+
+    bounds = {}
+    for pr in StoppingProblem:
+        lo, hi = _find_boundaries(np.asarray(V_all[pr]), x_np, np.asarray(g_all[pr]))
+        bounds[pr] = (lo, hi)
+
+    entry_long = bounds[StoppingProblem.ENTRY_LONG][0]
+    if entry_long is None:
+        entry_long = params.theta - 2.0 * sigma_stat
+    entry_short = bounds[StoppingProblem.ENTRY_SHORT][1]
+    if entry_short is None:
+        entry_short = params.theta + 2.0 * sigma_stat
+    exit_long = bounds[StoppingProblem.EXIT_LONG][1]
+    if exit_long is None:
+        exit_long = params.theta
+    exit_short = bounds[StoppingProblem.EXIT_SHORT][0]
+    if exit_short is None:
+        exit_short = params.theta
+
+    return OptimalTradingBoundaries(
+        entry_long=entry_long,
+        entry_short=entry_short,
+        exit_long=exit_long,
+        exit_short=exit_short,
+        stop_loss_long=entry_long - 2.0 * sigma_stat,
+        stop_loss_short=entry_short + 2.0 * sigma_stat,
+    )

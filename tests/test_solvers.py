@@ -1,0 +1,176 @@
+"""PDE solver tests.
+
+Follows the reference's own validation strategy
+(tests/python/test_cpp_bindings.py:465-676): PDE European prices vs closed
+forms, American premium ordering, HJB boundary ordering — plus grid
+convergence and batching tests the reference doesn't have.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_tpu.models import black_scholes as bs
+from pde_tpu.models import heston
+from pde_tpu.models.heston import HestonParams
+from pde_tpu.solvers import bs_pde, heston_adi, hjb
+
+
+class TestBSPDE:
+    def test_european_call_vs_closed_form(self):
+        p = bs_pde.BSPDEParams(sigma=0.2, r=0.05, q=0.0, T=1.0, K=100.0, is_call=True)
+        res = bs_pde.solve(p, 100.0)
+        exact = float(bs.price(100.0, 100.0, 0.05, 0.0, 1.0, 0.2, True))
+        assert abs(float(res.price) - exact) < 0.05
+
+    def test_european_put_vs_closed_form(self):
+        p = bs_pde.BSPDEParams(sigma=0.3, r=0.03, q=0.01, T=0.5, K=95.0, is_call=False)
+        res = bs_pde.solve(p, 100.0)
+        exact = float(bs.price(100.0, 95.0, 0.03, 0.01, 0.5, 0.3, False))
+        assert abs(float(res.price) - exact) < 0.05
+
+    def test_grid_convergence(self):
+        """Richer grids converge to the closed form."""
+        exact = float(bs.price(100.0, 100.0, 0.05, 0.0, 1.0, 0.2, True))
+        errs = []
+        for n_space, n_time in [(100, 50), (400, 200)]:
+            p = bs_pde.BSPDEParams(n_space=n_space, n_time=n_time)
+            errs.append(abs(float(bs_pde.solve(p, 100.0).price) - exact))
+        assert errs[1] < errs[0]
+        assert errs[1] < 0.01
+
+    def test_american_put_premium(self):
+        """American put >= European put, with strictly positive premium ITM
+        (test_cpp_bindings.py American-premium check)."""
+        eu = bs_pde.BSPDEParams(sigma=0.25, r=0.08, T=1.0, K=110.0, is_call=False)
+        am = eu._replace(american=True)
+        p_eu = float(bs_pde.solve(eu, 100.0).price)
+        p_am = float(bs_pde.solve(am, 100.0).price)
+        assert p_am >= p_eu - 1e-10
+        assert p_am - p_eu > 0.05  # high rate + ITM put: real premium
+
+    def test_american_never_below_intrinsic(self):
+        p = bs_pde.BSPDEParams(sigma=0.2, r=0.05, T=1.0, K=120.0, is_call=False, american=True)
+        res = bs_pde.solve(p, 100.0)
+        grid_intrinsic = np.maximum(120.0 - np.asarray(res.spot_grid), 0.0)
+        assert np.all(np.asarray(res.prices) >= grid_intrinsic - 1e-8)
+
+    def test_greeks(self):
+        p = bs_pde.BSPDEParams()
+        res = bs_pde.solve(p, 100.0)
+        assert 0.4 < float(res.delta) < 0.8
+        assert float(res.gamma) > 0
+        assert float(res.theta) < 0
+
+    def test_implicit_scheme(self):
+        p = bs_pde.BSPDEParams(scheme="implicit", n_time=400)
+        exact = float(bs.price(100.0, 100.0, 0.05, 0.0, 1.0, 0.2, True))
+        assert abs(float(bs_pde.solve(p, 100.0).price) - exact) < 0.05
+
+    def test_vmap_over_spots(self):
+        p = bs_pde.BSPDEParams()
+        spots = jnp.array([80.0, 100.0, 120.0])
+        prices = jax.vmap(lambda s: bs_pde.solve(p, s).price)(spots)
+        assert prices.shape == (3,)
+        assert float(prices[0]) < float(prices[1]) < float(prices[2])
+
+    def test_invalid_params(self):
+        with pytest.raises(ValueError):
+            bs_pde.solve(bs_pde.BSPDEParams(sigma=-0.1), 100.0)
+
+
+class TestHestonADI:
+    PARAMS = HestonPDE = heston_adi.HestonPDEParams(
+        kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7, v0=0.04,
+        r=0.05, q=0.02, T=1.0, K=100.0,
+    )
+
+    def test_european_vs_true_integral(self):
+        """ADI price matches the exact Carr-Madan integral within grid error.
+
+        NOTE: the reference solver fails this by ~0.5 (see the module
+        docstring of pde_tpu/solvers/heston_adi.py); our redesigned boundary
+        treatment prices to ~0.016 on the default 100x50x100 grid.
+        """
+        res = heston_adi.solve(self.PARAMS, 100.0)
+        # truth from tests/golden/true_values.json (adaptive quadrature)
+        assert abs(float(res.price) - 9.05950689470441) < 0.03
+
+    def test_finer_grid_converges(self):
+        fine = self.PARAMS._replace(n_spot=200, n_vol=100, n_time=200)
+        res_c = heston_adi.solve(self.PARAMS, 100.0)
+        res_f = heston_adi.solve(fine, 100.0)
+        truth = 9.05950689470441
+        assert abs(float(res_f.price) - truth) < abs(float(res_c.price) - truth)
+        assert abs(float(res_f.price) - truth) < 0.01
+
+    def test_put_via_pde(self):
+        p = self.PARAMS._replace(is_call=False)
+        res = heston_adi.solve(p, 100.0)
+        # put-call parity vs the true call
+        expected = 9.05950689470441 - 100.0 * np.exp(-0.02) + 100.0 * np.exp(-0.05)
+        assert abs(float(res.price) - expected) < 0.03
+
+    def test_american_put_premium(self):
+        eu = self.PARAMS._replace(is_call=False, r=0.08, q=0.0)
+        am = eu._replace(american=True)
+        p_eu = float(heston_adi.solve(eu, 90.0).price)
+        p_am = float(heston_adi.solve(am, 90.0).price)
+        assert p_am >= p_eu - 1e-10
+        assert p_am - p_eu > 0.02
+
+    def test_greeks_signs(self):
+        res = heston_adi.solve(self.PARAMS, 100.0)
+        assert 0.3 < float(res.delta) < 0.9
+        assert float(res.gamma) > 0
+        assert float(res.vega) > 0
+        assert float(res.theta) < 0
+
+    def test_monotone_in_spot(self):
+        prices = [float(heston_adi.solve(self.PARAMS, s).price) for s in (85.0, 100.0, 115.0)]
+        assert prices[0] < prices[1] < prices[2]
+
+    def test_invalid_params(self):
+        with pytest.raises(ValueError):
+            heston_adi.solve(self.PARAMS._replace(rho=1.5), 100.0)
+
+
+class TestHJB:
+    PARAMS = hjb.HJBParams(theta=0.0, mu=5.0, sigma=0.1, r=0.05, T=1.0)
+
+    def test_value_dominates_exercise(self):
+        res = hjb.solve(self.PARAMS)
+        x = jnp.asarray(res.x_grid)
+        g = np.asarray(hjb._exercise_value(x, self.PARAMS, self.PARAMS.problem))
+        assert np.all(res.value_function >= g - 1e-8)
+
+    def test_entry_long_boundary_below_mean(self):
+        res = hjb.solve(self.PARAMS._replace(problem=hjb.StoppingProblem.ENTRY_LONG))
+        assert res.lower_boundary is not None
+        assert res.lower_boundary < self.PARAMS.theta
+
+    def test_all_boundaries_ordering(self):
+        """entry_long < exit_short <= exit_long < entry_short, stop-losses
+        outside the entries (test_cpp_bindings.py:603-676 pattern)."""
+        b = hjb.solve_all_boundaries(self.PARAMS)
+        assert b.entry_long < b.entry_short
+        assert b.stop_loss_long < b.entry_long
+        assert b.stop_loss_short > b.entry_short
+        assert b.entry_long < b.exit_long
+        assert b.exit_short < b.entry_short
+
+    def test_value_at_and_should_stop(self):
+        res = hjb.solve(self.PARAMS)
+        assert np.isfinite(res.value_at(0.1))
+        if res.lower_boundary is not None:
+            assert res.should_stop(res.lower_boundary - 0.01)
+
+    def test_higher_cost_widens_entry(self):
+        cheap = hjb.solve_all_boundaries(self.PARAMS._replace(c_entry=0.0001))
+        costly = hjb.solve_all_boundaries(self.PARAMS._replace(c_entry=0.01))
+        assert costly.entry_long <= cheap.entry_long + 1e-9
+
+    def test_invalid_params(self):
+        with pytest.raises(ValueError):
+            hjb.solve(self.PARAMS._replace(mu=-1.0))

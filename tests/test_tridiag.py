@@ -1,0 +1,106 @@
+"""Tridiagonal solver tests: correctness vs dense solve, batching, Pallas kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_tpu.ops import tridiag
+
+
+def dense_from_diags(lower, diag, upper):
+    n = len(diag)
+    a = np.zeros((n, n))
+    for i in range(n):
+        a[i, i] = diag[i]
+        if i > 0:
+            a[i, i - 1] = lower[i - 1]
+        if i < n - 1:
+            a[i, i + 1] = upper[i]
+    return a
+
+
+@pytest.fixture
+def system(rng):
+    n = 50
+    lower = rng.uniform(-1, 1, n - 1)
+    upper = rng.uniform(-1, 1, n - 1)
+    diag = 4.0 + rng.uniform(0, 1, n)  # diagonally dominant
+    rhs = rng.uniform(-2, 2, n)
+    return lower, diag, upper, rhs
+
+
+class TestThomas:
+    def test_matches_dense_solve(self, system):
+        lower, diag, upper, rhs = system
+        x = tridiag.thomas(*map(jnp.asarray, system))
+        expected = np.linalg.solve(dense_from_diags(lower, diag, upper), rhs)
+        np.testing.assert_allclose(np.asarray(x), expected, rtol=1e-12)
+
+    def test_identity(self):
+        n = 10
+        x = tridiag.thomas(jnp.zeros(n - 1), jnp.ones(n), jnp.zeros(n - 1), jnp.arange(n, dtype=float))
+        np.testing.assert_allclose(np.asarray(x), np.arange(n, dtype=float))
+
+    def test_batched(self, rng):
+        B, n = 7, 30
+        lower = rng.uniform(-1, 1, (B, n - 1))
+        upper = rng.uniform(-1, 1, (B, n - 1))
+        diag = 4.0 + rng.uniform(0, 1, (B, n))
+        rhs = rng.uniform(-2, 2, (B, n))
+        x = np.asarray(tridiag.thomas(*map(jnp.asarray, (lower, diag, upper, rhs))))
+        for b in range(B):
+            expected = np.linalg.solve(dense_from_diags(lower[b], diag[b], upper[b]), rhs[b])
+            np.testing.assert_allclose(x[b], expected, rtol=1e-11)
+
+    def test_broadcast_shared_operator(self, rng):
+        """One operator, many right-hand sides (the ADI pattern)."""
+        n = 20
+        lower = jnp.asarray(rng.uniform(-1, 1, n - 1))
+        upper = jnp.asarray(rng.uniform(-1, 1, n - 1))
+        diag = jnp.asarray(4.0 + rng.uniform(0, 1, n))
+        rhs = jnp.asarray(rng.uniform(-2, 2, (5, n)))
+        x = tridiag.thomas(lower, diag, upper, rhs)
+        assert x.shape == (5, n)
+        one = tridiag.thomas(lower, diag, upper, rhs[2])
+        np.testing.assert_allclose(np.asarray(x[2]), np.asarray(one), rtol=1e-13)
+
+    def test_jit_vmap(self, rng):
+        n = 16
+        diag = jnp.asarray(4.0 + rng.uniform(0, 1, (4, n)))
+        lower = jnp.asarray(rng.uniform(-1, 1, (4, n - 1)))
+        upper = jnp.asarray(rng.uniform(-1, 1, (4, n - 1)))
+        rhs = jnp.asarray(rng.uniform(-1, 1, (4, n)))
+        direct = tridiag.thomas(lower, diag, upper, rhs)
+        vmapped = jax.jit(jax.vmap(tridiag.thomas))(lower, diag, upper, rhs)
+        np.testing.assert_allclose(np.asarray(direct), np.asarray(vmapped), rtol=1e-13)
+
+    def test_gradient_flows(self, system):
+        """The solver is differentiable (needed for AD through PDE prices)."""
+        lower, diag, upper, rhs = map(jnp.asarray, system)
+
+        def loss(d):
+            return jnp.sum(tridiag.thomas(lower, d, upper, rhs) ** 2)
+
+        g = jax.grad(loss)(diag)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestPallasKernel:
+    """Runs in Pallas interpret mode on CPU; compiled on TPU."""
+
+    def test_interpret_matches_scan(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+
+        B, n = 70, 40
+        lower = rng.uniform(-1, 1, (B, n - 1)).astype(np.float32)
+        upper = rng.uniform(-1, 1, (B, n - 1)).astype(np.float32)
+        diag = (4.0 + rng.uniform(0, 1, (B, n))).astype(np.float32)
+        rhs = rng.uniform(-2, 2, (B, n)).astype(np.float32)
+
+        ref = tridiag.thomas(*map(jnp.asarray, (lower, diag, upper, rhs)))
+        with pltpu.force_tpu_interpret_mode():
+            out = tridiag.thomas_pallas(
+                jnp.asarray(lower), jnp.asarray(diag), jnp.asarray(upper), jnp.asarray(rhs)
+            )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
