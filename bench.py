@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Headline benchmark: full Heston surface calibration wall-clock.
+
+Reproduces the reference's north-star config (BASELINE.json / SURVEY.md
+section 6): calibrate (kappa, theta, sigma, rho, v0) to a synthetic surface
+of 108 quotes (12 strikes x 9 maturities) with the two-stage pipeline —
+differential evolution (maxiter=100, popsize=15) + Levenberg-Marquardt — the
+exact configuration the reference runs through scipy + a C++ per-option
+pricing loop with a <30 s design target for 50 options
+(docs/design-doc.md:493; calibration/heston_calibrator.py:416-477).
+
+Here the whole two-stage pipeline is ONE jitted XLA program; a DE generation
+prices popsize*5 x 108 x 1024 characteristic-function points as a single
+fused tensor op.
+
+Prints one JSON line:
+  {"metric": "heston_surface_calibration_wall_s", "value": <seconds>,
+   "unit": "s", "vs_baseline": <reference_30s / value>}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pde_tpu.calibrate.heston import HestonCalibrator, _calibrate_pipeline
+
+    S0, r, q = 100.0, 0.05, 0.02
+    TRUE = dict(kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7, v0=0.04)
+
+    data = HestonCalibrator.generate_synthetic_data(
+        S0=S0, r=r, q=q, **TRUE,
+        strikes=np.linspace(85.0, 115.0, 12),
+        maturities=np.linspace(0.25, 1.5, 9),
+    )
+    n_quotes = len(data["strike"])
+
+    cal = HestonCalibrator(global_maxiter=100, global_popsize=15, seed=42)
+    lower = jnp.array([cal.bounds[k][0] for k in ("kappa", "theta", "sigma", "rho", "v0")])
+    upper = jnp.array([cal.bounds[k][1] for k in ("kappa", "theta", "sigma", "rho", "v0")])
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    args = (
+        jnp.asarray(data["strike"], dtype=dtype),
+        jnp.asarray(data["maturity"], dtype=dtype),
+        jnp.asarray(data["is_call"]),
+        jnp.asarray(data["mid_price"], dtype=dtype),
+        S0,
+        r,
+        q,
+        lower.astype(dtype),
+        upper.astype(dtype),
+        jax.random.PRNGKey(42),
+        jnp.zeros(5, dtype=dtype),
+        jnp.asarray(False),
+    )
+    kwargs = dict(global_maxiter=100, global_popsize=15, local_max_iter=60)
+
+    # warm-up: compile
+    out = _calibrate_pipeline(*args, **kwargs)
+    jax.block_until_ready(out)
+
+    # timed runs
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = _calibrate_pipeline(*args, **kwargs)
+    jax.block_until_ready(out)
+    wall = (time.perf_counter() - t0) / n_rep
+
+    # sanity: parameters recovered
+    lm_x = np.asarray(out[2])
+    rmse_rel = float(np.sqrt(2.0 * float(out[3]) / n_quotes))
+    ok = abs(lm_x[4] - TRUE["v0"]) < 0.02 and rmse_rel < 0.05
+    print(
+        f"# device={jax.devices()[0]} n_quotes={n_quotes} "
+        f"params={np.round(lm_x, 4).tolist()} rel_rmse={rmse_rel:.2e} ok={ok}",
+        file=sys.stderr,
+    )
+
+    baseline_s = 30.0  # reference design target for a 50-option calibration
+    print(
+        json.dumps(
+            {
+                "metric": "heston_surface_calibration_wall_s",
+                "value": round(wall, 4),
+                "unit": "s",
+                "vs_baseline": round(baseline_s / wall, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

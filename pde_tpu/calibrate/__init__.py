@@ -1,0 +1,7 @@
+"""Calibration engine: jitted DE + batched LM, model calibrators, orchestrator."""
+
+from . import de, heston, lm, ou, sabr  # noqa: F401
+from .heston import HestonCalibrator  # noqa: F401
+from .orchestrator import CalibrationOrchestrator  # noqa: F401
+from .ou import OUFitter  # noqa: F401
+from .sabr import SABRCalibrator  # noqa: F401

@@ -1,0 +1,486 @@
+"""Heston surface calibration — two-stage (DE global + LM local), TPU-native.
+
+Mirrors the reference HestonCalibrator
+(calibration/heston_calibrator.py:247-735) in API and semantics — same
+bounds, same sum-of-squared-relative-errors objective (:486-513), same
+relative-error residuals for the local stage (:515-536), same fit-quality
+metrics (:588-643), Feller/bounds warnings (:645-674), cached-parameter
+fallback and warm starts — but the compute is one jitted program:
+
+* Stage 1 (global): :mod:`pde_tpu.calibrate.de` evaluates every DE
+  generation as a single batched pricing tensor.  Where the reference runs
+  ~7.7e7 scalar characteristic-function evaluations through a Python->C++
+  per-option loop (SURVEY.md section 3.1), here the (popsize*5, n_options,
+  n_quadrature) tensor is fused by XLA.
+* Stage 2 (local): :mod:`pde_tpu.calibrate.lm` with jacfwd Jacobians.
+
+``calibrate_batch`` vmaps the full two-stage pipeline over many underlyings
+at once; shard its batch axis over a device mesh for multi-chip scaling.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from datetime import datetime
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import heston as heston_model
+from ..models.heston import HestonParams
+from .de import differential_evolution
+from .lm import levenberg_marquardt
+
+__all__ = ["CalibrationError", "CalibrationResult", "HestonCalibrator"]
+
+PARAM_ORDER = ("kappa", "theta", "sigma", "rho", "v0")
+
+
+class CalibrationError(Exception):
+    """Raised when calibration fails (reference heston_calibrator.py:40)."""
+
+
+@dataclass
+class CalibrationResult:
+    """Calibration output (mirrors reference heston_calibrator.py:132-176)."""
+
+    params: HestonParams
+    fit_quality: Dict[str, float]
+    convergence: Dict[str, Any]
+    timestamp: datetime
+    warnings: List[str] = field(default_factory=list)
+
+    @property
+    def success(self) -> bool:
+        return bool(
+            self.convergence.get("local_converged", False)
+            or self.convergence.get("cached", False)
+        )
+
+    @property
+    def rmse(self) -> float:
+        return float(self.fit_quality.get("rmse", float("inf")))
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "params": {k: float(getattr(self.params, k)) for k in PARAM_ORDER},
+            "fit_quality": self.fit_quality,
+            "convergence": self.convergence,
+            "timestamp": self.timestamp,
+            "warnings": self.warnings,
+            "success": self.success,
+            "rmse": self.rmse,
+        }
+
+
+def _price_vec(params_array, strikes, maturities, is_calls, S0, r, q):
+    """Price the whole quote vector for one parameter vector."""
+    p = HestonParams(*[params_array[i] for i in range(5)])
+    return heston_model.price_carr_madan(p, strikes, maturities, S0, r, q, is_calls)
+
+
+def _objective_population(pop, strikes, maturities, is_calls, market_prices, S0, r, q):
+    """Sum of squared relative errors per population member; 1e10 on bad
+    prices (reference heston_calibrator.py:486-513)."""
+    prices = jax.vmap(
+        lambda x: _price_vec(x, strikes, maturities, is_calls, S0, r, q)
+    )(pop)
+    errors = (prices - market_prices) / market_prices
+    obj = jnp.sum(errors * errors, axis=-1)
+    bad = jnp.any(jnp.isnan(prices) | (prices <= 0.0), axis=-1)
+    return jnp.where(bad, 1e10, obj)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("global_maxiter", "global_popsize", "local_max_iter"),
+)
+def _calibrate_pipeline(
+    strikes,
+    maturities,
+    is_calls,
+    market_prices,
+    S0,
+    r,
+    q,
+    lower,
+    upper,
+    key,
+    x0,
+    use_x0,
+    global_maxiter: int = 100,
+    global_popsize: int = 15,
+    local_max_iter: int = 60,
+):
+    """The full two-stage calibration as one jitted program."""
+
+    def objective(pop):
+        return _objective_population(
+            pop, strikes, maturities, is_calls, market_prices, S0, r, q
+        )
+
+    # warm start seeds the DE population (heston_calibrator.py:411-413)
+    seed = jnp.where(use_x0, x0, 0.5 * (lower + upper))
+    de = differential_evolution(
+        objective,
+        lower,
+        upper,
+        key,
+        x0=seed,
+        popsize=global_popsize,
+        maxiter=global_maxiter,
+    )
+
+    def residuals(x):
+        prices = _price_vec(x, strikes, maturities, is_calls, S0, r, q)
+        prices = jnp.maximum(prices, 1e-10)  # heston_calibrator.py:533
+        return (prices - market_prices) / market_prices
+
+    lm = levenberg_marquardt(
+        residuals, de.x, lower, upper, max_iter=local_max_iter, ftol=1e-8
+    )
+
+    model_prices = _price_vec(lm.x, strikes, maturities, is_calls, S0, r, q)
+    return de.x, de.fun, lm.x, lm.cost, lm.converged, lm.n_iter, model_prices
+
+
+class HestonCalibrator:
+    """Two-stage Heston calibrator (API parity with the reference class).
+
+    Args mirror heston_calibrator.py:209-234; ``db`` is any object exposing
+    ``store_model_parameters``/``get_latest_model_parameters`` (the
+    pde_tpu.database.ParameterStore qualifies).
+    """
+
+    DEFAULT_BOUNDS = {
+        "kappa": (0.1, 10.0),
+        "theta": (0.01, 1.0),
+        "sigma": (0.01, 2.0),
+        "rho": (-0.99, 0.99),
+        "v0": (0.01, 1.0),
+    }
+
+    def __init__(
+        self,
+        db=None,
+        bounds: Optional[Dict[str, Tuple[float, float]]] = None,
+        global_maxiter: int = 100,
+        global_popsize: int = 15,
+        local_max_iter: int = 60,
+        seed: int = 42,
+    ):
+        self.db = db
+        self.bounds = bounds or dict(self.DEFAULT_BOUNDS)
+        self.global_maxiter = global_maxiter
+        self.global_popsize = global_popsize
+        self.local_max_iter = local_max_iter
+        self.seed = seed
+
+    # ------------------------------------------------------------------ API
+
+    def calibrate(
+        self,
+        market_options,
+        S0: float,
+        r: float,
+        q: float,
+        warm_start: Optional[Dict[str, float]] = None,
+        use_cached_on_failure: bool = True,
+        underlying: Optional[str] = None,
+    ) -> CalibrationResult:
+        """Calibrate to market option prices.
+
+        ``market_options``: DataFrame or dict with columns/keys
+        'strike', 'maturity', 'mid_price' and optionally 'is_call' /
+        'option_type' / 'underlying' (same schema as the reference).
+        """
+        start = time.time()
+        strikes, maturities, prices, is_calls, underlying = self._extract(
+            market_options, underlying
+        )
+
+        try:
+            lower = jnp.array([self.bounds[k][0] for k in PARAM_ORDER])
+            upper = jnp.array([self.bounds[k][1] for k in PARAM_ORDER])
+            if warm_start:
+                x0 = jnp.array([warm_start[k] for k in PARAM_ORDER])
+                use_x0 = jnp.asarray(True)
+            else:
+                x0 = jnp.zeros(5)
+                use_x0 = jnp.asarray(False)
+
+            key = jax.random.PRNGKey(self.seed)
+            (de_x, de_fun, lm_x, lm_cost, lm_conv, lm_iter, model_prices) = (
+                _calibrate_pipeline(
+                    jnp.asarray(strikes),
+                    jnp.asarray(maturities),
+                    jnp.asarray(is_calls),
+                    jnp.asarray(prices),
+                    S0,
+                    r,
+                    q,
+                    lower,
+                    upper,
+                    key,
+                    x0,
+                    use_x0,
+                    global_maxiter=self.global_maxiter,
+                    global_popsize=self.global_popsize,
+                    local_max_iter=self.local_max_iter,
+                )
+            )
+
+            params = HestonParams(*[float(v) for v in np.asarray(lm_x)])
+            warnings = self._validate_parameters(params)
+            fit_quality = self._fit_quality(np.asarray(model_prices), prices, params)
+            elapsed_ms = int((time.time() - start) * 1000)
+
+            result = CalibrationResult(
+                params=params,
+                fit_quality=fit_quality,
+                convergence={
+                    "global_converged": True,
+                    "local_converged": bool(lm_conv),
+                    "global_nit": self.global_maxiter,
+                    "local_nfev": int(lm_iter),
+                    "global_obj": float(de_fun),
+                    "local_cost": float(lm_cost),
+                    "calibration_time_ms": elapsed_ms,
+                },
+                timestamp=datetime.now(),
+                warnings=warnings,
+            )
+            if self.db is not None:
+                self._store(result, underlying)
+            return result
+
+        except Exception as exc:  # noqa: BLE001 - mirror reference fallback
+            if use_cached_on_failure and self.db is not None:
+                cached = self._load_cached(underlying)
+                if cached is not None:
+                    return cached
+            raise CalibrationError(f"Calibration failed: {exc}") from exc
+
+    def calibrate_batch(
+        self,
+        strikes: np.ndarray,
+        maturities: np.ndarray,
+        market_prices: np.ndarray,
+        S0: np.ndarray,
+        r: float,
+        q: float,
+        is_calls: Optional[np.ndarray] = None,
+    ):
+        """Calibrate MANY surfaces at once: all inputs carry a leading
+        underlyings axis (U, n_options) / (U,).  Returns batched parameter
+        arrays.  This is the multi-device path: shard the U axis.
+        """
+        U = strikes.shape[0]
+        if is_calls is None:
+            is_calls = np.ones_like(strikes, dtype=bool)
+        lower = jnp.array([self.bounds[k][0] for k in PARAM_ORDER])
+        upper = jnp.array([self.bounds[k][1] for k in PARAM_ORDER])
+        keys = jax.random.split(jax.random.PRNGKey(self.seed), U)
+
+        def one(args):
+            k_, s_, m_, c_, p_, spot_ = args
+            return _calibrate_pipeline(
+                s_, m_, c_, p_, spot_, r, q, lower, upper, k_,
+                jnp.zeros(5), jnp.asarray(False),
+                global_maxiter=self.global_maxiter,
+                global_popsize=self.global_popsize,
+                local_max_iter=self.local_max_iter,
+            )
+
+        out = jax.vmap(one)(
+            (
+                keys,
+                jnp.asarray(strikes),
+                jnp.asarray(maturities),
+                jnp.asarray(is_calls),
+                jnp.asarray(market_prices),
+                jnp.asarray(S0),
+            )
+        )
+        de_x, de_fun, lm_x, lm_cost, lm_conv, lm_iter, model_prices = out
+        return {
+            "params": lm_x,
+            "cost": lm_cost,
+            "converged": lm_conv,
+            "model_prices": model_prices,
+        }
+
+    # ------------------------------------------------------------ internals
+
+    @staticmethod
+    def _extract(market_options, underlying):
+        if hasattr(market_options, "columns"):  # DataFrame
+            cols = market_options.columns
+            for col in ("strike", "maturity", "mid_price"):
+                if col not in cols:
+                    raise ValueError(f"Missing required column: {col}")
+            strikes = market_options["strike"].to_numpy(dtype=np.float64)
+            maturities = market_options["maturity"].to_numpy(dtype=np.float64)
+            prices = market_options["mid_price"].to_numpy(dtype=np.float64)
+            if "is_call" in cols:
+                is_calls = market_options["is_call"].to_numpy(dtype=bool)
+            elif "option_type" in cols:
+                is_calls = (
+                    market_options["option_type"].str.lower() == "call"
+                ).to_numpy()
+            else:
+                is_calls = np.ones(len(strikes), dtype=bool)
+            if underlying is None:
+                underlying = (
+                    str(market_options["underlying"].iloc[0])
+                    if "underlying" in cols
+                    else "UNKNOWN"
+                )
+        else:  # dict of arrays
+            for colname in ("strike", "maturity", "mid_price"):
+                if colname not in market_options:
+                    raise ValueError(f"Missing required column: {colname}")
+            strikes = np.asarray(market_options["strike"], dtype=np.float64)
+            maturities = np.asarray(market_options["maturity"], dtype=np.float64)
+            prices = np.asarray(market_options["mid_price"], dtype=np.float64)
+            is_calls = np.asarray(
+                market_options.get("is_call", np.ones(len(strikes), dtype=bool)),
+                dtype=bool,
+            )
+            underlying = underlying or "UNKNOWN"
+
+        # input validation (heston_calibrator.py:676-698)
+        if np.any(prices <= 0):
+            raise ValueError(f"Found {int(np.sum(prices <= 0))} options with price <= 0")
+        if np.any(maturities <= 0):
+            raise ValueError(
+                f"Found {int(np.sum(maturities <= 0))} options with maturity <= 0"
+            )
+        return strikes, maturities, prices, is_calls, underlying
+
+    @staticmethod
+    def _fit_quality(model_prices, market_prices, params: HestonParams):
+        """RMSE / R^2 / relative and absolute errors (heston_calibrator.py:588-643)."""
+        errors = model_prices - market_prices
+        rmse = float(np.sqrt(np.mean(errors**2)))
+        ss_res = float(np.sum(errors**2))
+        ss_tot = float(np.sum((market_prices - np.mean(market_prices)) ** 2))
+        return {
+            "rmse": rmse,
+            "r_squared": 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0,
+            "relative_rmse": rmse / float(np.mean(market_prices)),
+            "max_abs_error": float(np.max(np.abs(errors))),
+            "mean_abs_error": float(np.mean(np.abs(errors))),
+            "n_options": int(len(market_prices)),
+            "feller_satisfied": bool(params.feller_satisfied()),
+            "feller_value": float(params.feller_value()),
+        }
+
+    @staticmethod
+    def _validate_parameters(params: HestonParams) -> List[str]:
+        """Warning heuristics matching heston_calibrator.py:645-674."""
+        warnings = []
+        k, t, s, rho, v0 = (float(getattr(params, n)) for n in PARAM_ORDER)
+        if not params.feller_satisfied():
+            warnings.append(
+                f"Feller condition violated: 2kappa*theta = {2*k*t:.4f} < "
+                f"sigma^2 = {s**2:.4f}. Variance may reach zero."
+            )
+        if k > 8.0:
+            warnings.append(f"Very high mean-reversion speed: kappa={k:.2f}")
+        if s > 1.5:
+            warnings.append(f"Very high vol of vol: sigma={s:.2f}")
+        if abs(rho) > 0.95:
+            warnings.append(f"Extreme correlation: rho={rho:.2f}")
+        if v0 > 0.5:
+            warnings.append(f"Very high initial variance: v0={v0:.2f}")
+        return warnings
+
+    def _store(self, result: CalibrationResult, underlying: str):
+        self.db.store_model_parameters(
+            model_type="heston",
+            underlying=underlying,
+            parameters={k: float(getattr(result.params, k)) for k in PARAM_ORDER},
+            fit_quality=result.fit_quality,
+            maturity=None,
+            converged=result.convergence["local_converged"],
+            calibration_time_ms=result.convergence["calibration_time_ms"],
+        )
+
+    def _load_cached(self, underlying: str) -> Optional[CalibrationResult]:
+        cached = self.db.get_latest_model_parameters(
+            model_type="heston", underlying=underlying, maturity=None
+        )
+        if cached and cached.get("converged", False):
+            return CalibrationResult(
+                params=HestonParams(**{k: cached["parameters"][k] for k in PARAM_ORDER}),
+                fit_quality=cached["fit_quality"],
+                convergence={"cached": True},
+                timestamp=cached["time"],
+                warnings=["Using cached parameters"],
+            )
+        return None
+
+    # ------------------------------------------------------------- fixtures
+
+    @classmethod
+    def generate_synthetic_data(
+        cls,
+        S0: float = 100.0,
+        r: float = 0.05,
+        q: float = 0.02,
+        kappa: float = 2.0,
+        theta: float = 0.04,
+        sigma: float = 0.3,
+        rho: float = -0.7,
+        v0: float = 0.04,
+        n_strikes: int = 11,
+        n_maturities: int = 3,
+        noise_std: float = 0.0,
+        strikes: Optional[np.ndarray] = None,
+        maturities: Optional[np.ndarray] = None,
+        seed: int = 0,
+        as_dataframe: bool = False,
+    ):
+        """Synthetic surface from known parameters (heston_calibrator.py:736-816)."""
+        if strikes is None:
+            strikes = np.linspace(0.8 * S0, 1.2 * S0, n_strikes)
+        if maturities is None:
+            maturities = np.linspace(0.1, 1.0, n_maturities)
+
+        K, T = np.meshgrid(strikes, maturities)
+        K, T = K.ravel(), T.ravel()
+        params = HestonParams(kappa=kappa, theta=theta, sigma=sigma, rho=rho, v0=v0)
+        # jit the pricing call: some TPU runtimes only support the compiled
+        # path for the complex characteristic-function graph
+        priced = jax.jit(heston_model.price_options)(
+            params, jnp.asarray(K), jnp.asarray(T), S0, r, q
+        )
+        prices = np.asarray(priced)
+        # floor at 0.01 so deep-OTM short-dated quotes stay valid inputs
+        # (the reference applies the same floor on its noise branch)
+        prices = np.maximum(prices, 0.01)
+        if noise_std > 0:
+            rng = np.random.default_rng(seed)
+            prices = np.maximum(prices * (1 + rng.normal(0, noise_std, len(prices))), 0.01)
+
+        data = {
+            "strike": K,
+            "maturity": T,
+            "mid_price": prices,
+            "is_call": np.ones(len(K), dtype=bool),
+        }
+        if as_dataframe:
+            import pandas as pd
+
+            df = pd.DataFrame(data)
+            df["option_type"] = "call"
+            df["underlying"] = "SYNTHETIC"
+            return df
+        return data
+
+    generate_synthetic_options = generate_synthetic_data

@@ -1,0 +1,289 @@
+"""Daily calibration orchestrator.
+
+Mirrors the reference CalibrationOrchestrator
+(calibration/orchestrator.py:48-547): drives Heston + SABR + OU calibration
+per underlying with option filtering (:404), warm starts from the previous
+run (:160-162, :304), per-model try/except producing a
+SUCCESS/PARTIAL/FAILED status (:255-264), quality gates (:449), parameter
+persistence (:493) and cached-parameter retrieval (:502).
+
+Host-side control flow by design — the heavy math inside each calibrator is
+the jitted TPU program; this layer is scheduling, error policy and storage,
+exactly where the reference draws the same line.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from enum import Enum
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from .heston import CalibrationError, HestonCalibrator
+from .ou import OUFitter
+from .sabr import SABRCalibrator
+
+__all__ = [
+    "CalibrationStatus",
+    "CalibrationConfig",
+    "CalibrationRunResult",
+    "CalibrationOrchestrator",
+]
+
+
+class CalibrationStatus(str, Enum):
+    SUCCESS = "SUCCESS"
+    PARTIAL = "PARTIAL"
+    FAILED = "FAILED"
+
+
+@dataclass
+class CalibrationConfig:
+    """Run configuration (mirrors orchestrator.py:48-73)."""
+
+    calibrate_heston: bool = True
+    calibrate_sabr: bool = True
+    calibrate_ou: bool = False  # needs spread series, opt-in
+    max_options_per_underlying: int = 100
+    min_options_required: int = 5
+    use_warm_start: bool = True
+    use_cached_on_failure: bool = True
+    max_rmse: float = 5.0
+    min_r_squared: float = 0.5
+    risk_free_rate: float = 0.05
+    dividend_yield: float = 0.0
+
+
+@dataclass
+class CalibrationRunResult:
+    """Per-run outcome (mirrors orchestrator.py:75-110)."""
+
+    underlying: str
+    status: CalibrationStatus
+    heston_result: Optional[Any] = None
+    sabr_result: Optional[Any] = None
+    ou_result: Optional[Any] = None
+    errors: List[str] = field(default_factory=list)
+    run_time: float = 0.0
+    timestamp: datetime = field(default_factory=lambda: datetime.now(timezone.utc))
+
+    @property
+    def success(self) -> bool:
+        return self.status == CalibrationStatus.SUCCESS
+
+
+class CalibrationOrchestrator:
+    """Drives per-underlying daily calibration across all models."""
+
+    def __init__(
+        self,
+        config: Optional[CalibrationConfig] = None,
+        db=None,
+        heston_calibrator: Optional[HestonCalibrator] = None,
+        sabr_calibrator: Optional[SABRCalibrator] = None,
+        ou_fitter: Optional[OUFitter] = None,
+    ):
+        self.config = config or CalibrationConfig()
+        self.db = db
+        self.heston = heston_calibrator or HestonCalibrator(db=db)
+        self.sabr = sabr_calibrator or SABRCalibrator(db_session=db)
+        self.ou = ou_fitter or OUFitter(db_session=db)
+        # warm-start caches: previous successful parameters per underlying
+        self._heston_warm: Dict[str, Dict[str, float]] = {}
+        self._sabr_warm: Dict[str, Dict[float, Dict[str, float]]] = {}
+
+    # ------------------------------------------------------------------ API
+
+    def run_daily_calibration(
+        self,
+        underlying: str,
+        market_options,
+        S0: float,
+        spread_series: Optional[np.ndarray] = None,
+        r: Optional[float] = None,
+        q: Optional[float] = None,
+    ) -> CalibrationRunResult:
+        """Calibrate all enabled models for one underlying
+        (orchestrator.py:166-264)."""
+        start = time.time()
+        r = self.config.risk_free_rate if r is None else r
+        q = self.config.dividend_yield if q is None else q
+        errors: List[str] = []
+        heston_result = sabr_result = ou_result = None
+
+        market_options = self._filter_options(market_options)
+        n_options = self._n_options(market_options)
+        if n_options < self.config.min_options_required:
+            return CalibrationRunResult(
+                underlying=underlying,
+                status=CalibrationStatus.FAILED,
+                errors=[
+                    f"only {n_options} options; need >= {self.config.min_options_required}"
+                ],
+                run_time=time.time() - start,
+            )
+
+        if self.config.calibrate_heston:
+            try:
+                warm = self._heston_warm.get(underlying) if self.config.use_warm_start else None
+                heston_result = self.heston.calibrate(
+                    market_options,
+                    S0=S0,
+                    r=r,
+                    q=q,
+                    warm_start=warm,
+                    use_cached_on_failure=self.config.use_cached_on_failure,
+                    underlying=underlying,
+                )
+                if self._heston_quality_ok(heston_result):
+                    self._heston_warm[underlying] = {
+                        k: float(getattr(heston_result.params, k))
+                        for k in ("kappa", "theta", "sigma", "rho", "v0")
+                    }
+                else:
+                    errors.append(
+                        f"heston quality gate failed: rmse={heston_result.rmse:.4f}"
+                    )
+            except (CalibrationError, ValueError) as exc:
+                errors.append(f"heston: {exc}")
+
+        if self.config.calibrate_sabr:
+            try:
+                sabr_input = self._to_sabr_input(market_options, S0, r, q)
+                if sabr_input is not None:
+                    warm = self._sabr_warm.get(underlying) if self.config.use_warm_start else None
+                    sabr_result = self.sabr.calibrate(
+                        sabr_input, F0=S0, r=r, q=q, warm_start=warm, underlying=underlying
+                    )
+                    if sabr_result.success:
+                        self._sabr_warm[underlying] = {
+                            T: {
+                                "alpha": float(p.alpha),
+                                "rho": float(p.rho),
+                                "nu": float(p.nu),
+                            }
+                            for T, p in sabr_result.params_by_maturity.items()
+                        }
+            except Exception as exc:  # noqa: BLE001 - per-model isolation
+                errors.append(f"sabr: {exc}")
+
+        if self.config.calibrate_ou and spread_series is not None:
+            try:
+                ou_result = self.ou.fit(spread_series, pair_name=underlying)
+                if not ou_result.success:
+                    errors.append(f"ou: {ou_result.message}")
+            except Exception as exc:  # noqa: BLE001
+                errors.append(f"ou: {exc}")
+
+        n_requested = (
+            int(self.config.calibrate_heston)
+            + int(self.config.calibrate_sabr)
+            + int(self.config.calibrate_ou and spread_series is not None)
+        )
+        n_ok = sum(x is not None for x in (heston_result, sabr_result, ou_result))
+        if n_ok == n_requested and not errors:
+            status = CalibrationStatus.SUCCESS
+        elif n_ok > 0:
+            status = CalibrationStatus.PARTIAL
+        else:
+            status = CalibrationStatus.FAILED
+
+        return CalibrationRunResult(
+            underlying=underlying,
+            status=status,
+            heston_result=heston_result,
+            sabr_result=sabr_result,
+            ou_result=ou_result,
+            errors=errors,
+            run_time=time.time() - start,
+        )
+
+    def run_all(self, tasks: Dict[str, Dict]) -> Dict[str, CalibrationRunResult]:
+        """Calibrate many underlyings: {name: {market_options, S0, ...}}."""
+        return {
+            name: self.run_daily_calibration(underlying=name, **kwargs)
+            for name, kwargs in tasks.items()
+        }
+
+    def get_cached_parameters(self, underlying: str, model_type: str = "heston"):
+        """Latest stored parameters (orchestrator.py:502-547)."""
+        if self.db is None:
+            return None
+        return self.db.get_latest_model_parameters(
+            model_type=model_type, underlying=underlying, maturity=None
+        )
+
+    # ------------------------------------------------------------ internals
+
+    def _heston_quality_ok(self, result) -> bool:
+        fq = result.fit_quality
+        return (
+            fq.get("rmse", np.inf) <= self.config.max_rmse
+            and fq.get("r_squared", 0.0) >= self.config.min_r_squared
+        )
+
+    @staticmethod
+    def _n_options(market_options) -> int:
+        if hasattr(market_options, "__len__") and not isinstance(market_options, dict):
+            return len(market_options)
+        return len(np.asarray(market_options["strike"]))
+
+    def _filter_options(self, market_options):
+        """Cap the option count (orchestrator.py:404): keep the most liquid
+        (by volume if present) else closest-to-money quotes."""
+        max_n = self.config.max_options_per_underlying
+        n = self._n_options(market_options)
+        if n <= max_n:
+            return market_options
+        if hasattr(market_options, "nlargest") and "volume" in market_options.columns:
+            return market_options.nlargest(max_n, "volume")
+        if hasattr(market_options, "iloc"):
+            return market_options.iloc[:max_n]
+        return {k: np.asarray(v)[:max_n] for k, v in market_options.items()}
+
+    def _to_sabr_input(self, market_options, S0, r, q):
+        """Build the SABR (strike, T, implied_vol) table from option prices
+        via BS inversion when implied vols aren't provided."""
+        import jax.numpy as jnp
+
+        from ..models import black_scholes as bs_mod
+
+        if hasattr(market_options, "columns"):
+            if "implied_vol" in market_options.columns:
+                df = market_options.rename(columns={"maturity": "T"})
+                return df[["strike", "T", "implied_vol"]]
+            strikes = market_options["strike"].to_numpy(dtype=float)
+            mats = market_options["maturity"].to_numpy(dtype=float)
+            prices = market_options["mid_price"].to_numpy(dtype=float)
+            is_call = (
+                market_options["is_call"].to_numpy(dtype=bool)
+                if "is_call" in market_options.columns
+                else np.ones(len(strikes), dtype=bool)
+            )
+        else:
+            if "implied_vol" in market_options:
+                return {
+                    "strike": market_options["strike"],
+                    "T": market_options.get("T", market_options.get("maturity")),
+                    "implied_vol": market_options["implied_vol"],
+                }
+            strikes = np.asarray(market_options["strike"], dtype=float)
+            mats = np.asarray(market_options["maturity"], dtype=float)
+            prices = np.asarray(market_options["mid_price"], dtype=float)
+            is_call = np.asarray(
+                market_options.get("is_call", np.ones(len(strikes), dtype=bool))
+            )
+
+        iv = np.asarray(
+            bs_mod.implied_vol(
+                jnp.asarray(prices), S0, jnp.asarray(strikes), r, q, jnp.asarray(mats),
+                jnp.asarray(is_call),
+            )
+        )
+        ok = np.isfinite(iv) & (iv > 1e-3) & (iv < 4.9)
+        if ok.sum() < 3:
+            return None
+        return {"strike": strikes[ok], "T": mats[ok], "implied_vol": iv[ok]}

@@ -124,30 +124,74 @@ def characteristic_function(params: HestonParams, u, maturity, spot, rate=0.0, d
     return jnp.where(T <= 0.0, phi0, phi)
 
 
-def _carr_madan_integral(params, strike, maturity, spot, rate, dividend, n_points, du, alpha):
-    """du * sum_{j>=1} Re[ e^{-i v_j ln K} phi(v_j - (alpha+1)i) / denom(v_j) ].
+def _cf_reduced(params, u, T, rdt, cdt):
+    """exp(C + D v0) — the CF without the iu*log-spot / drift phase terms.
 
-    Replicates the reference trapezoid exactly: the j=0 term is zeroed by the
-    v < 1e-10 guard (heston.cpp:110) so only j = 1..n_points-1 contribute
-    (heston.cpp:124-137).
+    Splitting the phase out and folding it with the strike phase into a
+    single small forward-moneyness phase (see _carr_madan_integrand) is what
+    makes the float32/complex64 TPU path accurate: the two individually
+    large, cancelling phases iu*ln(S0) and -iv*ln(K) never materialize.
+    """
+    kappa = jnp.asarray(params.kappa, dtype=rdt)
+    th = jnp.asarray(params.theta, dtype=rdt)
+    sig = jnp.asarray(params.sigma, dtype=rdt)
+    rho_ = jnp.asarray(params.rho, dtype=rdt)
+    v0 = jnp.asarray(params.v0, dtype=rdt)
+    i = jnp.asarray(1j, dtype=cdt)
+
+    sigma2 = sig * sig
+    xi = kappa - rho_ * sig * i * u
+    d = jnp.sqrt(xi * xi + sigma2 * (i * u + u * u))
+    g = (xi - d) / (xi + d)
+    exp_mdT = jnp.exp(-d * T)
+    C = (kappa * th / sigma2) * ((xi - d) * T - 2.0 * jnp.log((1.0 - g * exp_mdT) / (1.0 - g)))
+    D = ((xi - d) / sigma2) * ((1.0 - exp_mdT) / (1.0 - g * exp_mdT))
+    return jnp.exp(C + D * v0)
+
+
+def _carr_madan_integrand_sum(
+    params, strike, maturity, spot, rate, dividend, v, weights, du, alpha
+):
+    """Weighted Carr-Madan sum in the forward-moneyness formulation.
+
+    Mathematically identical to the reference integrand
+    (heston.cpp:109-122): with u = v - (alpha+1)i,
+
+      e^{-iv ln K} phi(u) = F^{alpha+1} e^{-(alpha+1) ln K} ... wait, the
+      caller applies the prefactor; here the exponent carries only the SMALL
+      phase iv ln(F/K), so complex64 keeps full relative precision.
+
+    Returns du * sum_j w_j Re[ exp(C + D v0 + i v_j ln(F/K)) / denom(v_j) ].
     """
     rdt = result_dtype(strike, maturity, spot)
     cdt = complex_dtype_for(rdt)
     strike = jnp.asarray(strike, dtype=rdt)
-    maturity = jnp.asarray(maturity, dtype=rdt)
-
-    v = (jnp.arange(1, n_points, dtype=rdt)) * jnp.asarray(du, dtype=rdt)  # (n_u,)
+    T = jnp.asarray(maturity, dtype=rdt)[..., None]
     u = v.astype(cdt) - 1j * (alpha + 1.0)
 
-    # broadcast: options axis in front, quadrature axis last
-    log_k = jnp.log(strike)[..., None]
-    T = maturity[..., None]
+    log_fk = (
+        jnp.log(jnp.asarray(spot, dtype=rdt) / strike) + (rate - dividend) * jnp.asarray(maturity, dtype=rdt)
+    )[..., None]
 
-    phi = characteristic_function(params, u, T, spot, rate, dividend)
-    numer = jnp.exp(-1j * v.astype(cdt) * log_k)
+    cf = _cf_reduced(params, u, T, rdt, cdt)
+    # T <= 0 edge: reduced CF -> 1 (C = D = 0), matching heston.cpp:77-79
+    cf = jnp.where(T <= 0.0, jnp.asarray(1.0 + 0.0j, dtype=cdt), cf)
+    phase = jnp.exp(1j * v.astype(cdt) * log_fk.astype(cdt))
     denom = (alpha * alpha + alpha - v * v) + 1j * ((2.0 * alpha + 1.0) * v)
-    integrand = (numer * phi / denom).real
-    return du * jnp.sum(integrand, axis=-1)
+    integrand = (cf * phase / denom).real
+    return du * jnp.sum(weights * integrand, axis=-1)
+
+
+def _carr_madan_integral(params, strike, maturity, spot, rate, dividend, n_points, du, alpha):
+    """The reference quadrature: j = 1..n_points-1, unit weights (the j=0
+    term is zeroed by the v < 1e-10 guard, heston.cpp:110, and there is no
+    right-endpoint half weight, heston.cpp:124-137)."""
+    rdt = result_dtype(strike, maturity, spot)
+    v = jnp.arange(1, n_points, dtype=rdt) * jnp.asarray(du, dtype=rdt)
+    weights = jnp.ones((n_points - 1,), dtype=rdt)
+    return _carr_madan_integrand_sum(
+        params, strike, maturity, spot, rate, dividend, v, weights, du, alpha
+    )
 
 
 def price_carr_madan(
@@ -178,12 +222,61 @@ def price_carr_madan(
         params, strike, maturity, spot, rate, dividend, n_points, du, alpha
     )
     discount = jnp.exp(-rate * maturity)
-    call = (jnp.exp(-alpha * jnp.log(strike)) / jnp.pi) * discount * integral
+    # prefactor in the forward-moneyness formulation:
+    #   e^{-alpha lnK} * F^{alpha+1} = K (F/K)^{alpha+1}
+    forward = spot * jnp.exp((rate - dividend) * maturity)
+    prefactor = strike * (forward / strike) ** (alpha + 1.0)
+    call = (prefactor / jnp.pi) * discount * integral
     call = jnp.maximum(call, 0.0)
 
     put = jnp.maximum(call - spot * jnp.exp(-dividend * maturity) + strike * discount, 0.0)
     price = jnp.where(is_call, call, put)
 
+    intrinsic = jnp.where(
+        is_call, jnp.maximum(spot - strike, 0.0), jnp.maximum(strike - spot, 0.0)
+    )
+    return jnp.where(maturity <= 0.0, intrinsic, price)
+
+
+def price_accurate(
+    params: HestonParams,
+    strike,
+    maturity,
+    spot,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_points: int = 8192,
+    du: float = 0.025,
+    alpha: float = 1.25,
+):
+    """European price via a *converged* Carr-Madan quadrature.
+
+    The reference grid (1024 x 0.01, v=0 term zeroed, truncated at v=10.24)
+    carries O(1e-1) absolute error on benchmark-scale prices; this variant
+    uses a proper trapezoid (half-weight endpoints, analytic v=0 limit) on a
+    wide grid and agrees with adaptive quadrature/P1P2 truth to ~1e-6.
+    Use :func:`price_carr_madan` when bit-parity with the reference engine is
+    required; use this for model-value computations (IV surfaces, signals).
+    """
+    rdt = result_dtype(strike, maturity, spot)
+    strike, maturity = jnp.broadcast_arrays(
+        jnp.asarray(strike, dtype=rdt), jnp.asarray(maturity, dtype=rdt)
+    )
+    spot = jnp.asarray(spot, dtype=rdt)
+
+    v = jnp.arange(n_points, dtype=rdt) * jnp.asarray(du, dtype=rdt)
+    weights = jnp.full((n_points,), 1.0, dtype=rdt).at[0].set(0.5).at[-1].set(0.5)
+    integral = _carr_madan_integrand_sum(
+        params, strike, maturity, spot, rate, dividend, v, weights, du, alpha
+    )
+
+    discount = jnp.exp(-rate * maturity)
+    forward = spot * jnp.exp((rate - dividend) * maturity)
+    prefactor = strike * (forward / strike) ** (alpha + 1.0)
+    call = jnp.maximum((prefactor / jnp.pi) * discount * integral, 0.0)
+    put = jnp.maximum(call - spot * jnp.exp(-dividend * maturity) + strike * discount, 0.0)
+    price = jnp.where(is_call, call, put)
     intrinsic = jnp.where(
         is_call, jnp.maximum(spot - strike, 0.0), jnp.maximum(strike - spot, 0.0)
     )
@@ -200,13 +293,19 @@ def price_options(params, strikes, maturities, spot, rate=0.0, dividend=0.0, is_
     return price_carr_madan(params, strikes, maturities, spot, rate, dividend, is_call)
 
 
-def implied_volatility(params, strike, maturity, spot, rate=0.0, dividend=0.0, is_call=True):
+def implied_volatility(
+    params, strike, maturity, spot, rate=0.0, dividend=0.0, is_call=True, accurate=False
+):
     """Black-Scholes implied vol of the Heston price.
 
     Matches HestonModel::implied_volatility (heston.cpp:311-349): Newton from
-    vol0 = sqrt(v0), vega guard, clip [0.001, 5].
+    vol0 = sqrt(v0), vega guard, clip [0.001, 5].  ``accurate=True`` inverts
+    the converged quadrature instead of the reference-parity grid — required
+    for meaningful IV surfaces at short maturities, where the reference
+    grid's truncation bias corrupts the inversion.
     """
-    target = price_carr_madan(params, strike, maturity, spot, rate, dividend, is_call)
+    pricer = price_accurate if accurate else price_carr_madan
+    target = pricer(params, strike, maturity, spot, rate, dividend, is_call)
     return bs.implied_vol(
         target,
         spot,

@@ -1,0 +1,137 @@
+"""Device mesh and sharding policies — the distributed-communication layer.
+
+The reference scales out with microservice replicas behind REST +
+TimescaleDB/Redis (SURVEY.md section 2.3); the TPU-native equivalent is a
+single-controller JAX program over a ``jax.sharding.Mesh`` whose collectives
+ride ICI.  Two named axes:
+
+* ``dp`` — data parallel over underlyings/surfaces (the reference's
+  "replica" axis: each calibration is independent);
+* ``quotes`` — parallel over the quote axis within one surface (strike x
+  maturity); residual reductions (J^T J, J^T r, objective sums) become XLA
+  all-reduces over this axis.
+
+:func:`make_mesh` builds the mesh; :func:`sharded_calibration_step` returns a
+jitted batched Levenberg-Marquardt calibration step with explicit
+``NamedSharding`` on every operand — the "training step" of this framework.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.heston import HestonParams
+from ..models import heston as heston_model
+
+__all__ = ["make_mesh", "sharded_calibration_step", "best_factorization"]
+
+
+def best_factorization(n: int) -> tuple[int, int]:
+    """Factor n into (dp, quotes) as square as possible (dp >= quotes)."""
+    best = (n, 1)
+    for q in range(1, int(np.sqrt(n)) + 1):
+        if n % q == 0:
+            best = (n // q, q)
+    return best
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("dp", "quotes"),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a 2D mesh over the available devices.
+
+    On real hardware the ICI topology orders ``jax.devices()``; the default
+    factorization puts the larger axis on ``dp`` (independent surfaces, no
+    communication) and the smaller on ``quotes`` (all-reduce traffic stays on
+    the short axis).
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if shape is None:
+        shape = best_factorization(n_devices)
+    mesh_devices = np.asarray(devices).reshape(tuple(shape))
+    return Mesh(mesh_devices, tuple(axis_names))
+
+
+def _price_population(x, strikes, maturities, S0, r, q):
+    p = HestonParams(x[..., 0], x[..., 1], x[..., 2], x[..., 3], x[..., 4])
+    return heston_model.price_carr_madan(
+        p, strikes, maturities, S0, r, q, n_points=256, du=0.04
+    )
+
+
+def sharded_calibration_step(mesh: Mesh, lower, upper):
+    """Jitted one-iteration batched LM calibration step over a mesh.
+
+    Inputs (U = underlyings, Q = quotes per surface):
+      x          (U, 5)  current parameter iterates    -> sharded (dp, -)
+      strikes    (U, Q)  quote strikes                 -> sharded (dp, quotes)
+      maturities (U, Q)                                -> sharded (dp, quotes)
+      target     (U, Q)  market prices                 -> sharded (dp, quotes)
+      lam        (U,)    LM damping                    -> sharded (dp,)
+
+    Returns (x_new, cost).  The J^T J / J^T r contractions over Q are
+    executed as XLA reduce/all-reduce over the ``quotes`` axis; the U axis is
+    embarrassingly parallel over ``dp``.  This function is the
+    ``dryrun_multichip`` "full training step" and the building block of the
+    production multi-chip calibration service.
+    """
+    lower = jnp.asarray(lower)
+    upper = jnp.asarray(upper)
+
+    dp = P("dp", None)
+    dq = P("dp", "quotes")
+    d1 = P("dp")
+
+    def step(x, strikes, maturities, target, lam, S0, r, q):
+        def residuals_one(xi, ki, ti, yi):
+            prices = jnp.maximum(_price_population(xi, ki, ti, S0, r, q), 1e-10)
+            return (prices - yi) / yi
+
+        def one_underlying(xi, ki, ti, yi, lam_i):
+            res = residuals_one(xi, ki, ti, yi)
+            J = jax.jacfwd(residuals_one)(xi, ki, ti, yi)  # (Q, 5)
+            JTJ = J.T @ J  # contraction over sharded Q -> all-reduce
+            JTr = J.T @ res
+            A = JTJ + lam_i * jnp.diag(jnp.maximum(jnp.diag(JTJ), 1e-12))
+            delta = -jnp.linalg.solve(A + 1e-14 * jnp.eye(5, dtype=xi.dtype), JTr)
+            x_new = jnp.clip(xi + delta, lower, upper)
+            cost_new = 0.5 * jnp.sum(residuals_one(x_new, ki, ti, yi) ** 2)
+            cost_old = 0.5 * jnp.sum(res**2)
+            accept = cost_new < cost_old
+            return (
+                jnp.where(accept, x_new, xi),
+                jnp.where(accept, cost_new, cost_old),
+                jnp.where(accept, lam_i / 3.0, lam_i * 2.0),
+            )
+
+        return jax.vmap(one_underlying)(x, strikes, maturities, target, lam)
+
+    return jax.jit(
+        step,
+        in_shardings=(
+            NamedSharding(mesh, dp),  # x
+            NamedSharding(mesh, dq),  # strikes
+            NamedSharding(mesh, dq),  # maturities
+            NamedSharding(mesh, dq),  # target
+            NamedSharding(mesh, d1),  # lam
+            None,
+            None,
+            None,
+        ),
+        out_shardings=(
+            NamedSharding(mesh, dp),
+            NamedSharding(mesh, d1),
+            NamedSharding(mesh, d1),
+        ),
+    )

@@ -1,0 +1,6 @@
+"""Trading signals: vol-surface arbitrage, mean reversion, aggregation."""
+
+from . import aggregator, mean_reversion, vol_arbitrage  # noqa: F401
+from .aggregator import AggregatedSignal, SignalAggregator  # noqa: F401
+from .mean_reversion import MeanReversionSignalGenerator  # noqa: F401
+from .vol_arbitrage import VolSurfaceArbitrageSignal  # noqa: F401

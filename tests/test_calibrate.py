@@ -1,0 +1,331 @@
+"""Calibration tests: optimizer correctness + synthetic round-trip recovery
+(the reference pattern, tests/python/calibration/test_calibration.py:98-395)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_tpu.calibrate import de as de_mod
+from pde_tpu.calibrate import lm as lm_mod
+from pde_tpu.calibrate.heston import CalibrationError, HestonCalibrator
+from pde_tpu.calibrate.orchestrator import (
+    CalibrationOrchestrator,
+    CalibrationConfig,
+    CalibrationStatus,
+)
+from pde_tpu.calibrate.ou import OUFitter
+from pde_tpu.calibrate.sabr import SABRCalibrator
+from pde_tpu.models.sabr import SABRParams
+
+
+class TestLM:
+    def test_rosenbrock_valley(self):
+        def residuals(x):
+            return jnp.array([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+        res = lm_mod.levenberg_marquardt(
+            residuals,
+            jnp.array([-1.2, 1.0]),
+            jnp.array([-2.0, -2.0]),
+            jnp.array([2.0, 2.0]),
+            max_iter=100,
+        )
+        np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-6)
+
+    def test_linear_least_squares_exact(self, rng):
+        A = jnp.asarray(rng.standard_normal((20, 3)))
+        x_true = jnp.array([0.5, -1.0, 2.0])
+        b = A @ x_true
+
+        res = lm_mod.levenberg_marquardt(
+            lambda x: A @ x - b,
+            jnp.zeros(3),
+            jnp.full(3, -5.0),
+            jnp.full(3, 5.0),
+            max_iter=50,
+        )
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_true), atol=1e-8)
+
+    def test_respects_bounds(self):
+        res = lm_mod.levenberg_marquardt(
+            lambda x: x - 10.0,
+            jnp.array([0.0]),
+            jnp.array([-1.0]),
+            jnp.array([1.0]),
+            max_iter=30,
+        )
+        assert float(res.x[0]) == 1.0  # clipped at the boundary
+
+    def test_vmapped_multistart(self, rng):
+        def residuals(x):
+            return jnp.array([x[0] ** 2 - 4.0, x[1] - 1.0])
+
+        x0s = jnp.asarray(rng.uniform(0.5, 3.0, (6, 2)))
+        fit = jax.vmap(
+            lambda x0: lm_mod.levenberg_marquardt(
+                residuals, x0, jnp.array([0.0, -5.0]), jnp.array([5.0, 5.0]), max_iter=60
+            ).x
+        )
+        out = np.asarray(fit(x0s))
+        np.testing.assert_allclose(out[:, 0], 2.0, atol=1e-5)
+        np.testing.assert_allclose(out[:, 1], 1.0, atol=1e-5)
+
+
+class TestDE:
+    def test_sphere(self):
+        def objective(pop):
+            return jnp.sum((pop - jnp.array([0.3, -0.7, 1.1])) ** 2, axis=-1)
+
+        res = de_mod.differential_evolution(
+            objective,
+            jnp.array([-2.0, -2.0, -2.0]),
+            jnp.array([2.0, 2.0, 2.0]),
+            jax.random.PRNGKey(0),
+            maxiter=120,
+        )
+        np.testing.assert_allclose(np.asarray(res.x), [0.3, -0.7, 1.1], atol=2e-2)
+
+    def test_rastrigin_multimodal(self):
+        def objective(pop):
+            return jnp.sum(
+                pop**2 - 10.0 * jnp.cos(2.0 * jnp.pi * pop) + 10.0, axis=-1
+            )
+
+        res = de_mod.differential_evolution(
+            objective,
+            jnp.array([-5.12, -5.12]),
+            jnp.array([5.12, 5.12]),
+            jax.random.PRNGKey(1),
+            popsize=20,
+            maxiter=200,
+        )
+        assert float(res.fun) < 1e-2  # global basin found
+
+    def test_warm_start_seeds_population(self):
+        def objective(pop):
+            return jnp.sum(pop**2, axis=-1)
+
+        res = de_mod.differential_evolution(
+            objective,
+            jnp.array([-1.0]),
+            jnp.array([1.0]),
+            jax.random.PRNGKey(2),
+            x0=jnp.array([0.0]),
+            maxiter=1,
+        )
+        assert float(res.fun) <= 1e-12  # x0 already optimal, retained
+
+
+class TestHestonCalibration:
+    """Synthetic round-trip (the reference north-star test,
+    test_calibration.py:125)."""
+
+    TRUE = dict(kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7, v0=0.04)
+
+    @pytest.fixture(scope="class")
+    def result(self):
+        data = HestonCalibrator.generate_synthetic_data(
+            S0=100.0, r=0.05, q=0.02, **self.TRUE, n_strikes=11, n_maturities=3
+        )
+        cal = HestonCalibrator(global_maxiter=40, global_popsize=10, seed=42)
+        return cal.calibrate(data, S0=100.0, r=0.05, q=0.02)
+
+    def test_parameter_recovery(self, result):
+        p = result.params
+        # v0 and theta are strongly identified; kappa/sigma/rho less so
+        assert abs(p.v0 - self.TRUE["v0"]) < 0.005
+        assert abs(p.theta - self.TRUE["theta"]) < 0.01
+        assert abs(p.rho - self.TRUE["rho"]) < 0.15
+        assert abs(p.kappa - self.TRUE["kappa"]) < 1.0
+        assert abs(p.sigma - self.TRUE["sigma"]) < 0.15
+
+    def test_fit_quality(self, result):
+        assert result.fit_quality["rmse"] < 0.05
+        assert result.fit_quality["r_squared"] > 0.999
+        assert result.success
+
+    def test_warm_start_path(self):
+        data = HestonCalibrator.generate_synthetic_data(
+            S0=100.0, r=0.05, q=0.02, **self.TRUE, n_strikes=7, n_maturities=2
+        )
+        cal = HestonCalibrator(global_maxiter=5, global_popsize=6)
+        res = cal.calibrate(
+            data, S0=100.0, r=0.05, q=0.02, warm_start=dict(self.TRUE)
+        )
+        # warm-started at the truth, LM should stay there
+        assert res.fit_quality["rmse"] < 0.01
+
+    def test_validation_errors(self):
+        cal = HestonCalibrator()
+        with pytest.raises((ValueError, CalibrationError)):
+            cal.calibrate(
+                {"strike": [100.0], "maturity": [1.0], "mid_price": [-5.0]},
+                S0=100.0,
+                r=0.05,
+                q=0.0,
+            )
+
+    def test_feller_warning_surfaces(self):
+        data = HestonCalibrator.generate_synthetic_data(
+            S0=100.0, r=0.05, q=0.0,
+            kappa=0.5, theta=0.02, sigma=0.9, rho=-0.3, v0=0.04,
+            n_strikes=9, n_maturities=2,
+        )
+        cal = HestonCalibrator(global_maxiter=30, global_popsize=8)
+        res = cal.calibrate(data, S0=100.0, r=0.05, q=0.0)
+        if not res.params.feller_satisfied():
+            assert any("Feller" in w for w in res.warnings)
+
+
+class TestSABRCalibration:
+    TRUE = dict(alpha=0.25, beta=0.5, rho=-0.3, nu=0.5)
+
+    def test_single_smile_recovery(self):
+        strikes, vols = SABRCalibrator.generate_synthetic_smile(
+            F=100.0, T=0.5, **self.TRUE, n_strikes=11
+        )
+        cal = SABRCalibrator(beta=0.5)
+        params, rmse = cal.calibrate_single_maturity(strikes, vols, F=100.0, T=0.5)
+        assert rmse < 1e-6
+        assert abs(params.alpha - 0.25) < 0.01
+        assert abs(params.rho - (-0.3)) < 0.05
+        assert abs(params.nu - 0.5) < 0.05
+
+    def test_surface_calibration(self):
+        rows = {"strike": [], "T": [], "implied_vol": []}
+        for T in (0.25, 0.5, 1.0):
+            strikes, vols = SABRCalibrator.generate_synthetic_smile(
+                F=100.0, T=T, **self.TRUE, n_strikes=9
+            )
+            rows["strike"].extend(strikes.tolist())
+            rows["T"].extend([T] * len(strikes))
+            rows["implied_vol"].extend(vols.tolist())
+
+        cal = SABRCalibrator(beta=0.5)
+        res = cal.calibrate(rows, F0=100.0, r=0.0, q=0.0, use_forward=False)
+        assert res.success
+        assert res.total_rmse < 1e-5
+        assert res.n_maturities == 3
+
+    def test_batched_surface(self):
+        M, K = 4, 9
+        strikes = np.tile(np.linspace(80, 120, K), (M, 1))
+        forwards = np.full(M, 100.0)
+        maturities = np.array([0.25, 0.5, 1.0, 2.0])
+        import pde_tpu.models.sabr as sm
+
+        vols = np.stack(
+            [
+                np.asarray(
+                    sm.implied_volatilities(strikes[i], 100.0, maturities[i], SABRParams(**self.TRUE))
+                )
+                for i in range(M)
+            ]
+        )
+        cal = SABRCalibrator(beta=0.5)
+        out = cal.calibrate_surface_batch(strikes, vols, forwards, maturities)
+        np.testing.assert_allclose(out["alpha"], 0.25, atol=0.01)
+        np.testing.assert_allclose(out["rmse"], 0.0, atol=1e-5)
+
+    def test_parameter_interpolation(self):
+        cal = SABRCalibrator(beta=0.5)
+        pbm = {
+            0.25: SABRParams(0.2, 0.5, -0.2, 0.4),
+            0.75: SABRParams(0.3, 0.5, -0.4, 0.6),
+        }
+        p = cal.interpolate_parameters(0.5, pbm)
+        assert abs(float(p.alpha) - 0.25) < 1e-12
+        assert abs(float(p.rho) - (-0.3)) < 1e-12
+        # clamped outside
+        assert float(cal.interpolate_parameters(0.1, pbm).alpha) == 0.2
+
+    def test_too_few_strikes_raises(self):
+        from pde_tpu.calibrate.sabr import SABRCalibrationError
+
+        cal = SABRCalibrator()
+        with pytest.raises(SABRCalibrationError):
+            cal.calibrate_single_maturity(
+                np.array([95.0, 105.0]), np.array([0.2, 0.2]), F=100.0, T=1.0
+            )
+
+
+class TestOUFitter:
+    def test_round_trip_recovery(self):
+        data = OUFitter.generate_synthetic_data(
+            theta=0.5, mu=8.0, sigma=0.3, n_points=4000, dt=1 / 252, seed=3
+        )
+        res = OUFitter().fit(data, dt=1 / 252)
+        assert res.success
+        assert abs(res.params.theta - 0.5) < 0.05
+        assert abs(res.params.mu - 8.0) / 8.0 < 0.35
+        assert abs(res.params.sigma - 0.3) / 0.3 < 0.05
+
+    def test_boundaries_structure(self):
+        from pde_tpu.models.ou import OUParams
+
+        b = OUFitter().compute_optimal_boundaries(
+            OUParams(theta=0.0, mu=5.0, sigma=0.2), transaction_cost=0.001
+        )
+        assert b.entry_lower < b.exit_short < b.exit_long < b.entry_upper
+        assert b.stop_loss_long < b.entry_lower
+        assert b.stop_loss_short > b.entry_upper
+
+    def test_stationarity_test(self):
+        data = OUFitter.generate_synthetic_data(mu=20.0, n_points=2000, seed=5)
+        out = OUFitter().test_stationarity(data)
+        assert out["is_stationary"]
+        rw = np.cumsum(np.random.default_rng(0).standard_normal(2000)) * 0.1
+        out2 = OUFitter().test_stationarity(rw)
+        assert not out2["is_stationary"]
+
+    def test_fit_batch(self):
+        paths = np.stack(
+            [
+                OUFitter.generate_synthetic_data(theta=t, mu=5.0, sigma=0.2, n_points=1500, seed=i)
+                for i, t in enumerate((0.0, 1.0, -1.0))
+            ]
+        )
+        params = OUFitter().fit_batch(paths, dt=1 / 252)
+        np.testing.assert_allclose(
+            np.asarray(params.theta), [0.0, 1.0, -1.0], atol=0.15
+        )
+
+    def test_residual_diagnostics_present(self):
+        data = OUFitter.generate_synthetic_data(n_points=600, seed=9)
+        res = OUFitter().fit(data)
+        for k in ("mean", "std", "skewness", "kurtosis", "ljung_box_p"):
+            assert k in res.residual_stats
+        assert res.residual_stats["ljung_box_p"] > 0.01  # residuals are white
+
+
+class TestOrchestrator:
+    def test_full_run_success(self):
+        data = HestonCalibrator.generate_synthetic_data(
+            S0=100.0, r=0.05, q=0.0, n_strikes=9, n_maturities=2
+        )
+        spread = OUFitter.generate_synthetic_data(n_points=600, seed=1)
+        orch = CalibrationOrchestrator(
+            config=CalibrationConfig(
+                calibrate_ou=True, risk_free_rate=0.05, dividend_yield=0.0
+            ),
+            heston_calibrator=HestonCalibrator(global_maxiter=25, global_popsize=8),
+        )
+        res = orch.run_daily_calibration(
+            "TEST", data, S0=100.0, spread_series=spread
+        )
+        assert res.status in (CalibrationStatus.SUCCESS, CalibrationStatus.PARTIAL)
+        assert res.heston_result is not None
+        assert res.sabr_result is not None
+        assert res.ou_result is not None
+        # warm start cached for next run
+        assert "TEST" in orch._heston_warm
+
+    def test_too_few_options_fails(self):
+        orch = CalibrationOrchestrator()
+        res = orch.run_daily_calibration(
+            "X",
+            {"strike": [100.0], "maturity": [1.0], "mid_price": [5.0]},
+            S0=100.0,
+        )
+        assert res.status == CalibrationStatus.FAILED
