@@ -1,0 +1,205 @@
+"""Simulated execution: commission models + slippage fills.
+
+Mirrors the reference backtesting/execution.py: the commission-model family
+(Zero / Fixed / PerShare / Tiered / IBKR, :31-199) and the simulated handler
+with proportional slippage and square-root market impact plus limit/stop
+trigger logic (:249-480), and the frictionless InstantExecutionHandler
+(:482-528).
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Dict, Optional
+
+import numpy as np
+
+from .events import Direction, FillEvent, MarketEvent, OrderEvent, OrderType
+
+__all__ = [
+    "CommissionModel",
+    "ZeroCommission",
+    "FixedCommission",
+    "PerShareCommission",
+    "TieredCommission",
+    "IBKRCommission",
+    "ExecutionHandler",
+    "SimulatedExecutionHandler",
+    "InstantExecutionHandler",
+]
+
+
+class CommissionModel(abc.ABC):
+    @abc.abstractmethod
+    def calculate(self, quantity: float, price: float) -> float:
+        ...
+
+
+class ZeroCommission(CommissionModel):
+    def calculate(self, quantity, price):
+        return 0.0
+
+
+class FixedCommission(CommissionModel):
+    def __init__(self, commission: float = 1.0):
+        self.commission = commission
+
+    def calculate(self, quantity, price):
+        return self.commission
+
+
+class PerShareCommission(CommissionModel):
+    def __init__(self, rate: float = 0.005, minimum: float = 1.0):
+        self.rate = rate
+        self.minimum = minimum
+
+    def calculate(self, quantity, price):
+        return max(self.minimum, abs(quantity) * self.rate)
+
+
+class TieredCommission(CommissionModel):
+    """Volume-tiered per-share rates (execution.py:117-156)."""
+
+    def __init__(self, tiers=None, minimum: float = 0.35):
+        # (threshold_shares, rate) sorted ascending
+        self.tiers = tiers or [(300_000, 0.0035), (3_000_000, 0.002), (float("inf"), 0.0015)]
+        self.minimum = minimum
+        self._monthly_volume = 0.0
+
+    def calculate(self, quantity, price):
+        q = abs(quantity)
+        for threshold, rate in self.tiers:
+            if self._monthly_volume <= threshold:
+                self._monthly_volume += q
+                return max(self.minimum, q * rate)
+        return max(self.minimum, q * self.tiers[-1][1])
+
+
+class IBKRCommission(CommissionModel):
+    """IBKR-style: $0.005/share, min $1, max 1% of trade value
+    (execution.py:158-199)."""
+
+    def calculate(self, quantity, price):
+        q = abs(quantity)
+        raw = q * 0.005
+        return float(np.clip(raw, 1.0, 0.01 * q * price))
+
+
+class ExecutionHandler(abc.ABC):
+    @abc.abstractmethod
+    def execute_order(self, order: OrderEvent, events_queue) -> Optional[FillEvent]:
+        ...
+
+    def update_market_data(self, event: MarketEvent) -> None:  # noqa: B027
+        pass
+
+
+class SimulatedExecutionHandler(ExecutionHandler):
+    """Slippage + market-impact fills with limit/stop logic
+    (execution.py:249-480).
+
+    fill = price * (1 +/- slippage_pct +/- impact), impact ~ k sqrt(Q/ADV).
+    """
+
+    def __init__(
+        self,
+        commission_model: Optional[CommissionModel] = None,
+        slippage_pct: float = 0.0005,
+        market_impact_coeff: float = 0.1,
+        adv: float = 1e6,
+    ):
+        self.commission_model = commission_model or IBKRCommission()
+        self.slippage_pct = slippage_pct
+        self.market_impact_coeff = market_impact_coeff
+        self.adv = adv
+        self.current_prices: Dict[str, float] = {}
+        self.pending_orders: list[OrderEvent] = []
+
+    def update_market_data(self, event: MarketEvent) -> None:
+        self.current_prices[event.symbol] = event.price
+
+    def _fill_price(self, order: OrderEvent, price: float) -> tuple[float, float]:
+        sign = 1.0 if order.direction == Direction.BUY else -1.0
+        impact = self.market_impact_coeff * np.sqrt(abs(order.quantity) / self.adv)
+        fill = price * (1.0 + sign * (self.slippage_pct + impact))
+        slippage_cost = abs(fill - price) * abs(order.quantity)
+        return float(fill), float(slippage_cost)
+
+    def execute_order(self, order: OrderEvent, events_queue=None) -> Optional[FillEvent]:
+        price = self.current_prices.get(order.symbol)
+        if price is None or price <= 0:
+            return None
+
+        # limit/stop triggering (execution.py:376-460)
+        if order.order_type == OrderType.LIMIT:
+            marketable = (
+                order.direction == Direction.BUY and price <= order.limit_price
+            ) or (order.direction == Direction.SELL and price >= order.limit_price)
+            if not marketable:
+                self.pending_orders.append(order)
+                return None
+        elif order.order_type == OrderType.STOP:
+            triggered = (
+                order.direction == Direction.BUY and price >= order.stop_price
+            ) or (order.direction == Direction.SELL and price <= order.stop_price)
+            if not triggered:
+                self.pending_orders.append(order)
+                return None
+
+        fill_price, slippage = self._fill_price(order, price)
+        commission = self.commission_model.calculate(order.quantity, fill_price)
+        fill = FillEvent(
+            event_type=None,
+            timestamp=order.timestamp,
+            symbol=order.symbol,
+            direction=order.direction,
+            quantity=order.quantity,
+            fill_price=fill_price,
+            commission=commission,
+            slippage=slippage,
+            order_id=order.order_id,
+        )
+        if events_queue is not None:
+            events_queue.put(fill)
+        return fill
+
+    def process_pending(self, events_queue=None) -> list[FillEvent]:
+        """Re-check resting limit/stop orders against latest prices."""
+        still_pending, fills = [], []
+        orders, self.pending_orders = self.pending_orders, []
+        for order in orders:
+            fill = self.execute_order(order, events_queue)
+            if fill is None and order in self.pending_orders:
+                continue  # execute_order re-queued it
+            if fill is not None:
+                fills.append(fill)
+        self.pending_orders.extend(still_pending)
+        return fills
+
+
+class InstantExecutionHandler(ExecutionHandler):
+    """Frictionless fills at the current price (execution.py:482-528)."""
+
+    def __init__(self):
+        self.current_prices: Dict[str, float] = {}
+
+    def update_market_data(self, event: MarketEvent) -> None:
+        self.current_prices[event.symbol] = event.price
+
+    def execute_order(self, order: OrderEvent, events_queue=None) -> Optional[FillEvent]:
+        price = self.current_prices.get(order.symbol)
+        if price is None or price <= 0:
+            return None
+        fill = FillEvent(
+            event_type=None,
+            timestamp=order.timestamp,
+            symbol=order.symbol,
+            direction=order.direction,
+            quantity=order.quantity,
+            fill_price=price,
+            commission=0.0,
+            slippage=0.0,
+        )
+        if events_queue is not None:
+            events_queue.put(fill)
+        return fill
