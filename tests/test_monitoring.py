@@ -1,0 +1,294 @@
+"""Monitoring layer tests: metrics, health, alerts, logging, diagnostics,
+attribution, dashboards, runbooks."""
+
+import json
+import logging as py_logging
+from datetime import timedelta
+
+import numpy as np
+import pytest
+
+from pde_tpu.monitoring import alerts as al
+from pde_tpu.monitoring import attribution as attr
+from pde_tpu.monitoring import dashboards as dash
+from pde_tpu.monitoring import diagnostics as diag
+from pde_tpu.monitoring import health as hl
+from pde_tpu.monitoring import logging as slog
+from pde_tpu.monitoring import metrics as mt
+from pde_tpu.monitoring.runbooks import StepKind, default_registry
+
+
+class TestMetrics:
+    def test_prometheus_available_and_registry(self):
+        assert mt.PROMETHEUS_AVAILABLE
+        assert mt.get_metric("portfolio_value") is not None
+
+    def test_track_latency_and_count_calls(self):
+        calls = []
+
+        @mt.track_latency(mt.signal_latency)
+        @mt.count_calls(mt.orders_submitted, symbol="SPY", side="BUY")
+        def work():
+            calls.append(1)
+            return 42
+
+        assert work() == 42
+        assert calls == [1]
+
+    def test_collector(self):
+        c = mt.MetricsCollector(interval=0.01)
+        c.register(mt.portfolio_value, lambda: 123456.0)
+        c.register(mt.open_positions, lambda: 1 / 0)  # bad source must not raise
+        c.collect_once()
+        if mt.PROMETHEUS_AVAILABLE:
+            from prometheus_client import generate_latest
+
+            text = generate_latest(mt.REGISTRY).decode()
+            assert "qt_portfolio_value 123456.0" in text
+
+
+class TestHealth:
+    def test_manager_aggregation(self):
+        mgr = hl.HealthManager()
+        mgr.register(hl.CallableCheck("good", lambda: True))
+        mgr.register(hl.CallableCheck("bad_noncritical", lambda: (False, "meh"), critical=False))
+        mgr.run_all()
+        assert mgr.overall == hl.HealthState.DEGRADED
+        mgr.register(hl.CallableCheck("bad_critical", lambda: False))
+        mgr.run_all()
+        assert mgr.overall == hl.HealthState.UNHEALTHY
+        ready = mgr.readiness()
+        assert ready["status"] == "fail"
+        assert mgr.liveness()["status"] == "ok"
+
+    def test_database_check(self):
+        from pde_tpu.database import TimeSeriesDB
+
+        check = hl.DatabaseCheck(TimeSeriesDB(":memory:"))
+        res = check.run()
+        assert res.state == hl.HealthState.HEALTHY
+
+    def test_disk_and_memory_checks(self):
+        assert hl.DiskCheck(min_free_pct=0.0).run().state == hl.HealthState.HEALTHY
+        assert hl.MemoryCheck(max_rss_mb=1e9).run().state == hl.HealthState.HEALTHY
+
+    def test_synthetic_calibration_probe(self):
+        res = hl.SyntheticCalibrationProbe().run()
+        assert res.state == hl.HealthState.HEALTHY
+
+    def test_circuit_breaker(self):
+        cb = hl.CircuitBreaker(failure_threshold=2, recovery_seconds=100.0)
+
+        def boom():
+            raise RuntimeError("x")
+
+        for _ in range(2):
+            with pytest.raises(RuntimeError):
+                cb.call(boom)
+        assert cb.state == "open"
+        with pytest.raises(hl.CircuitBreakerOpen):
+            cb.call(lambda: 1)
+
+    def test_tcp_check_unreachable(self):
+        res = hl.TCPCheck("nowhere", "127.0.0.1", 1, timeout=0.2).run()
+        assert res.state == hl.HealthState.UNHEALTHY
+
+
+class TestAlerts:
+    def test_rules_and_dedup(self):
+        sent = []
+        mgr = al.AlertManager(channels=[al.LogChannel(sink=sent.append)],
+                              dedup_window=timedelta(minutes=5))
+        for rule in al.default_rules():
+            mgr.add_rule(rule)
+        fired = mgr.evaluate_rules({"current_drawdown": 0.30, "daily_pnl_pct": 0.01})
+        titles = {a.title for a in fired}
+        assert "high_drawdown" in titles and "critical_drawdown" in titles
+        n = len(sent)
+        # immediate repeat of same alerts -> deduped, nothing new sent
+        mgr.evaluate_rules({"current_drawdown": 0.30})
+        assert len(sent) == n
+
+    def test_escalation_on_repeats(self):
+        mgr = al.AlertManager(channels=[al.LogChannel(sink=lambda m: None)],
+                              dedup_window=timedelta(hours=1), escalation_after=2)
+        a1 = al.Alert("thing", "msg", al.AlertSeverity.WARNING, source="m")
+        mgr.fire(a1)
+        mgr.fire(al.Alert("thing", "msg", al.AlertSeverity.WARNING, source="m"))
+        escalated = al.Alert("thing", "msg", al.AlertSeverity.WARNING, source="m")
+        assert mgr.fire(escalated)  # delivered (escalated past dedup)
+        assert escalated.severity == al.AlertSeverity.ERROR
+        assert escalated.metadata.get("escalated")
+
+    def test_acknowledge(self):
+        mgr = al.AlertManager(channels=[al.LogChannel(sink=lambda m: None)])
+        a = al.Alert("x", "y", al.AlertSeverity.ERROR)
+        mgr.fire(a)
+        assert len(mgr.active_alerts()) == 1
+        assert mgr.acknowledge(a.alert_id, by="ops")
+        assert mgr.active_alerts() == []
+
+    def test_severity_routing(self):
+        class Capture(al.AlertChannel):
+            min_severity = al.AlertSeverity.ERROR
+
+            def __init__(self):
+                self.got = []
+
+            def send(self, alert):
+                self.got.append(alert)
+                return True
+
+        ch = Capture()
+        mgr = al.AlertManager(channels=[ch])
+        mgr.fire(al.Alert("low", "m", al.AlertSeverity.INFO, source="a"))
+        mgr.fire(al.Alert("high", "m", al.AlertSeverity.CRITICAL, source="b"))
+        assert [a.title for a in ch.got] == ["high"]
+
+
+class TestLogging:
+    def test_json_formatter_and_context(self, capsys):
+        slog.configure_logging(level="INFO", json_format=True)
+        log = slog.get_logger("test", component="unit")
+        log.bind(run_id="r1").info("hello", value=3)
+        line = capsys.readouterr().err.strip().splitlines()[-1]
+        payload = json.loads(line)
+        assert payload["message"] == "hello"
+        assert payload["component"] == "unit"
+        assert payload["run_id"] == "r1"
+        assert payload["value"] == 3
+
+    def test_domain_loggers(self, capsys):
+        slog.configure_logging()
+        slog.TradingLogger().order_submitted("o1", "SPY", "BUY", 100)
+        slog.RiskLogger().limit_breach("var", 0.03, 0.02)
+        slog.AuditLogger().event("kill_switch", actor="ops")
+        out = capsys.readouterr().err
+        assert "order_submitted" in out and "limit_breach" in out and "audit" in out
+
+    def test_error_grouper(self):
+        g = slog.ErrorGrouper()
+        for _ in range(3):
+            try:
+                raise ValueError("boom")
+            except ValueError as e:
+                g.record(e)
+        top = g.top()
+        assert top[0]["count"] == 3
+        assert "ValueError" in top[0]["fingerprint"]
+
+
+class TestDiagnostics:
+    def test_psi_detects_shift(self, rng):
+        base = rng.normal(0, 1, 5000)
+        same = rng.normal(0, 1, 5000)
+        shifted = rng.normal(1.0, 1.5, 5000)
+        assert diag.population_stability_index(base, same) < 0.05
+        assert diag.population_stability_index(base, shifted) > 0.25
+
+    def test_calibration_monitor_status(self):
+        eng = diag.ModelDiagnosticsEngine()
+        out = eng.record_calibration("heston", "SPY", rmse=0.01, converged=True,
+                                     parameters={"kappa": 2.0})
+        assert out["status"]["status"] == "ok"
+        out = eng.record_calibration("heston", "SPY", rmse=0.5, converged=False,
+                                     parameters={"kappa": 8.0})
+        assert out["status"]["status"] in ("warning", "critical")
+        assert "kappa" in out["parameter_jumps"]
+        assert "heston:SPY" in eng.report()
+
+    def test_forecast_tracker(self):
+        t = diag.ForecastAccuracyTracker()
+        for f, r in [(0.2, 0.21), (0.25, 0.24), (0.22, 0.22)]:
+            t.record("vol", f, r)
+        m = t.metrics("vol")
+        assert m["mae"] < 0.02 and m["n"] == 3
+
+    def test_backtest_live_comparator(self, rng):
+        bt = rng.normal(0.001, 0.01, 1000)
+        live_good = rng.normal(0.001, 0.01, 200)
+        live_bad = rng.normal(-0.002, 0.02, 200)
+        good = diag.BacktestLiveComparator().compare(bt, live_good)
+        bad = diag.BacktestLiveComparator().compare(bt, live_bad)
+        assert not good["degraded"]
+        assert bad["degraded"]
+
+    def test_singleton(self):
+        assert diag.get_diagnostics_engine() is diag.get_diagnostics_engine()
+
+
+class TestAttribution:
+    def test_return_and_brinson(self):
+        ra = attr.return_attribution({"A": 0.6, "B": 0.4}, {"A": 0.10, "B": -0.05})
+        assert ra["A"] == pytest.approx(0.06)
+        br = attr.brinson_attribution(
+            {"tech": 0.7, "fin": 0.3}, {"tech": 0.5, "fin": 0.5},
+            {"tech": 0.12, "fin": 0.02}, {"tech": 0.10, "fin": 0.04},
+        )
+        total = sum(v["total"] for v in br.values())
+        rp = 0.7 * 0.12 + 0.3 * 0.02
+        rb = 0.5 * 0.10 + 0.5 * 0.04
+        assert total == pytest.approx(rp - rb)
+
+    def test_risk_contributions_sum_to_vol(self):
+        cov = np.array([[0.04, 0.01], [0.01, 0.09]])
+        w = np.array([0.6, 0.4])
+        rc = attr.risk_contribution(w, cov, ["A", "B"])
+        sigma = np.sqrt(w @ cov @ w)
+        assert sum(rc.values()) == pytest.approx(sigma)
+
+    def test_trade_and_factor_attribution(self, rng):
+        trades = [
+            {"symbol": "A", "strategy": "mr", "pnl": 100},
+            {"symbol": "A", "strategy": "mr", "pnl": -50},
+            {"symbol": "B", "strategy": "vol", "pnl": 30},
+        ]
+        ta = attr.trade_attribution(trades)
+        assert ta["strategy:mr"]["total_pnl"] == 50
+        assert ta["strategy:mr"]["hit_rate"] == 0.5
+
+        mkt = rng.normal(0.0004, 0.01, 500)
+        strat = 0.0001 + 0.5 * mkt + rng.normal(0, 0.001, 500)
+        fa = attr.factor_attribution(strat, {"market": mkt})
+        assert abs(fa["beta_market"] - 0.5) < 0.05
+        assert fa["r_squared"] > 0.8
+
+    def test_engine_report(self):
+        eng = attr.PerformanceAttributionEngine()
+        out = eng.report({"A": 1.0}, {"A": 0.05})
+        assert out["total_return"] == pytest.approx(0.05)
+
+
+class TestDashboards:
+    def test_builders_and_provisioner(self, tmp_path):
+        d = dash.create_trading_dashboard()
+        assert d["title"] == "Trading Overview"
+        assert all("targets" in p for p in d["panels"])
+        paths = dash.DashboardProvisioner(str(tmp_path)).provision()
+        assert len(paths) == 4
+        loaded = json.loads(paths[0].read_text())
+        assert loaded["schemaVersion"] == 39
+
+
+class TestRunbooks:
+    def test_registry_and_execution(self):
+        class FakeSystem:
+            halted = False
+
+            def halt_trading(self, reason=""):
+                self.halted = True
+
+        sys_ = FakeSystem()
+        reg = default_registry(trading_system=sys_)
+        assert len(reg.list()) == 6
+        results = reg.execute("high_drawdown", {"reason": "test"})
+        assert sys_.halted
+        automated = [r for r in results if r.executed]
+        assert len(automated) == 1
+        assert reg.execution_log[0]["runbook"] == "high_drawdown"
+
+    def test_markdown_rendering(self):
+        reg = default_registry()
+        md = reg.get("data_staleness").to_markdown()
+        assert "# Runbook: data_staleness" in md
+        assert "[check]" in md
