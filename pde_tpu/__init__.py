@@ -35,6 +35,8 @@ _OPTIONAL_SUBMODULES = [
     "execution",
     "database",
     "monitoring",
+    "trading_system",
+    "cli",
 ]
 
 for _name in _OPTIONAL_SUBMODULES:

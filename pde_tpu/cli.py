@@ -1,0 +1,301 @@
+"""`pde-tpu` command-line interface.
+
+Mirrors the reference CLI (cli.py:1277-1432) and its ten subcommands:
+backtest, calibrate, status, config, demo, portfolio, scan,
+sector-portfolio, rolling-backtest, optimize-sectors.  Market data comes
+from the configured provider (the deterministic simulated provider by
+default, since this build targets zero-egress environments; point
+--provider at a REST provider for live data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import date, timedelta
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .core.config import Config, load_config
+from .trading_system import TradingSystem
+
+__all__ = ["main", "build_parser"]
+
+
+def _get_prices(symbols: List[str], days: int, provider_name: str = "simulated", seed: int = 42) -> Dict[str, np.ndarray]:
+    from .data.providers import create_provider
+
+    provider = create_provider(provider_name, **({"seed": seed} if provider_name == "simulated" else {}))
+    end = date.today()
+    start = end - timedelta(days=days)
+    return {
+        s: np.array([b.close for b in provider.get_bars(s, start, end)])
+        for s in symbols
+    }
+
+
+def cmd_backtest(args) -> int:
+    system = TradingSystem(load_config(args.config))
+    prices = _get_prices(args.symbols, args.days, args.provider, args.seed)
+    params = {}
+    if args.strategy == "ma_crossover":
+        params = {"short_window": args.short_window, "long_window": args.long_window}
+    results = system.run_backtest(prices, strategy=args.strategy, **params)
+    print(results.summary())
+    if args.json:
+        print(json.dumps({
+            "total_return_pct": results.total_return_pct,
+            "sharpe_ratio": results.sharpe_ratio,
+            "max_drawdown_pct": results.max_drawdown_pct,
+            "n_trades": results.n_trades,
+        }))
+    return 0
+
+
+def cmd_calibrate(args) -> int:
+    from .calibrate import HestonCalibrator
+
+    data = HestonCalibrator.generate_synthetic_data(
+        S0=args.spot, r=args.rate, q=args.dividend,
+        n_strikes=args.n_strikes, n_maturities=args.n_maturities,
+    )
+    cal = HestonCalibrator(global_maxiter=args.maxiter, global_popsize=args.popsize)
+    res = cal.calibrate(data, S0=args.spot, r=args.rate, q=args.dividend,
+                        underlying=args.underlying)
+    print(json.dumps(res.to_dict(), default=str, indent=2))
+    return 0 if res.success else 1
+
+
+def cmd_status(args) -> int:
+    system = TradingSystem(load_config(args.config))
+    status = system.initialize()
+    print(json.dumps({"components": status, **system.get_status()}, default=str, indent=2))
+    return 0
+
+
+def cmd_config(args) -> int:
+    cfg = load_config(args.config)
+    if args.save:
+        cfg.save(args.save)
+        print(f"saved config to {args.save}")
+    else:
+        print(json.dumps(cfg.to_dict(), indent=2, default=str))
+    return 0
+
+
+def cmd_demo(args) -> int:
+    """End-to-end demo: calibrate -> signals -> backtest (cli.py:275-389)."""
+    from .calibrate import HestonCalibrator, OUFitter
+    from .signals import MeanReversionSignalGenerator, SignalAggregator, VolSurfaceArbitrageSignal
+
+    print("== pde_tpu demo ==")
+    print("1) calibrating Heston to a synthetic surface...")
+    data = HestonCalibrator.generate_synthetic_data(n_strikes=9, n_maturities=2)
+    cal = HestonCalibrator(global_maxiter=25, global_popsize=8)
+    hres = cal.calibrate(data, S0=100.0, r=0.05, q=0.02)
+    print(f"   rmse={hres.rmse:.4f} params kappa={hres.params.kappa:.2f} v0={hres.params.v0:.4f}")
+
+    print("2) fitting OU to a synthetic spread...")
+    spread = OUFitter.generate_synthetic_data(n_points=750, seed=args.seed)
+    oures = OUFitter().fit(spread)
+    print(f"   mu={oures.params.mu:.2f} half-life={float(oures.params.half_life()) * 252:.1f}d")
+
+    print("3) generating signals...")
+    chain = {
+        "underlying": ["DEMO"] * 7,
+        "strike": np.linspace(92, 108, 7),
+        "T": np.full(7, 45 / 365),
+        "implied_vol": np.full(7, 0.15),
+        "option_type": ["call"] * 7,
+    }
+    vsigs = VolSurfaceArbitrageSignal(use_sabr=False).generate_signals(
+        chain, 100.0, 0.05, 0.02, heston_result=hres
+    )
+    msig = MeanReversionSignalGenerator().generate_signal(
+        "DEMO-SPREAD", oures.boundaries.entry_lower - 0.05, oures
+    )
+    final = SignalAggregator().aggregate(
+        vol_arbitrage_signals=vsigs,
+        mean_reversion_signals=[msig] if msig else [],
+    )
+    for s in final:
+        print(f"   {s.asset}: {s.signal_type.value} conf={s.confidence:.2f} "
+              f"size=${s.suggested_position_size:,.0f}")
+
+    print("4) running a quick backtest...")
+    system = TradingSystem()
+    prices = _get_prices(["DEMO"], 400, seed=args.seed)
+    results = system.run_backtest(prices, strategy="ma_crossover")
+    print(results.summary())
+    return 0
+
+
+def cmd_portfolio(args) -> int:
+    system = TradingSystem(load_config(args.config))
+    system.initialize()
+    print(json.dumps(system.get_status(), default=str, indent=2))
+    return 0
+
+
+def cmd_scan(args) -> int:
+    """Scan a universe for mean-reversion candidates (cli.py scan handler)."""
+    from .calibrate import OUFitter
+
+    prices = _get_prices(args.symbols, args.days, args.provider, args.seed)
+    fitter = OUFitter()
+    rows = []
+    for symbol, series in prices.items():
+        if len(series) < 50:
+            continue
+        res = fitter.fit(np.log(series))
+        hl_days = float(res.params.half_life()) * 252.0
+        rows.append({
+            "symbol": symbol,
+            "mu": round(float(res.params.mu), 3),
+            "half_life_days": round(hl_days, 1),
+            "candidate": bool(res.success and 5.0 <= hl_days <= 120.0),
+        })
+    rows.sort(key=lambda r: r["half_life_days"])
+    print(json.dumps(rows, indent=2))
+    return 0
+
+
+def cmd_sector_portfolio(args) -> int:
+    from .backtest.sectors import ConfidenceCalculator, calculate_position_size, get_sector
+
+    prices = _get_prices(args.symbols, args.days, args.provider, args.seed)
+    calc = ConfidenceCalculator()
+    out = []
+    for symbol, series in prices.items():
+        m = calc.calculate(symbol, series, signal_strength=0.6, strategy_agreement=0.6)
+        out.append({
+            "symbol": symbol,
+            "sector": get_sector(symbol).value,
+            "confidence": round(m.confidence, 3),
+            "position": round(calculate_position_size(m.confidence, args.capital), 0),
+        })
+    out.sort(key=lambda r: -r["confidence"])
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_rolling_backtest(args) -> int:
+    from .backtest.optimizer import RollingOptimizationBacktester, StrategyOptimizer, STRATEGY_FAMILIES
+
+    prices = _get_prices([args.symbol], args.days, args.provider, args.seed)[args.symbol]
+    strategies = {k: STRATEGY_FAMILIES[k] for k in (args.strategies or list(STRATEGY_FAMILIES))}
+    rb = RollingOptimizationBacktester(
+        StrategyOptimizer(strategies=strategies),
+        opt_window=args.opt_window, trade_window=args.trade_window,
+    )
+    res = rb.run(prices)
+    print(res.summary())
+    for p in res.periods:
+        print(f"  period {p.period_id}: {p.chosen_strategy} {p.chosen_params} "
+              f"ret={p.period_return:+.2%}")
+    return 0
+
+
+def cmd_optimize_sectors(args) -> int:
+    from .backtest.optimizer import StrategyOptimizer
+    from .backtest.sectors import get_sector
+
+    prices = _get_prices(args.symbols, args.days, args.provider, args.seed)
+    groups: Dict[str, Dict[str, np.ndarray]] = {}
+    for symbol, series in prices.items():
+        groups.setdefault(get_sector(symbol).value, {})[symbol] = series
+    opt = StrategyOptimizer(cache_path=args.cache)
+    results = opt.run_optimization(groups)
+    summary = {
+        g: {name: {"fitness": round(fr.fitness, 3), "params": fr.params}
+            for name, fr in cells.items()}
+        for g, cells in results.items()
+    }
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="pde-tpu",
+                                     description="TPU-native quantitative trading framework")
+    parser.add_argument("--config", default=None, help="config file (json/yaml)")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--provider", default="simulated")
+        p.add_argument("--days", type=int, default=400)
+        p.add_argument("--seed", type=int, default=42)
+        p.set_defaults(config=None)
+        return p
+
+    p = common(sub.add_parser("backtest", help="run a backtest"))
+    p.add_argument("--symbols", nargs="+", default=["SPY"])
+    p.add_argument("--strategy", default="ma_crossover",
+                   choices=["buy_and_hold", "ma_crossover", "mean_reversion", "momentum"])
+    p.add_argument("--short-window", type=int, default=20, dest="short_window")
+    p.add_argument("--long-window", type=int, default=50, dest="long_window")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_backtest)
+
+    p = sub.add_parser("calibrate", help="calibrate Heston to a surface")
+    p.add_argument("--underlying", default="SYNTHETIC")
+    p.add_argument("--spot", type=float, default=100.0)
+    p.add_argument("--rate", type=float, default=0.05)
+    p.add_argument("--dividend", type=float, default=0.02)
+    p.add_argument("--n-strikes", type=int, default=11, dest="n_strikes")
+    p.add_argument("--n-maturities", type=int, default=3, dest="n_maturities")
+    p.add_argument("--maxiter", type=int, default=100)
+    p.add_argument("--popsize", type=int, default=15)
+    p.set_defaults(func=cmd_calibrate, config=None)
+
+    p = sub.add_parser("status", help="system component status")
+    p.set_defaults(func=cmd_status, config=None)
+
+    p = sub.add_parser("config", help="show or save resolved config")
+    p.add_argument("--save", default=None)
+    p.set_defaults(func=cmd_config, config=None)
+
+    p = sub.add_parser("demo", help="end-to-end calibrate -> signal -> backtest demo")
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(func=cmd_demo, config=None)
+
+    p = sub.add_parser("portfolio", help="portfolio status")
+    p.set_defaults(func=cmd_portfolio, config=None)
+
+    p = common(sub.add_parser("scan", help="scan for mean-reversion candidates"))
+    p.add_argument("--symbols", nargs="+", default=["SPY", "QQQ", "IWM", "TLT"])
+    p.set_defaults(func=cmd_scan)
+
+    p = common(sub.add_parser("sector-portfolio", help="confidence-weighted sector book"))
+    p.add_argument("--symbols", nargs="+", default=["AAPL", "JPM", "XOM", "SPY"])
+    p.add_argument("--capital", type=float, default=1_000_000.0)
+    p.set_defaults(func=cmd_sector_portfolio)
+
+    p = common(sub.add_parser("rolling-backtest", help="optimize window N, trade N+1"))
+    p.add_argument("--symbol", default="SPY")
+    p.add_argument("--opt-window", type=int, default=252, dest="opt_window")
+    p.add_argument("--trade-window", type=int, default=63, dest="trade_window")
+    p.add_argument("--strategies", nargs="*", default=None)
+    p.set_defaults(func=cmd_rolling_backtest)
+
+    p = common(sub.add_parser("optimize-sectors", help="per-sector strategy fitness search"))
+    p.add_argument("--symbols", nargs="+", default=["AAPL", "MSFT", "JPM", "XOM"])
+    p.add_argument("--cache", default=None)
+    p.set_defaults(func=cmd_optimize_sectors)
+
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.func(args)
+    except KeyboardInterrupt:
+        print("interrupted", file=sys.stderr)
+        return 130
+
+
+if __name__ == "__main__":
+    sys.exit(main())

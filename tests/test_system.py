@@ -1,0 +1,187 @@
+"""Top-level tests: config layering, TradingSystem pipeline, CLI subcommands."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pde_tpu.cli import main as cli_main
+from pde_tpu.core.config import Config, load_config
+from pde_tpu.trading_system import TradingSystem, create_trading_system
+
+
+class TestConfig:
+    def test_defaults(self):
+        cfg = Config()
+        assert cfg.trading.initial_capital == 100_000.0
+        assert cfg.model.sabr_beta == 0.5
+        assert cfg.compute.de_popsize == 15
+
+    def test_file_round_trip(self, tmp_path):
+        cfg = Config()
+        cfg.trading.initial_capital = 5e6
+        cfg.model.heston_kappa_bounds = (0.5, 5.0)
+        path = str(tmp_path / "cfg.json")
+        cfg.save(path)
+        loaded = Config.from_file(path)
+        assert loaded.trading.initial_capital == 5e6
+        assert loaded.model.heston_kappa_bounds == (0.5, 5.0)
+
+    def test_yaml_round_trip(self, tmp_path):
+        cfg = Config()
+        cfg.env = "production"
+        path = str(tmp_path / "cfg.yaml")
+        cfg.save(path)
+        assert Config.from_file(path).env == "production"
+
+    def test_env_overrides(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("PDE_INITIAL_CAPITAL", "250000")
+        monkeypatch.setenv("PDE_ENV", "staging")
+        monkeypatch.setenv("PDE_DEBUG", "true")
+        cfg = load_config()
+        assert cfg.trading.initial_capital == 250_000.0
+        assert cfg.env == "staging"
+        assert cfg.debug
+
+    def test_precedence_file_then_env(self, tmp_path, monkeypatch):
+        path = str(tmp_path / "cfg.json")
+        c = Config()
+        c.trading.initial_capital = 111.0
+        c.save(path)
+        monkeypatch.setenv("PDE_INITIAL_CAPITAL", "222")
+        assert load_config(path).trading.initial_capital == 222.0
+
+    def test_sqlite_path(self):
+        c = Config()
+        c.database.url = "sqlite:///x.db"
+        assert c.database.sqlite_path == "x.db"
+        c.database.url = "sqlite://"
+        assert c.database.sqlite_path == ":memory:"
+
+
+class TestTradingSystem:
+    @pytest.fixture
+    def system(self):
+        cfg = Config()
+        cfg.database.url = "sqlite://"
+        s = TradingSystem(cfg)
+        status = s.initialize()
+        assert all(status.values()), f"degraded init: {status}"
+        return s
+
+    def test_initialize_all_components(self, system):
+        for name in ("db", "heston_calibrator", "orchestrator", "risk_manager",
+                     "broker", "order_manager", "kill_switch"):
+            assert system.component(name) is not None
+
+    def test_signal_to_fill_pipeline(self, system, rng):
+        from pde_tpu.signals.aggregator import AggregatedSignal, AggregatedSignalType
+
+        sig = AggregatedSignal(
+            asset="SPY", signal_type=AggregatedSignalType.BUY, confidence=0.9,
+            supporting_strategies=["vol_arbitrage"], conflicting_strategies=[],
+            rationale="test",
+        )
+        rets = rng.normal(0.0005, 0.01, 100)
+        out = system.process_signal(sig, current_price=450.0, return_series=rets)
+        assert out["status"] == "filled"
+        assert system.component("broker").get_positions()["SPY"] > 0
+
+    def test_low_confidence_skipped(self, system):
+        from pde_tpu.signals.aggregator import AggregatedSignal, AggregatedSignalType
+
+        sig = AggregatedSignal("SPY", AggregatedSignalType.BUY, 0.3, [], [], "weak")
+        out = system.process_signal(sig, 450.0)
+        assert out["status"] == "skipped"
+
+    def test_halt_blocks_pipeline(self, system):
+        from pde_tpu.signals.aggregator import AggregatedSignal, AggregatedSignalType
+
+        system.halt_trading("test halt")
+        sig = AggregatedSignal("SPY", AggregatedSignalType.BUY, 0.9, [], [], "x")
+        out = system.process_signal(sig, 450.0)
+        assert out["status"] == "halted"
+
+    def test_backtest_wrapper(self, system):
+        from pde_tpu.backtest.data_handler import SyntheticDataHandler
+
+        prices = SyntheticDataHandler(["SPY"], n_bars=300, seed=4).prices
+        res = system.run_backtest(prices, strategy="momentum", lookback=30, holding_period=10)
+        assert res.n_bars == 300
+        with pytest.raises(ValueError):
+            system.run_backtest(prices, strategy="nope")
+
+    def test_monte_carlo_wrapper(self, system, rng):
+        res = system.run_monte_carlo(rng.normal(0.0005, 0.01, 300), n_simulations=100)
+        assert res.n_simulations == 100
+
+    def test_status_and_shutdown(self, system):
+        st = system.get_status()
+        assert st["initialized"] and "components" in st
+        system.shutdown()
+        assert not system.running
+
+    def test_factory(self):
+        s = create_trading_system()
+        assert s.initialized
+        s.shutdown()
+
+
+class TestCLI:
+    def test_backtest_command(self, capsys):
+        rc = cli_main(["backtest", "--symbols", "SPY", "--days", "200", "--json"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "sharpe" in out
+        last = out.strip().splitlines()[-1]
+        payload = json.loads(last)
+        assert "total_return_pct" in payload
+
+    def test_calibrate_command(self, capsys):
+        rc = cli_main(["calibrate", "--n-strikes", "7", "--n-maturities", "2",
+                       "--maxiter", "30", "--popsize", "8"])
+        assert rc == 0
+        payload = json.loads(capsys.readouterr().out)
+        assert payload["success"]
+        assert "kappa" in payload["params"]
+
+    def test_status_and_config_commands(self, capsys, tmp_path):
+        assert cli_main(["status"]) == 0
+        assert "components" in capsys.readouterr().out
+        save = str(tmp_path / "out.json")
+        assert cli_main(["config", "--save", save]) == 0
+        assert json.loads(open(save).read())["trading"]["initial_capital"] == 100000.0
+
+    def test_scan_command(self, capsys):
+        rc = cli_main(["scan", "--symbols", "AAA", "BBB", "--days", "300"])
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out)
+        assert {r["symbol"] for r in rows} == {"AAA", "BBB"}
+        assert all("half_life_days" in r for r in rows)
+
+    def test_sector_portfolio_command(self, capsys):
+        rc = cli_main(["sector-portfolio", "--symbols", "AAPL", "XOM", "--days", "200"])
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out)
+        assert rows[0]["sector"] in ("technology", "energy")
+
+    def test_rolling_backtest_command(self, capsys):
+        rc = cli_main(["rolling-backtest", "--symbol", "SPY", "--days", "500",
+                       "--opt-window", "200", "--trade-window", "100",
+                       "--strategies", "momentum"])
+        assert rc == 0
+        assert "Rolling backtest" in capsys.readouterr().out
+
+    def test_optimize_sectors_command(self, capsys, tmp_path):
+        cache = str(tmp_path / "fits.json")
+        rc = cli_main(["optimize-sectors", "--symbols", "AAPL", "--days", "300",
+                       "--cache", cache])
+        assert rc == 0
+        assert os.path.exists(cache)
+
+    def test_demo_command(self, capsys):
+        rc = cli_main(["demo"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "calibrating Heston" in out and "backtest" in out
