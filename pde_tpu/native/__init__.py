@@ -1,0 +1,97 @@
+"""Native host runtime (C++ via ctypes): stream aggregation, backtest loop,
+float64 oracles.
+
+Role parity with the reference's src/cpp layer: the device math is JAX, but
+the latency-critical host paths are native.  numpy-facing wrappers here;
+the C ABI and build live in pde_tpu/native/loader.py + src/cpp/pde_host.cpp.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Dict, Tuple
+
+import numpy as np
+
+from .loader import NativeUnavailable, build, is_available, load
+
+__all__ = [
+    "is_available",
+    "build",
+    "NativeUnavailable",
+    "aggregate_bars",
+    "run_position_backtest",
+    "thomas_solve",
+    "ou_mle",
+    "zscore_positions",
+]
+
+
+def _c(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def aggregate_bars(times, prices, sizes, bar_seconds: float) -> np.ndarray:
+    """Ticks -> (n_bars, 6) [start, open, high, low, close, volume]."""
+    lib = load()
+    times = np.ascontiguousarray(times, dtype=np.float64)
+    prices = np.ascontiguousarray(prices, dtype=np.float64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.float64)
+    n = len(times)
+    out = np.zeros((n, 6), dtype=np.float64)  # upper bound: one bar per tick
+    n_bars = lib.aggregate_bars(_c(times), _c(prices), _c(sizes), n, bar_seconds, _c(out), n)
+    return out[:n_bars].copy()
+
+
+def run_position_backtest(prices, positions, cost_per_turnover: float = 0.0) -> Dict:
+    """Native twin of backtest.vectorized.equity_from_positions + stats."""
+    lib = load()
+    prices = np.ascontiguousarray(prices, dtype=np.float64)
+    positions = np.ascontiguousarray(positions, dtype=np.float64)
+    n = len(prices)
+    returns = np.zeros(n - 1, dtype=np.float64)
+    equity = np.zeros(n, dtype=np.float64)
+    stats = np.zeros(4, dtype=np.float64)
+    lib.run_position_backtest(_c(prices), _c(positions), n, cost_per_turnover,
+                              _c(returns), _c(equity), _c(stats))
+    return {
+        "returns": returns,
+        "equity": equity,
+        "total_return": float(stats[0]),
+        "sharpe": float(stats[1]),
+        "max_drawdown": float(stats[2]),
+        "n_trades": int(stats[3]),
+    }
+
+
+def thomas_solve(lower, diag, upper, rhs) -> np.ndarray:
+    """Batched float64 Thomas solve; shapes (B, n-1), (B, n), (B, n-1), (B, n)."""
+    lib = load()
+    lower = np.ascontiguousarray(lower, dtype=np.float64)
+    diag = np.ascontiguousarray(diag, dtype=np.float64)
+    upper = np.ascontiguousarray(upper, dtype=np.float64)
+    rhs = np.ascontiguousarray(rhs, dtype=np.float64)
+    if diag.ndim == 1:
+        lower, diag, upper, rhs = (a[None, :] for a in (lower, diag, upper, rhs))
+    batch, n = diag.shape
+    out = np.zeros((batch, n), dtype=np.float64)
+    work = np.zeros(2 * n, dtype=np.float64)
+    lib.thomas_solve(_c(lower), _c(diag), _c(upper), _c(rhs), n, batch, _c(out), _c(work))
+    return out if out.shape[0] > 1 else out[0]
+
+
+def ou_mle(x, dt: float) -> Tuple[float, float, float]:
+    """(theta, mu, sigma) — float64 oracle of models.ou.fit_mle."""
+    lib = load()
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.zeros(3, dtype=np.float64)
+    lib.ou_mle(_c(x), len(x), dt, _c(out))
+    return float(out[0]), float(out[1]), float(out[2])
+
+
+def zscore_positions(prices, lookback: int, entry_z: float, exit_z: float) -> np.ndarray:
+    lib = load()
+    prices = np.ascontiguousarray(prices, dtype=np.float64)
+    out = np.zeros(len(prices), dtype=np.float64)
+    lib.zscore_positions(_c(prices), len(prices), lookback, entry_z, exit_z, _c(out))
+    return out

@@ -1,0 +1,188 @@
+// pde_host: native host-side runtime engine for pde_tpu.
+//
+// The TPU (JAX/XLA/Pallas) owns the device compute path; this library owns
+// the latency-critical HOST paths, the role C++ plays in the reference
+// platform (src/cpp in dharvpat/PDE): stream processing, the backtest inner
+// loop, and float64 numerical oracles used by the test-suite to cross-check
+// the JAX implementations.
+//
+// Plain C ABI (loaded via ctypes — no pybind11 dependency in this image).
+// Build: see pde_tpu/native/loader.py (g++ -O3 -march=native -shared -fPIC).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Tick -> OHLCV bar aggregation.
+//
+// times (seconds), prices, sizes: n ticks, times non-decreasing.
+// Emits one row [start_time, open, high, low, close, volume] per time bucket
+// of width bar_seconds into out (capacity max_bars rows). Returns bars written.
+int64_t aggregate_bars(const double* times, const double* prices, const double* sizes,
+                       int64_t n, double bar_seconds, double* out, int64_t max_bars) {
+    if (n <= 0 || bar_seconds <= 0.0 || max_bars <= 0) return 0;
+
+    int64_t n_bars = 0;
+    int64_t bucket = (int64_t)std::floor(times[0] / bar_seconds);
+    double o = prices[0], h = prices[0], l = prices[0], c = prices[0], v = sizes[0];
+    double start = bucket * bar_seconds;
+
+    for (int64_t i = 1; i < n; ++i) {
+        int64_t b = (int64_t)std::floor(times[i] / bar_seconds);
+        if (b != bucket) {
+            if (n_bars < max_bars) {
+                double* row = out + 6 * n_bars;
+                row[0] = start; row[1] = o; row[2] = h; row[3] = l; row[4] = c; row[5] = v;
+            }
+            ++n_bars;
+            bucket = b;
+            start = b * bar_seconds;
+            o = h = l = c = prices[i];
+            v = sizes[i];
+        } else {
+            h = std::max(h, prices[i]);
+            l = std::min(l, prices[i]);
+            c = prices[i];
+            v += sizes[i];
+        }
+    }
+    if (n_bars < max_bars) {
+        double* row = out + 6 * n_bars;
+        row[0] = start; row[1] = o; row[2] = h; row[3] = l; row[4] = c; row[5] = v;
+    }
+    ++n_bars;
+    return std::min(n_bars, max_bars);
+}
+
+// ---------------------------------------------------------------------------
+// Vectorized position backtest (the host fast path of
+// pde_tpu.backtest.vectorized.equity_from_positions):
+//   r_t = pos_{t-1} * (p_t/p_{t-1} - 1) - cost * |pos_t - pos_{t-1}|
+// out_returns: n-1, out_equity: n (equity[0] = 1).
+// out_stats: [total_return, annualized_sharpe, max_drawdown, n_flips]
+void run_position_backtest(const double* prices, const double* positions, int64_t n,
+                           double cost_per_turnover, double* out_returns,
+                           double* out_equity, double* out_stats) {
+    if (n < 2) return;
+    out_equity[0] = 1.0;
+    double prev_pos = 0.0;
+    double sum = 0.0, sum2 = 0.0;
+    double peak = 1.0, max_dd = 0.0;
+    int64_t flips = 0;
+
+    for (int64_t t = 0; t < n - 1; ++t) {
+        double turnover = std::fabs(positions[t] - prev_pos);
+        if (turnover > 0.0) ++flips;
+        double asset_ret = prices[t + 1] / prices[t] - 1.0;
+        double r = positions[t] * asset_ret - cost_per_turnover * turnover;
+        out_returns[t] = r;
+        out_equity[t + 1] = out_equity[t] * (1.0 + r);
+        prev_pos = positions[t];
+
+        sum += r;
+        sum2 += r * r;
+        peak = std::max(peak, out_equity[t + 1]);
+        max_dd = std::max(max_dd, 1.0 - out_equity[t + 1] / peak);
+    }
+    int64_t m = n - 1;
+    double mean = sum / m;
+    double var = sum2 / m - mean * mean;
+    double sd = var > 0.0 ? std::sqrt(var) : 0.0;
+    out_stats[0] = out_equity[n - 1] - 1.0;
+    out_stats[1] = sd > 0.0 ? mean / sd * std::sqrt(252.0) : 0.0;
+    out_stats[2] = max_dd;
+    out_stats[3] = (double)flips;
+}
+
+// ---------------------------------------------------------------------------
+// Batched tridiagonal (Thomas) solve: float64 oracle for the Pallas/scan
+// kernels. Layout: batch-major — lower[b*(n-1)+i], diag[b*n+i], etc.
+void thomas_solve(const double* lower, const double* diag, const double* upper,
+                  const double* rhs, int64_t n, int64_t batch, double* out,
+                  double* work /* 2*n scratch */) {
+    double* cp = work;
+    double* dp = work + n;
+    for (int64_t b = 0; b < batch; ++b) {
+        const double* lo = lower + b * (n - 1);
+        const double* d = diag + b * n;
+        const double* up = upper + b * (n - 1);
+        const double* r = rhs + b * n;
+        double* x = out + b * n;
+
+        cp[0] = up[0] / d[0];
+        dp[0] = r[0] / d[0];
+        for (int64_t i = 1; i < n; ++i) {
+            double m = d[i] - lo[i - 1] * cp[i - 1];
+            cp[i] = (i < n - 1) ? up[i] / m : 0.0;
+            dp[i] = (r[i] - lo[i - 1] * dp[i - 1]) / m;
+        }
+        x[n - 1] = dp[n - 1];
+        for (int64_t i = n - 2; i >= 0; --i) {
+            x[i] = dp[i] - cp[i] * x[i + 1];
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Closed-form OU AR(1) MLE: float64 oracle mirroring pde_tpu.models.ou.fit_mle.
+// out: [theta, mu, sigma]
+void ou_mle(const double* x, int64_t n_points, double dt, double* out) {
+    int64_t n = n_points - 1;
+    if (n < 2) { out[0] = out[1] = out[2] = 0.0; return; }
+    double sx = 0, sy = 0, sxx = 0, syy = 0, sxy = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        double a = x[i], b = x[i + 1];
+        sx += a; sy += b; sxx += a * a; syy += b * b; sxy += a * b;
+    }
+    double mean_x = sx / n, mean_y = sy / n;
+    double var_x = sxx / n - mean_x * mean_x;
+    double var_y = syy / n - mean_y * mean_y;
+    double cov = sxy / n - mean_x * mean_y;
+
+    if (var_x < 1e-12) { out[0] = mean_x; out[1] = 0.0; out[2] = 0.0; return; }
+    double bhat = cov / var_x;
+    if (bhat >= 1.0) bhat = 0.9999;
+    if (bhat <= 0.0) bhat = 0.0001;
+    double mu = -std::log(bhat) / dt;
+    double a_hat = mean_y - bhat * mean_x;
+    double theta = (std::fabs(1.0 - bhat) > 1e-12) ? a_hat / (1.0 - bhat)
+                                                   : 0.5 * (mean_x + mean_y);
+    double resid_var = std::max(var_y - bhat * bhat * var_x, 1e-12);
+    double ef = 1.0 - std::exp(-2.0 * mu * dt);
+    double sigma = (mu > 1e-12 && ef > 1e-12) ? std::sqrt(2.0 * mu * resid_var / ef)
+                                              : std::sqrt(resid_var / dt);
+    out[0] = theta; out[1] = mu; out[2] = sigma;
+}
+
+// ---------------------------------------------------------------------------
+// Rolling z-score mean-reversion position walk (the event-driven strategy's
+// native twin; used to accelerate long-history signal generation).
+void zscore_positions(const double* prices, int64_t n, int64_t lookback,
+                      double entry_z, double exit_z, double* out) {
+    double state = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (i < lookback - 1) { out[i] = 0.0; continue; }
+        double s = 0.0, s2 = 0.0;
+        for (int64_t j = i - lookback + 1; j <= i; ++j) { s += prices[j]; s2 += prices[j] * prices[j]; }
+        double mean = s / lookback;
+        double var = (s2 - lookback * mean * mean) / (lookback - 1);
+        double z = var > 0.0 ? (prices[i] - mean) / std::sqrt(var) : 0.0;
+        if (state == 0.0) {
+            if (z < -entry_z) state = 1.0;
+            else if (z > entry_z) state = -1.0;
+        } else if (state == 1.0 && z >= -exit_z) {
+            state = 0.0;
+        } else if (state == -1.0 && z <= exit_z) {
+            state = 0.0;
+        }
+        out[i] = state;
+    }
+}
+
+int32_t pde_host_abi_version() { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,111 @@
+"""Native C++ runtime tests: build, ABI, and parity with the Python/JAX twins."""
+
+import numpy as np
+import pytest
+
+from pde_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.is_available(), reason="native toolchain unavailable"
+)
+
+
+class TestBuild:
+    def test_abi(self):
+        lib = native.load()
+        assert lib.pde_host_abi_version() == 1
+
+
+class TestBarAggregation:
+    def test_ohlcv(self):
+        times = np.array([0.0, 10.0, 30.0, 61.0, 62.0])
+        prices = np.array([100.0, 102.0, 99.0, 101.0, 103.0])
+        sizes = np.array([10.0, 20.0, 30.0, 5.0, 5.0])
+        bars = native.aggregate_bars(times, prices, sizes, bar_seconds=60.0)
+        assert bars.shape == (2, 6)
+        # first bar: open 100, high 102, low 99, close 99, volume 60
+        np.testing.assert_allclose(bars[0], [0.0, 100.0, 102.0, 99.0, 99.0, 60.0])
+        np.testing.assert_allclose(bars[1], [60.0, 101.0, 103.0, 101.0, 103.0, 10.0])
+
+    def test_matches_python_aggregator(self, rng):
+        from datetime import datetime, timezone
+
+        from pde_tpu.data.streaming import BarAggregator, StreamTrade
+
+        n = 500
+        times = np.sort(rng.uniform(0, 600, n))
+        prices = 100 + np.cumsum(rng.normal(0, 0.1, n))
+        sizes = rng.integers(1, 100, n).astype(float)
+
+        fast = native.aggregate_bars(times, prices, sizes, 60.0)
+
+        agg = BarAggregator(bar_seconds=60.0)
+        done = []
+        for t, p, s in zip(times, prices, sizes):
+            bar = agg.add_trade(
+                StreamTrade("X", float(p), float(s),
+                            time=datetime.fromtimestamp(t, tz=timezone.utc))
+            )
+            if bar:
+                done.append(bar)
+        done.extend(agg.flush())
+
+        assert len(fast) == len(done)
+        np.testing.assert_allclose(fast[:, 4], [b.close for b in done], atol=1e-12)
+        np.testing.assert_allclose(fast[:, 5], [b.volume for b in done], atol=1e-12)
+
+
+class TestPositionBacktest:
+    def test_matches_vectorized(self, rng):
+        import jax.numpy as jnp
+
+        from pde_tpu.backtest import vectorized
+
+        prices = 100 * np.exp(np.cumsum(rng.normal(0, 0.01, 800)))
+        positions = np.sign(rng.normal(0, 1, 800))
+        fast = native.run_position_backtest(prices, positions, cost_per_turnover=0.0005)
+        ret, eq = vectorized.equity_from_positions(
+            jnp.asarray(prices), jnp.asarray(positions), 0.0005
+        )
+        np.testing.assert_allclose(fast["returns"], np.asarray(ret), atol=1e-12)
+        np.testing.assert_allclose(fast["equity"], np.asarray(eq), atol=1e-10)
+        stats = vectorized.backtest_positions(jnp.asarray(prices), jnp.asarray(positions), 0.0005)
+        assert fast["total_return"] == pytest.approx(float(stats["total_return"]), abs=1e-10)
+        assert fast["max_drawdown"] == pytest.approx(float(stats["max_drawdown"]), abs=1e-10)
+
+    def test_native_zscore_matches_python(self, rng):
+        from pde_tpu.backtest.strategy import MeanReversionStrategy
+
+        prices = 100 + np.cumsum(rng.normal(0, 0.5, 400))
+        fast = native.zscore_positions(prices, 20, 2.0, 0.5)
+        ref = MeanReversionStrategy.signal_array(prices, 20, 2.0, 0.5)
+        np.testing.assert_allclose(fast, ref, atol=1e-12)
+
+
+class TestOracles:
+    def test_thomas_matches_jax(self, rng):
+        from pde_tpu.ops import tridiag
+        import jax.numpy as jnp
+
+        B, n = 5, 40
+        lower = rng.uniform(-1, 1, (B, n - 1))
+        upper = rng.uniform(-1, 1, (B, n - 1))
+        diag = 4 + rng.uniform(0, 1, (B, n))
+        rhs = rng.uniform(-1, 1, (B, n))
+        fast = native.thomas_solve(lower, diag, upper, rhs)
+        ref = np.asarray(tridiag.thomas(*map(jnp.asarray, (lower, diag, upper, rhs))))
+        np.testing.assert_allclose(fast, ref, rtol=1e-12)
+
+    def test_ou_mle_matches_jax(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pde_tpu.models import ou
+
+        params = ou.OUParams(theta=2.0, mu=6.0, sigma=0.4)
+        path = np.asarray(ou.simulate(params, 2.0, 4.0, 1000, jax.random.PRNGKey(5)))
+        fast = native.ou_mle(path, 4.0 / 1000)
+        ref = ou.fit_mle(jnp.asarray(path), 4.0 / 1000)
+        assert fast[0] == pytest.approx(float(ref.params.theta), abs=1e-8)
+        assert fast[1] == pytest.approx(float(ref.params.mu), rel=1e-6)
+        assert fast[2] == pytest.approx(float(ref.params.sigma), rel=1e-8)
