@@ -38,6 +38,11 @@ class BSPDEParams(NamedTuple):
     s_min_mult: float = 0.2
     s_max_mult: float = 5.0
     scheme: str = "crank_nicolson"  # "crank_nicolson" | "implicit"
+    # American exercise handling: "projection" = implicit-solve-then-max
+    # (the reference's splitting, black_scholes_pde.hpp:116-124); "psor" =
+    # the rigorous LCP via red-black projected SOR (solvers/lcp.py)
+    american_method: str = "projection"
+    psor_iterations: int = 60
 
 
 class BSPDEResult(NamedTuple):
@@ -68,10 +73,14 @@ def _operator_coeffs(p: BSPDEParams, dx):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_space", "n_time", "is_call", "american", "scheme"),
+    static_argnames=(
+        "n_space", "n_time", "is_call", "american", "scheme", "american_method",
+        "psor_iterations",
+    ),
 )
 def _solve_impl(
-    S0, sigma, r, q, T, K, s_min_mult, s_max_mult, n_space, n_time, is_call, american, scheme
+    S0, sigma, r, q, T, K, s_min_mult, s_max_mult, n_space, n_time, is_call, american, scheme,
+    american_method="projection", psor_iterations=60,
 ):
     p = BSPDEParams(
         sigma=sigma, r=r, q=q, T=T, K=K, is_call=is_call, american=american,
@@ -116,9 +125,16 @@ def _solve_impl(
 
     def step(V, t_remaining):
         rhs = explicit_rhs(V)
-        V = thomas(lower, diag, upper, rhs)
-        if american:
-            V = jnp.maximum(V, payoff)
+        if american and american_method == "psor":
+            from .lcp import projected_sor
+
+            V, _ = projected_sor(
+                lower, diag, upper, rhs, payoff, x0=V, n_iter=psor_iterations
+            )
+        else:
+            V = thomas(lower, diag, upper, rhs)
+            if american:
+                V = jnp.maximum(V, payoff)
         V = apply_bc(V, t_remaining)
         return V, None
 
@@ -176,4 +192,6 @@ def solve(params: BSPDEParams, S0) -> BSPDEResult:
         bool(params.is_call),
         bool(params.american),
         params.scheme,
+        params.american_method,
+        params.psor_iterations,
     )

@@ -58,6 +58,11 @@ class HJBParams(NamedTuple):
     n_time: int = 200
     x_min: float = -0.5
     x_max: float = 0.5
+    # obstacle handling: "projection" = implicit-then-max (the reference's
+    # splitting, hjb_solver.hpp:163-178); "psor" = rigorous free-boundary
+    # LCP via red-black projected SOR (Leung-Li 2015 formulation)
+    method: str = "projection"
+    psor_iterations: int = 60
 
 
 class HJBResult(NamedTuple):
@@ -110,22 +115,31 @@ def _exercise_value(x, p: HJBParams, problem: StoppingProblem):
     return -x - p.c_exit
 
 
-@functools.partial(jax.jit, static_argnames=("n_space", "n_time"))
-def _march(exercise, theta, mu, sigma, r, T, x_min, x_max, n_space, n_time):
+@functools.partial(jax.jit, static_argnames=("n_space", "n_time", "method", "psor_iterations"))
+def _march(exercise, theta, mu, sigma, r, T, x_min, x_max, n_space, n_time,
+           method="projection", psor_iterations=60):
     """Implicit time march with obstacle projection; batched over a leading
     problems axis of ``exercise``.  (hjb_solver.hpp:150-190)."""
     x = jnp.linspace(x_min, x_max, n_space)
     dx = (x_max - x_min) / (n_space - 1)
     dt = T / n_time
 
-    # OU generator, central differences (hjb_solver.hpp:321-361)
+    # OU generator.  Projection mode: central differences, matching the
+    # reference (hjb_solver.hpp:321-361).  PSOR mode: monotone upwind
+    # differencing — projected SOR requires the M-matrix property, which
+    # central advection violates once |drift| dx > sigma^2.
     diff = 0.5 * sigma * sigma
     a = diff / (dx * dx)
     drift = mu * (theta - x[1:-1])
-    b = drift / (2.0 * dx)
-    L_m = a - b
-    L_c = -2.0 * a - r
-    L_p = a + b
+    if method == "psor":
+        L_m = a + jnp.maximum(-drift, 0.0) / dx
+        L_p = a + jnp.maximum(drift, 0.0) / dx
+        L_c = -2.0 * a - jnp.abs(drift) / dx - r
+    else:
+        b = drift / (2.0 * dx)
+        L_m = a - b
+        L_c = -2.0 * a - r
+        L_p = a + b
 
     n = n_space
     idx = jnp.arange(n)
@@ -138,8 +152,15 @@ def _march(exercise, theta, mu, sigma, r, T, x_min, x_max, n_space, n_time):
     upper = upper.at[0].set(0.0)
 
     def step(V, _):
-        V = thomas(lower, diag, upper, V)
-        V = jnp.maximum(V, exercise)
+        if method == "psor":
+            from .lcp import projected_sor
+
+            V, _resid = projected_sor(
+                lower, diag, upper, V, exercise, x0=V, n_iter=psor_iterations
+            )
+        else:
+            V = thomas(lower, diag, upper, V)
+            V = jnp.maximum(V, exercise)
         # linear extrapolation boundaries (hjb_solver.hpp:363-368)
         V = V.at[..., 0].set(2.0 * V[..., 1] - V[..., 2])
         V = V.at[..., -1].set(2.0 * V[..., -2] - V[..., -3])
@@ -178,6 +199,7 @@ def solve(params: HJBParams) -> HJBResult:
     x_out, V = _march(
         g, params.theta, params.mu, params.sigma, params.r, params.T,
         params.x_min, params.x_max, params.n_space, params.n_time,
+        method=params.method, psor_iterations=params.psor_iterations,
     )
     x_np, V_np, g_np = np.asarray(x_out), np.asarray(V), np.asarray(g)
     lo, hi = _find_boundaries(V_np, x_np, g_np)
@@ -197,6 +219,7 @@ def solve_all_boundaries(params: HJBParams) -> OptimalTradingBoundaries:
     x_out, V_all = _march(
         g_all, params.theta, params.mu, params.sigma, params.r, params.T,
         params.x_min, params.x_max, params.n_space, params.n_time,
+        method=params.method, psor_iterations=params.psor_iterations,
     )
     x_np = np.asarray(x_out)
     sigma_stat = params.sigma / np.sqrt(2.0 * params.mu)

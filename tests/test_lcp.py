@@ -1,0 +1,112 @@
+"""PSOR/LCP tests: complementarity correctness, American pricing, Leung-Li
+free-boundary parity with the projection scheme."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_tpu.solvers import bs_pde, hjb
+from pde_tpu.solvers.lcp import projected_sor
+
+
+def dense(lower, diag, upper):
+    n = len(diag)
+    A = np.zeros((n, n))
+    for i in range(n):
+        A[i, i] = diag[i]
+        if i:
+            A[i, i - 1] = lower[i - 1]
+        if i < n - 1:
+            A[i, i + 1] = upper[i]
+    return A
+
+
+class TestProjectedSOR:
+    def test_unconstrained_matches_linear_solve(self, rng):
+        n = 60
+        lower = rng.uniform(-0.3, 0.0, n - 1)
+        upper = rng.uniform(-0.3, 0.0, n - 1)
+        diag = 2.0 + rng.uniform(0, 0.5, n)  # M-matrix: PSOR converges
+        b = rng.uniform(0.5, 1.5, n)
+        g = np.full(n, -1e6)  # obstacle never binds
+        x, resid = projected_sor(
+            jnp.asarray(lower), jnp.asarray(diag), jnp.asarray(upper),
+            jnp.asarray(b), jnp.asarray(g), n_iter=300,
+        )
+        expected = np.linalg.solve(dense(lower, diag, upper), b)
+        np.testing.assert_allclose(np.asarray(x), expected, atol=1e-8)
+        assert float(resid) < 1e-8
+
+    def test_complementarity_conditions(self, rng):
+        """x >= g, Ax >= b (componentwise where x > g), (x-g)(Ax-b) ~ 0."""
+        n = 80
+        lower = np.full(n - 1, -1.0)
+        upper = np.full(n - 1, -1.0)
+        diag = np.full(n, 2.5)
+        b = rng.uniform(-1, 1, n)
+        g = rng.uniform(-0.5, 0.5, n)
+        x, resid = projected_sor(
+            *map(jnp.asarray, (lower, diag, upper, b, g)), n_iter=400
+        )
+        x = np.asarray(x)
+        A = dense(lower, diag, upper)
+        Ax_b = A @ x - b
+        assert np.all(x >= g - 1e-9)
+        assert np.all(Ax_b >= -1e-7)
+        assert np.max(np.abs(np.minimum(Ax_b, x - g))) < 1e-7
+        assert float(resid) < 1e-7
+
+    def test_batched(self, rng):
+        n, B = 50, 4
+        lower = np.full((B, n - 1), -1.0)
+        upper = np.full((B, n - 1), -1.0)
+        diag = np.full((B, n), 3.0)
+        b = rng.uniform(-1, 1, (B, n))
+        g = np.zeros((B, n))
+        x, _ = projected_sor(*map(jnp.asarray, (lower, diag, upper, b, g)), n_iter=200)
+        assert x.shape == (B, n)
+        assert np.all(np.asarray(x) >= -1e-9)
+
+
+class TestAmericanPSOR:
+    def test_psor_vs_projection_close_and_above_european(self):
+        base = bs_pde.BSPDEParams(sigma=0.25, r=0.08, T=1.0, K=110.0, is_call=False)
+        eu = float(bs_pde.solve(base, 100.0).price)
+        proj = float(bs_pde.solve(base._replace(american=True), 100.0).price)
+        psor = float(
+            bs_pde.solve(
+                base._replace(american=True, american_method="psor", psor_iterations=80),
+                100.0,
+            ).price
+        )
+        assert psor >= eu
+        # PSOR solves the true LCP; projection splitting is a close approximation
+        assert abs(psor - proj) < 0.05
+        # the rigorous LCP value dominates the splitting approximation
+        assert psor >= proj - 1e-6
+
+    def test_psor_never_below_intrinsic(self):
+        p = bs_pde.BSPDEParams(
+            sigma=0.2, r=0.05, T=1.0, K=120.0, is_call=False,
+            american=True, american_method="psor",
+        )
+        res = bs_pde.solve(p, 100.0)
+        intrinsic = np.maximum(120.0 - np.asarray(res.spot_grid), 0.0)
+        assert np.all(np.asarray(res.prices) >= intrinsic - 1e-6)
+
+
+class TestHJBPSOR:
+    def test_psor_boundaries_consistent_with_projection(self):
+        base = hjb.HJBParams(theta=0.0, mu=5.0, sigma=0.1, r=0.05, T=1.0)
+        proj = hjb.solve_all_boundaries(base)
+        psor = hjb.solve_all_boundaries(base._replace(method="psor", psor_iterations=80))
+        assert abs(psor.entry_long - proj.entry_long) < 0.02
+        assert abs(psor.entry_short - proj.entry_short) < 0.02
+        assert psor.entry_long < psor.exit_long
+        assert psor.exit_short < psor.entry_short
+
+    def test_psor_value_dominates_exercise(self):
+        p = hjb.HJBParams(method="psor")
+        res = hjb.solve(p)
+        g = np.asarray(hjb._exercise_value(jnp.asarray(res.x_grid), p, p.problem))
+        assert np.all(res.value_function >= g - 1e-6)
