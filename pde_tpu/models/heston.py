@@ -318,6 +318,23 @@ def implied_volatility(
     )
 
 
+def implied_volatility_surface(
+    params, strikes, maturities, spot, rate=0.0, dividend=0.0, is_call=True, accurate=True
+):
+    """IV on a (maturities x strikes) grid in ONE vectorized call.
+
+    The reference builds this with a Python double loop over the grid
+    (models/heston.py:313-343); here the whole surface prices and inverts as
+    a single tensor program.  Returns an array of shape
+    (len(maturities), len(strikes)).
+    """
+    K = jnp.asarray(strikes)[None, :]
+    T = jnp.asarray(maturities)[:, None]
+    return implied_volatility(
+        params, K, T, spot, rate, dividend, is_call, accurate=accurate
+    )
+
+
 def price_with_greeks(params, strike, maturity, spot, rate=0.0, dividend=0.0, is_call=True):
     """Price plus finite-difference Greeks.
 

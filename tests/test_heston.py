@@ -205,3 +205,17 @@ class TestValidation:
     def test_feller(self, params):
         assert bool(params.feller_satisfied())
         assert abs(float(params.feller_value()) - (2 * 2.0 * 0.04 - 0.09)) < 1e-12
+
+
+class TestIVSurface:
+    def test_surface_grid_shape_and_skew(self, params):
+        strikes = np.linspace(85.0, 115.0, 7)
+        maturities = np.array([0.25, 0.5, 1.0])
+        surf = heston.implied_volatility_surface(
+            params, strikes, maturities, **MKT
+        )
+        assert surf.shape == (3, 7)
+        s = np.asarray(surf)
+        assert np.all(np.isfinite(s)) and np.all(s > 0)
+        # rho = -0.7: downside skew at every maturity
+        assert np.all(s[:, 0] > s[:, -1])
