@@ -77,17 +77,28 @@ class CalibrationResult:
         }
 
 
-def _price_vec(params_array, strikes, maturities, is_calls, S0, r, q):
+def _price_vec(params_array, strikes, maturities, is_calls, S0, r, q,
+               n_points=heston_model.N_QUADRATURE, du=heston_model.DU):
     """Price the whole quote vector for one parameter vector."""
     p = HestonParams(*[params_array[i] for i in range(5)])
-    return heston_model.price_carr_madan(p, strikes, maturities, S0, r, q, is_calls)
+    return heston_model.price_carr_madan(
+        p, strikes, maturities, S0, r, q, is_calls, n_points=n_points, du=du
+    )
 
 
-def _objective_population(pop, strikes, maturities, is_calls, market_prices, S0, r, q):
+# coarse quadrature for the global stage: same [0, 10.24] truncation as the
+# reference grid but 4x fewer points — the DE only needs basin-level accuracy
+# (~1e-3 relative), and it dominates the calibration wall-clock
+_DE_N_POINTS = 256
+_DE_DU = 0.04
+
+
+def _objective_population(pop, strikes, maturities, is_calls, market_prices, S0, r, q,
+                          n_points=heston_model.N_QUADRATURE, du=heston_model.DU):
     """Sum of squared relative errors per population member; 1e10 on bad
     prices (reference heston_calibrator.py:486-513)."""
     prices = jax.vmap(
-        lambda x: _price_vec(x, strikes, maturities, is_calls, S0, r, q)
+        lambda x: _price_vec(x, strikes, maturities, is_calls, S0, r, q, n_points, du)
     )(pop)
     errors = (prices - market_prices) / market_prices
     obj = jnp.sum(errors * errors, axis=-1)
@@ -120,7 +131,8 @@ def _calibrate_pipeline(
 
     def objective(pop):
         return _objective_population(
-            pop, strikes, maturities, is_calls, market_prices, S0, r, q
+            pop, strikes, maturities, is_calls, market_prices, S0, r, q,
+            _DE_N_POINTS, _DE_DU,
         )
 
     # warm start seeds the DE population (heston_calibrator.py:411-413)
