@@ -84,3 +84,45 @@ class TestShardedCalibrationStep:
             x, cost, lam = step(x, strikes, maturities, target, lam, 100.0, 0.05, 0.0)
         assert float(jnp.max(jnp.abs(x[:, 4] - 0.04))) < 0.01  # v0 recovered
         assert float(jnp.mean(cost)) < 1e-4
+
+
+class TestMeshEquivalence:
+    """Sharded execution must be numerically equivalent to single-device."""
+
+    def _setup(self):
+        import jax.numpy as jnp
+
+        from pde_tpu.parallel.mesh import _price_population
+
+        U, Q = 4, 16
+        strikes = jnp.tile(jnp.linspace(90.0, 110.0, Q), (U, 1))
+        maturities = jnp.full((U, Q), 0.5)
+        true_x = jnp.tile(jnp.array([2.0, 0.04, 0.3, -0.7, 0.04]), (U, 1))
+        target = jnp.maximum(
+            jax.vmap(lambda x, k, t: _price_population(x, k, t, 100.0, 0.05, 0.0))(
+                true_x, strikes, maturities
+            ),
+            1e-3,
+        )
+        x0 = jnp.tile(jnp.array([1.5, 0.06, 0.4, -0.5, 0.06]), (U, 1))
+        lam = jnp.full((U,), 1e-3)
+        return strikes, maturities, target, x0, lam
+
+    def test_same_result_across_mesh_shapes(self):
+        from pde_tpu.parallel.mesh import make_mesh, sharded_calibration_step
+
+        lower = jnp.array([0.1, 0.01, 0.01, -0.99, 0.01])
+        upper = jnp.array([10.0, 1.0, 2.0, 0.99, 1.0])
+        strikes, maturities, target, x0, lam = self._setup()
+
+        results = []
+        for shape in [(1, 1), (4, 2), (2, 4), (1, 8)]:
+            n = shape[0] * shape[1]
+            mesh = make_mesh(n, shape=shape)
+            step = sharded_calibration_step(mesh, lower, upper)
+            x, cost, _ = step(x0, strikes, maturities, target, lam, 100.0, 0.05, 0.0)
+            results.append((np.asarray(x), np.asarray(cost)))
+
+        for x, cost in results[1:]:
+            np.testing.assert_allclose(x, results[0][0], rtol=1e-10)
+            np.testing.assert_allclose(cost, results[0][1], rtol=1e-10)
