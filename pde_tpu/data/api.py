@@ -127,6 +127,19 @@ def create_data_api(service: Optional[DataService] = None) -> web.Application:
         start = _parse_date(request.query.get("start"), end - timedelta(days=30))
         return web.json_response({"trading_days": svc.calendar(start, end)})
 
+    async def metrics(request):
+        """Prometheus scrape endpoint (the compose/k8s stacks target it)."""
+        from ..monitoring import metrics as m
+
+        if not m.PROMETHEUS_AVAILABLE:
+            return web.Response(text="# prometheus_client not installed\n",
+                                content_type="text/plain")
+        from prometheus_client import generate_latest
+
+        return web.Response(body=generate_latest(m.REGISTRY),
+                            content_type="text/plain")
+
+    app.router.add_get("/metrics", metrics)
     app.router.add_get("/health", health)
     app.router.add_get("/quotes/{symbol}", quote)
     app.router.add_get("/bars/{symbol}", bars)

@@ -64,6 +64,11 @@ class HestonPDEParams(NamedTuple):
     s_min_mult: float = 0.2
     s_max_mult: float = 5.0
     v_max: float = 1.0
+    # American exercise: "projection" = per-step max(V, payoff) (the
+    # reference's splitting, heston_pde.hpp:143-150); "it_lcp" = Ikonen-
+    # Toivanen operator splitting with an explicit exercise-premium
+    # multiplier — the rigorous LCP treatment for ADI schemes
+    american_method: str = "projection"
 
 
 class HestonPDEResult(NamedTuple):
@@ -192,14 +197,17 @@ def _solve_impl(p: HestonPDEParams, S0):
             V = V.at[:, -1].set(p.K * df_r)
         return V
 
-    def adi_step(V):
-        """Douglas splitting: explicit full step, then implicit x and v sweeps."""
+    def adi_step(V, source):
+        """Douglas splitting: explicit full step, then implicit x and v sweeps.
+
+        ``source`` carries the Ikonen-Toivanen exercise-premium multiplier
+        (zero for European / projection mode)."""
         F = (
             _apply_a0(V, v_grid, dx, dv, p.rho, p.sigma)
             + _apply_a1(V, a1_lower, a1_diag, a1_upper)
             + _apply_a2(V, a2_lower, a2_diag, a2_upper)
         )
-        Y0 = V + dt * F
+        Y0 = V + dt * (F + source)
 
         rhs1 = Y0 - th * dt * _apply_a1(V, a1_lower, a1_diag, a1_upper)
         Y1 = thomas(i1_lower, i1_diag, i1_upper, rhs1.T).T
@@ -208,15 +216,33 @@ def _solve_impl(p: HestonPDEParams, S0):
         Y2 = thomas(i2_lower, i2_diag, i2_upper, rhs2)
         return Y2
 
-    def step(V, tau):
-        V = adi_step(V)
-        V = apply_bc(V, tau)
-        if p.american:
-            V = jnp.maximum(V, payoff)
-        return V, None
+    use_it = p.american and p.american_method == "it_lcp"
+
+    def step(carry, tau):
+        V, lam = carry
+        Vt = adi_step(V, lam)
+        if use_it:
+            # Ikonen-Toivanen update: find (V_new, lam_new) with
+            # V_new - dt lam_new = Vt - dt lam, V_new >= g, lam_new >= 0,
+            # lam_new (V_new - g) = 0
+            W = Vt - dt * lam
+            V_new = jnp.maximum(payoff, W)
+            lam = (V_new - W) / dt
+            Vt = V_new
+        Vt = apply_bc(Vt, tau)
+        if p.american and not use_it:
+            Vt = jnp.maximum(Vt, payoff)
+        if use_it:
+            # the Dirichlet/extrapolation boundaries are European; an
+            # American value can never fall below intrinsic there
+            Vt = Vt.at[0, :].set(jnp.maximum(Vt[0, :], payoff[0, :]))
+            Vt = Vt.at[-1, :].set(jnp.maximum(Vt[-1, :], payoff[-1, :]))
+            Vt = Vt.at[:, 0].set(jnp.maximum(Vt[:, 0], payoff[:, 0]))
+            Vt = Vt.at[:, -1].set(jnp.maximum(Vt[:, -1], payoff[:, -1]))
+        return (Vt, lam), None
 
     taus = dt * jnp.arange(1, nT + 1, dtype=s_grid.dtype)
-    V, _ = jax.lax.scan(step, payoff, taus)
+    (V, _), _ = jax.lax.scan(step, (payoff, jnp.zeros_like(payoff)), taus)
 
     price = grids.interp_bilinear(s_grid, v_grid, V, S0, p.v0)
 

@@ -372,4 +372,8 @@ class TestDataAPI:
                 r = await client.get("/calendar?start=2026-08-10&end=2026-08-14")
                 assert len((await r.json())["trading_days"]) == 5
 
+                r = await client.get("/metrics")
+                assert r.status == 200
+                assert "qt_" in (await r.text())
+
         asyncio.run(scenario())

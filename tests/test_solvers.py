@@ -174,3 +174,30 @@ class TestHJB:
     def test_invalid_params(self):
         with pytest.raises(ValueError):
             hjb.solve(self.PARAMS._replace(mu=-1.0))
+
+
+class TestHestonAmericanLCP:
+    BASE = heston_adi.HestonPDEParams(
+        kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7, v0=0.04,
+        r=0.08, q=0.0, T=1.0, K=100.0, is_call=False,
+    )
+
+    def test_it_lcp_matches_projection_and_dominates_european(self):
+        eu = float(heston_adi.solve(self.BASE, 90.0).price)
+        proj = float(heston_adi.solve(self.BASE._replace(american=True), 90.0).price)
+        it = float(
+            heston_adi.solve(
+                self.BASE._replace(american=True, american_method="it_lcp"), 90.0
+            ).price
+        )
+        assert it >= eu - 1e-9
+        assert abs(it - proj) < 0.05  # splitting approximations agree closely
+
+    def test_it_lcp_never_below_intrinsic(self):
+        res = heston_adi.solve(
+            self.BASE._replace(american=True, american_method="it_lcp"), 85.0
+        )
+        intrinsic = np.maximum(100.0 - np.asarray(res.spot_grid), 0.0)[:, None]
+        # interior of the grid respects the obstacle (v boundaries are
+        # extrapolated and may dip within discretization error)
+        assert np.all(np.asarray(res.prices)[:, 1:-1] >= intrinsic - 1e-6)
