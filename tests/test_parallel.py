@@ -126,3 +126,69 @@ class TestMeshEquivalence:
         for x, cost in results[1:]:
             np.testing.assert_allclose(x, results[0][0], rtol=1e-10)
             np.testing.assert_allclose(cost, results[0][1], rtol=1e-10)
+
+
+class TestHaloShardedPDE:
+    """Grid-axis sharding with ppermute halo exchange (the stencil
+    'context-parallel' analog, SURVEY.md section 5)."""
+
+    def _single_device_reference(self, sigma, r, q, T, K, n_space, n_time):
+        import numpy as np
+
+        x = np.linspace(np.log(K * 0.2), np.log(K * 5.0), n_space)
+        s = np.exp(x)
+        dx = x[1] - x[0]
+        dt = T / n_time
+        a = 0.5 * sigma**2 / dx**2
+        b = (r - q - 0.5 * sigma**2) / (2 * dx)
+        Lm, Lc, Lp = a - b, -2 * a - r, a + b
+        V = np.maximum(s - K, 0.0)
+        for step in range(n_time):
+            t_rem = (n_time - step - 1) * dt
+            LV = np.zeros_like(V)
+            LV[1:-1] = Lm * V[:-2] + Lc * V[1:-1] + Lp * V[2:]
+            # edge cells never used after Dirichlet overwrite
+            V = V + dt * LV
+            V[0] = 0.0
+            V[-1] = s[-1] - K * np.exp(-r * t_rem)
+        return s, V
+
+    def test_matches_single_device(self):
+        from pde_tpu.parallel.halo import make_grid_mesh, sharded_bs_explicit
+
+        # explicit scheme: n_time above the CFL bound for this grid
+        kw = dict(sigma=0.2, r=0.05, q=0.0, T=0.25, K=100.0, n_space=256, n_time=4000)
+        mesh = make_grid_mesh(8)
+        s_grid, V = sharded_bs_explicit(mesh, **kw)
+        s_ref, V_ref = self._single_device_reference(**kw)
+        np.testing.assert_allclose(np.asarray(s_grid), s_ref, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(V), V_ref, rtol=1e-9, atol=1e-9)
+
+    def test_mesh_size_invariance(self):
+        from pde_tpu.parallel.halo import make_grid_mesh, sharded_bs_explicit
+
+        kw = dict(sigma=0.25, r=0.03, q=0.01, T=0.1, K=50.0, n_space=128, n_time=2000)
+        results = [
+            np.asarray(sharded_bs_explicit(make_grid_mesh(n), **kw)[1])
+            for n in (1, 2, 4, 8)
+        ]
+        for r_ in results[1:]:
+            np.testing.assert_allclose(r_, results[0], rtol=1e-10)
+
+    def test_price_sane(self):
+        from pde_tpu.models import black_scholes as bs
+        from pde_tpu.parallel.halo import make_grid_mesh, sharded_bs_explicit
+        from pde_tpu.core import grids
+
+        kw = dict(sigma=0.2, r=0.05, q=0.0, T=0.5, K=100.0, n_space=512, n_time=20000)
+        s_grid, V = sharded_bs_explicit(make_grid_mesh(8), **kw)
+        price = float(grids.interp_linear(s_grid, V, 100.0))
+        exact = float(bs.price(100.0, 100.0, 0.05, 0.0, 0.5, 0.2, True))
+        assert abs(price - exact) < 0.05
+
+    def test_indivisible_grid_raises(self):
+        from pde_tpu.parallel.halo import make_grid_mesh, sharded_bs_explicit
+
+        with pytest.raises(ValueError):
+            sharded_bs_explicit(make_grid_mesh(8), 0.2, 0.05, 0.0, 1.0, 100.0,
+                                n_space=100, n_time=100)
