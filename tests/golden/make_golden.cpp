@@ -43,6 +43,17 @@ int main() {
         emit("heston_cf_im", phi.imag());
     }
 
+    // finite-difference Greeks (heston.cpp:169-218)
+    {
+        quant::models::PricingResult pr =
+            heston.price_option_with_greeks(100.0, 1.0, 100.0, 0.05, 0.02, true);
+        emit("heston_greek_delta", pr.greeks.delta);
+        emit("heston_greek_gamma", pr.greeks.gamma);
+        emit("heston_greek_vega", pr.greeks.vega);
+        emit("heston_greek_theta", pr.greeks.theta);
+        emit("heston_greek_rho", pr.greeks.rho);
+    }
+
     // strike sweep at T = 1 (the 100-option vectorized benchmark config)
     {
         std::printf("  \"heston_strikes_T1\": [");
@@ -72,6 +83,14 @@ int main() {
     emit("sabr_b1_vol_k110", sabr_b1.implied_volatility(110.0, 100.0, 0.5, 0.25, -0.4, 0.5));
     SABRModel sabr_b0(0.0);
     emit("sabr_b0_vol_k95", sabr_b0.implied_volatility(95.0, 100.0, 2.0, 15.0, 0.1, 0.3));
+
+    // SABR FD sensitivities (sabr.cpp:250-280)
+    {
+        auto [da, dr, dn] = sabr.volatility_sensitivities(105.0, 100.0, 1.0, 0.2, -0.3, 0.4);
+        emit("sabr_sens_dalpha", da);
+        emit("sabr_sens_drho", dr);
+        emit("sabr_sens_dnu", dn);
+    }
 
     // ---- OU: fit on a deterministic simulated path ----
     OUParameters op;

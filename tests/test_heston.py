@@ -219,3 +219,14 @@ class TestIVSurface:
         assert np.all(np.isfinite(s)) and np.all(s > 0)
         # rho = -0.7: downside skew at every maturity
         assert np.all(s[:, 0] > s[:, -1])
+
+
+class TestGreeksGoldenParity:
+    def test_fd_greeks_match_cpp(self, params):
+        """Same FD stencils and bump sizes as heston.cpp:169-218."""
+        g = heston.price_with_greeks(params, 100.0, 1.0, **MKT)
+        assert abs(float(g["delta"]) - GOLDEN["heston_greek_delta"]) < 1e-8
+        assert abs(float(g["gamma"]) - GOLDEN["heston_greek_gamma"]) < 1e-8
+        assert abs(float(g["vega"]) - GOLDEN["heston_greek_vega"]) < 1e-6
+        assert abs(float(g["theta"]) - GOLDEN["heston_greek_theta"]) < 1e-6
+        assert abs(float(g["rho"]) - GOLDEN["heston_greek_rho"]) < 1e-6

@@ -116,3 +116,13 @@ class TestValidation:
             SABRParams(alpha=0.2, beta=1.5, rho=0.0, nu=0.3).validate()
         with pytest.raises(ValueError):
             SABRParams(alpha=0.2, beta=0.5, rho=1.0, nu=0.3).validate()
+
+
+class TestSensitivityGoldenParity:
+    def test_ad_matches_cpp_fd(self, params):
+        """AD sensitivities agree with the reference's central FD values to
+        the FD truncation error (~1e-6, sabr.cpp:250-280)."""
+        d_alpha, d_rho, d_nu = sabr.volatility_sensitivities(105.0, 100.0, 1.0, params)
+        assert abs(float(d_alpha) - GOLDEN["sabr_sens_dalpha"]) < 1e-5
+        assert abs(float(d_rho) - GOLDEN["sabr_sens_drho"]) < 1e-5
+        assert abs(float(d_nu) - GOLDEN["sabr_sens_dnu"]) < 1e-5
