@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Extended benchmark suite (the headline driver metric lives in bench.py).
+
+Covers every BASELINE.json config on the attached device and prints one JSON
+line per metric:
+
+1. Carr-Madan pricing throughput (the reference's 10k options/sec config)
+2. SABR smile evaluation throughput (~10 us/calc reference)
+3. OU simulation + MLE (252 steps/obs, ~0.1 ms reference)
+4. 2D Heston ADI PDE steps/sec (single and vmapped)
+5. American Heston LCP solve
+6. Full surface calibration (same as bench.py)
+7. Batched multi-surface calibration throughput
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def emit(metric, value, unit, baseline=None):
+    row = {"metric": metric, "value": round(value, 6), "unit": unit}
+    if baseline:
+        row["vs_baseline"] = round(baseline / value if unit.endswith("_s") else value / baseline, 1)
+    print(json.dumps(row))
+
+
+def sync(x):
+    import jax
+
+    jax.block_until_ready(x)
+    return x
+
+
+def timeit(fn, n=20):
+    sync(fn())
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    sync(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    print(f"# device={jax.devices()[0]}", file=sys.stderr)
+    f32 = jnp.float32
+
+    # 1. Heston pricing throughput ------------------------------------------
+    from pde_tpu.models import heston
+
+    params = heston.HestonParams(2.0, 0.04, 0.3, -0.7, 0.04)
+    n_opts = 8192
+    strikes = jnp.asarray(np.linspace(60, 140, n_opts), f32)
+    mats = jnp.asarray(np.tile(np.linspace(0.1, 2.0, 8), n_opts // 8), f32)
+    price_fn = jax.jit(lambda: heston.price_carr_madan(params, strikes, mats, 100.0, 0.05, 0.02))
+    per = timeit(price_fn)
+    emit("heston_pricing_options_per_sec", n_opts / per, "options/s", baseline=10_000)
+
+    # 2. SABR throughput -----------------------------------------------------
+    from pde_tpu.models import sabr
+
+    sp = sabr.SABRParams(0.2, 0.5, -0.3, 0.4)
+    n_v = 65536
+    ks = jnp.asarray(np.linspace(60, 140, n_v), f32)
+    sabr_fn = jax.jit(lambda: sabr.implied_volatilities(ks, 100.0, 1.0, sp))
+    per = timeit(sabr_fn)
+    emit("sabr_vols_per_sec", n_v / per, "vols/s", baseline=100_000)  # 10us/calc
+
+    # 3. OU simulate + fit ---------------------------------------------------
+    from pde_tpu.models import ou
+
+    op = ou.OUParams(100.0, 5.0, 2.0)
+    n_paths = 1024
+    keys = jax.random.split(jax.random.PRNGKey(0), n_paths)
+    sim_fn = jax.jit(lambda: jax.vmap(lambda k: ou.simulate(op, 100.0, 1.0, 252, k))(keys))
+    per = timeit(sim_fn, n=10)
+    emit("ou_sim252_paths_per_sec", n_paths / per, "paths/s", baseline=10_000)  # 0.1ms/path
+
+    paths = sim_fn()
+    fit_fn = jax.jit(lambda: jax.vmap(lambda x: ou.fit_mle(x, 1 / 252).params.mu)(paths))
+    per = timeit(fit_fn, n=10)
+    emit("ou_mle252_fits_per_sec", n_paths / per, "fits/s", baseline=10_000)
+
+    # 4. Heston ADI ----------------------------------------------------------
+    from pde_tpu.solvers import heston_adi
+
+    hp = heston_adi.HestonPDEParams(q=0.02)
+    adi_fn = jax.jit(lambda: heston_adi._solve_impl(hp, 100.0).price)
+    per = timeit(adi_fn, n=10)
+    emit("heston_adi_100x50_steps_per_sec", hp.n_time / per, "steps/s")
+
+    spots = jnp.asarray(np.linspace(80, 120, 16), f32)
+    vm_fn = jax.jit(lambda: jax.vmap(lambda s: heston_adi._solve_impl(hp, s).price)(spots))
+    per = timeit(vm_fn, n=10)
+    emit("heston_adi_vmapped16_steps_per_sec", 16 * hp.n_time / per, "steps/s")
+
+    # 5. American LCP --------------------------------------------------------
+    am = hp._replace(is_call=False, american=True, american_method="it_lcp", r=0.08, q=0.0)
+    am_fn = jax.jit(lambda: heston_adi._solve_impl(am, 90.0).price)
+    per = timeit(am_fn, n=10)
+    emit("heston_american_lcp_solve_s", per, "solve_s")
+
+    # 6/7. calibration headline + batched ------------------------------------
+    from pde_tpu.calibrate.heston import HestonCalibrator
+
+    data = HestonCalibrator.generate_synthetic_data(
+        S0=100.0, r=0.05, q=0.02,
+        strikes=np.linspace(85.0, 115.0, 12), maturities=np.linspace(0.25, 1.5, 9),
+    )
+    cal = HestonCalibrator(global_maxiter=100, global_popsize=15)
+    U = 16
+    Ks = np.tile(np.asarray(data["strike"]), (U, 1))
+    Ts = np.tile(np.asarray(data["maturity"]), (U, 1))
+    Ps = np.tile(np.asarray(data["mid_price"]), (U, 1))
+    spots_b = np.full(U, 100.0)
+
+    out = cal.calibrate_batch(Ks, Ts, Ps, spots_b, 0.05, 0.02)
+    sync(out["params"])
+    t0 = time.perf_counter()
+    out = cal.calibrate_batch(Ks, Ts, Ps, spots_b, 0.05, 0.02)
+    sync(out["params"])
+    per = time.perf_counter() - t0
+    emit("heston_batched_calibration_surfaces_per_sec", U / per, "surfaces/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,6 @@ Replaces the reference's scipy ``least_squares(method='trf')`` local stage
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

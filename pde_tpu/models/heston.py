@@ -380,6 +380,37 @@ def price_with_greeks(params, strike, maturity, spot, rate=0.0, dividend=0.0, is
     }
 
 
+def greeks_ad(params, strike, maturity, spot, rate=0.0, dividend=0.0, is_call=True):
+    """Exact Greeks via automatic differentiation of the converged pricer.
+
+    The reference can only bump-and-reprice (heston.cpp:169-218, five extra
+    pricings with FD truncation error); AD gives machine-accurate delta,
+    gamma, vega (dV/dv0), rho and theta from one linearization each.
+    """
+
+    def p(spot_, rate_, maturity_, v0_):
+        pp = params._replace(v0=v0_)
+        return jnp.sum(
+            price_accurate(pp, strike, maturity_, spot_, rate_, dividend, is_call)
+        )
+
+    spot = jnp.asarray(spot, dtype=result_dtype(spot))
+    price = price_accurate(params, strike, maturity, spot, rate, dividend, is_call)
+    delta = jax.grad(p, argnums=0)(spot, rate, maturity, params.v0)
+    gamma = jax.grad(jax.grad(p, argnums=0), argnums=0)(spot, rate, maturity, params.v0)
+    rho_g = jax.grad(p, argnums=1)(spot, jnp.asarray(rate, spot.dtype), maturity, params.v0)
+    theta_g = -jax.grad(p, argnums=2)(spot, rate, jnp.asarray(maturity, spot.dtype), params.v0)
+    vega_g = jax.grad(p, argnums=3)(spot, rate, maturity, jnp.asarray(params.v0, spot.dtype))
+    return {
+        "price": price,
+        "delta": delta,
+        "gamma": gamma,
+        "vega": vega_g,  # dV/dv0 (variance vega)
+        "theta": theta_g,
+        "rho": rho_g,
+    }
+
+
 def price_fft(
     params: HestonParams,
     maturity,

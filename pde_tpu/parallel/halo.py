@@ -20,13 +20,10 @@ Numerical equivalence with the single-device solver is tested on the virtual
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["sharded_bs_explicit", "make_grid_mesh"]
 

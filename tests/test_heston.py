@@ -230,3 +230,20 @@ class TestGreeksGoldenParity:
         assert abs(float(g["vega"]) - GOLDEN["heston_greek_vega"]) < 1e-6
         assert abs(float(g["theta"]) - GOLDEN["heston_greek_theta"]) < 1e-6
         assert abs(float(g["rho"]) - GOLDEN["heston_greek_rho"]) < 1e-6
+
+
+class TestADGreeks:
+    def test_ad_delta_matches_fd_of_accurate_pricer(self, params):
+        g = heston.greeks_ad(params, 100.0, 1.0, **MKT)
+        eps = 1e-4
+        up = float(heston.price_accurate(params, 100.0, 1.0, 100.0 + eps, 0.05, 0.02))
+        dn = float(heston.price_accurate(params, 100.0, 1.0, 100.0 - eps, 0.05, 0.02))
+        assert abs(float(g["delta"]) - (up - dn) / (2 * eps)) < 1e-6
+        assert float(g["gamma"]) > 0
+        assert float(g["vega"]) > 0
+        assert float(g["theta"]) < 0
+        # the reference-parity FD greeks carry the reference quadrature's
+        # ~2% price bias into delta (~0.024 here); AD-of-the-converged-pricer
+        # is the accurate value, so only loose agreement is expected
+        fd = heston.price_with_greeks(params, 100.0, 1.0, **MKT)
+        assert abs(float(g["delta"]) - float(fd["delta"])) < 0.05
