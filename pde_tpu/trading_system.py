@@ -238,6 +238,84 @@ class TradingSystem:
         )
         return mc.run(np.asarray(returns), **kwargs)
 
+    # ------------------------------------------------------------ live loop
+
+    def run_live(
+        self,
+        stream_provider,
+        symbols: List[str],
+        n_ticks: int = 100,
+        bar_seconds: float = 60.0,
+        signal_every_bars: int = 5,
+        lookback: int = 60,
+    ) -> Dict[str, Any]:
+        """Drive the live critical path: ticks -> bars -> signals -> orders.
+
+        The reference's design target is calibration -> signal -> execution
+        under 5 s (design-doc.md:357); this loop implements the stream side
+        of it against any DataStreamProvider (the simulated feed in tests).
+        Returns loop statistics including the worst signal->fill latency.
+        """
+        from .backtest.multi_strategy import MultiStrategyManager
+        from .data.streaming import StreamManager
+        from .execution.order import Order, OrderSide
+
+        if not self.initialized:
+            raise RuntimeError("call initialize() first")
+
+        mgr = StreamManager(stream_provider, bar_seconds=bar_seconds)
+        voter = MultiStrategyManager(symbols, window=lookback)
+        broker = self._components["broker"]
+        om = self._components["order_manager"]
+        ks = self._components.get("kill_switch")
+
+        history: Dict[str, List[float]] = {s: [] for s in symbols}
+        bars_seen = {s: 0 for s in symbols}
+        n_orders = 0
+        worst_latency = 0.0
+
+        for _ in range(n_ticks):
+            stream_provider.step(symbols)
+            for s in symbols:
+                new_bars = mgr.bars.get(s, [])
+                while bars_seen[s] < len(new_bars):
+                    bar = new_bars[bars_seen[s]]
+                    bars_seen[s] += 1
+                    history[s].append(bar.close)
+                    broker.set_price(s, bar.close)
+                    if len(history[s]) < lookback or bars_seen[s] % signal_every_bars:
+                        continue
+                    if ks is not None and not ks.check_allowed():
+                        continue
+                    t0 = time.perf_counter()
+                    score = voter.vote(np.asarray(history[s][-lookback:]))
+                    side = None
+                    if score > 0.25 and broker.get_positions().get(s, 0.0) <= 0:
+                        side = OrderSide.BUY
+                    elif score < -0.25 and broker.get_positions().get(s, 0.0) >= 0:
+                        side = OrderSide.SELL
+                    if side is not None:
+                        qty = max(
+                            int(self.config.trading.initial_capital
+                                * self.config.trading.max_position_pct / bar.close),
+                            1,
+                        )
+                        om.submit_order(
+                            Order(symbol=s, side=side, quantity=float(qty),
+                                  strategy_id="live_multi"),
+                            reference_price=bar.close,
+                        )
+                        n_orders += 1
+                    worst_latency = max(worst_latency, time.perf_counter() - t0)
+
+        return {
+            "ticks": n_ticks,
+            "bars": dict(bars_seen),
+            "orders_submitted": n_orders,
+            "worst_signal_to_order_s": worst_latency,
+            "positions": broker.get_positions(),
+        }
+
     # -------------------------------------------------------------- status
 
     def get_status(self) -> Dict[str, Any]:

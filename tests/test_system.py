@@ -185,3 +185,42 @@ class TestCLI:
         assert rc == 0
         out = capsys.readouterr().out
         assert "calibrating Heston" in out and "backtest" in out
+
+
+class TestLiveLoop:
+    def test_ticks_to_orders_critical_path(self):
+        """Stream -> bars -> multi-strategy vote -> risk-gated orders; the
+        reference's <5 s critical-path target (design-doc.md:357) holds with
+        huge margin."""
+        from pde_tpu.core.config import Config
+        from pde_tpu.data.streaming import SimulatedStreamProvider
+
+        cfg = Config()
+        cfg.database.url = "sqlite://"
+        system = TradingSystem(cfg)
+        system.initialize()
+
+        provider = SimulatedStreamProvider(seed=9, vol_per_tick=5e-3,
+                                           base_prices={"SPY": 450.0})
+        # bar per tick so signals fire quickly
+        stats = system.run_live(provider, ["SPY"], n_ticks=150, bar_seconds=1e-9,
+                                signal_every_bars=2, lookback=60)
+        assert stats["bars"]["SPY"] >= 140
+        assert stats["worst_signal_to_order_s"] < 5.0
+        assert stats["orders_submitted"] >= 0  # may be zero if no vote trips
+        system.shutdown()
+
+    def test_dataframe_calibration_input(self):
+        """The reference's primary input type (pandas DataFrame) works."""
+        import pandas as pd
+
+        from pde_tpu.calibrate import HestonCalibrator
+
+        data = HestonCalibrator.generate_synthetic_data(
+            n_strikes=7, n_maturities=2, as_dataframe=True
+        )
+        assert isinstance(data, pd.DataFrame)
+        cal = HestonCalibrator(global_maxiter=20, global_popsize=6)
+        res = cal.calibrate(data, S0=100.0, r=0.05, q=0.02)
+        assert res.fit_quality["rmse"] < 1.0
+        assert res.fit_quality["n_options"] == 14
