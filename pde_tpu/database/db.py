@@ -391,6 +391,45 @@ class TimeSeriesDB:
         except Exception as exc:  # noqa: BLE001
             return {"healthy": False, "error": str(exc)}
 
+    # ------------------------------------------------------- backup/restore
+
+    def backup(self, dest_path: str) -> Dict[str, Any]:
+        """Online backup to ``dest_path`` via sqlite's backup API.
+
+        Mirrors the reference's ops-level backup posture
+        (deploy/scripts/backup.sh, WAL archiving + pg_dump): a WAL
+        checkpoint followed by a consistent point-in-time copy, safe to run
+        while readers/writers are active.
+        """
+        src = self._conn()
+        src.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+        with self._lock:
+            dst = sqlite3.connect(dest_path)
+            try:
+                src.backup(dst)
+                n_tables = dst.execute(
+                    "SELECT COUNT(*) FROM sqlite_master WHERE type='table'"
+                ).fetchone()[0]
+            finally:
+                dst.close()
+        return {"path": dest_path, "tables": n_tables,
+                "time": datetime.now(timezone.utc).isoformat()}
+
+    def restore(self, src_path: str) -> Dict[str, Any]:
+        """Replace this database's contents from a backup file
+        (reference docs/DATABASE_RECOVERY.md posture; SURVEY.md §5)."""
+        src = sqlite3.connect(src_path)
+        try:
+            with self._lock:
+                dst = self._conn()
+                src.backup(dst)
+                n = dst.execute(
+                    "SELECT COUNT(*) FROM sqlite_master WHERE type='table'"
+                ).fetchone()[0]
+        finally:
+            src.close()
+        return {"restored_from": src_path, "tables": n}
+
     def close(self) -> None:
         if self._shared is not None:
             self._shared.close()

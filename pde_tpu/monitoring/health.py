@@ -26,9 +26,15 @@ __all__ = [
     "CallableCheck",
     "DatabaseCheck",
     "TCPCheck",
+    "HTTPCheck",
+    "RedisCheck",
+    "RabbitMQCheck",
     "MemoryCheck",
     "DiskCheck",
+    "CPUCheck",
     "SyntheticCalibrationProbe",
+    "SyntheticOrderFlowProbe",
+    "SyntheticDataFeedProbe",
     "CircuitBreaker",
     "CircuitBreakerOpen",
     "HealthManager",
@@ -117,6 +123,85 @@ class TCPCheck(HealthCheck):
             return HealthState.UNHEALTHY, str(exc)
 
 
+class HTTPCheck(HealthCheck):
+    """HTTP endpoint reachability + status code (health.py:221-290).
+
+    Uses stdlib urllib; any status in ``ok_statuses`` is healthy, other
+    statuses are degraded (the endpoint answered), connection failures are
+    unhealthy.
+    """
+
+    def __init__(self, name: str, url: str, timeout: float = 3.0,
+                 ok_statuses: tuple = (200,), critical: bool = True):
+        super().__init__(name, critical)
+        self.url, self.timeout, self.ok_statuses = url, timeout, tuple(ok_statuses)
+
+    def _check(self):
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(self.url, timeout=self.timeout) as resp:
+                code = resp.status
+        except urllib.error.HTTPError as exc:
+            code = exc.code
+        except (urllib.error.URLError, OSError) as exc:
+            return HealthState.UNHEALTHY, f"{self.url}: {exc}"
+        if code in self.ok_statuses:
+            return HealthState.HEALTHY, f"{self.url} -> {code}"
+        return HealthState.DEGRADED, f"{self.url} -> {code}"
+
+
+class RedisCheck(HealthCheck):
+    """Redis liveness via an in-protocol PING (health.py:291-340).
+
+    Speaks RESP directly over a socket (no redis-py dependency): sends
+    ``PING\\r\\n`` and requires ``+PONG``.
+    """
+
+    def __init__(self, host: str = "localhost", port: int = 6379,
+                 timeout: float = 2.0, critical: bool = False):
+        super().__init__("redis", critical)
+        self.host, self.port, self.timeout = host, port, timeout
+
+    def _check(self):
+        try:
+            with socket.create_connection((self.host, self.port), timeout=self.timeout) as s:
+                s.settimeout(self.timeout)
+                s.sendall(b"PING\r\n")
+                reply = s.recv(64)
+        except OSError as exc:
+            return HealthState.UNHEALTHY, str(exc)
+        if reply.startswith(b"+PONG"):
+            return HealthState.HEALTHY, f"{self.host}:{self.port} PONG"
+        return HealthState.DEGRADED, f"unexpected reply {reply[:16]!r}"
+
+
+class RabbitMQCheck(HealthCheck):
+    """RabbitMQ reachability via the AMQP protocol header (health.py:341-379).
+
+    Sends the AMQP 0-9-1 protocol header and requires the broker to answer
+    with a Connection.Start frame (type 1) rather than closing the socket.
+    """
+
+    def __init__(self, host: str = "localhost", port: int = 5672,
+                 timeout: float = 2.0, critical: bool = False):
+        super().__init__("rabbitmq", critical)
+        self.host, self.port, self.timeout = host, port, timeout
+
+    def _check(self):
+        try:
+            with socket.create_connection((self.host, self.port), timeout=self.timeout) as s:
+                s.settimeout(self.timeout)
+                s.sendall(b"AMQP\x00\x00\x09\x01")
+                reply = s.recv(8)
+        except OSError as exc:
+            return HealthState.UNHEALTHY, str(exc)
+        if reply[:1] == b"\x01":  # METHOD frame => Connection.Start
+            return HealthState.HEALTHY, f"{self.host}:{self.port} AMQP handshake"
+        return HealthState.DEGRADED, f"unexpected reply {reply!r}"
+
+
 class MemoryCheck(HealthCheck):
     """Process RSS vs a soft limit (health.py:380-440)."""
 
@@ -153,6 +238,73 @@ class DiskCheck(HealthCheck):
         if free_pct < self.min_free_pct:
             return HealthState.DEGRADED, f"{free_pct:.1%} free on {self.path}"
         return HealthState.HEALTHY, f"{free_pct:.1%} free on {self.path}"
+
+
+class CPUCheck(HealthCheck):
+    """1-minute load average vs core count (health.py:460-506)."""
+
+    def __init__(self, max_load_per_core: float = 2.0, critical: bool = False):
+        super().__init__("cpu", critical)
+        self.max_load_per_core = max_load_per_core
+
+    def _check(self):
+        load1, _, _ = os.getloadavg()
+        cores = os.cpu_count() or 1
+        per_core = load1 / cores
+        if per_core > self.max_load_per_core:
+            return HealthState.DEGRADED, f"load {load1:.1f} on {cores} cores"
+        return HealthState.HEALTHY, f"load {load1:.1f} on {cores} cores"
+
+
+class SyntheticOrderFlowProbe(HealthCheck):
+    """End-to-end order-flow probe (health.py:542-610): submit a 1-share
+    order to a throwaway simulated broker through the OrderManager and
+    require a fill."""
+
+    def __init__(self, critical: bool = False):
+        super().__init__("synthetic_order_flow", critical)
+
+    def _check(self):
+        from ..execution import OrderManager, SimulatedBroker
+        from ..execution.order import Order, OrderSide
+
+        broker = SimulatedBroker(initial_cash=1_000.0)
+        broker.connect()
+        broker.set_price("__PROBE__", 1.0)
+        om = OrderManager(broker=broker)
+        order = Order(symbol="__PROBE__", side=OrderSide.BUY, quantity=1.0,
+                      strategy_id="health_probe")
+        om.submit_order(order, reference_price=1.0)
+        if order.status.value.lower() == "filled":
+            return HealthState.HEALTHY, f"round-trip fill @ {order.avg_fill_price:.4f}"
+        return HealthState.UNHEALTHY, f"order ended {order.status.value}"
+
+
+class SyntheticDataFeedProbe(HealthCheck):
+    """End-to-end data-feed probe (health.py:611-671): pull ticks from a
+    provider and require fresh, positive prices."""
+
+    def __init__(self, provider=None, max_staleness_s: float = 60.0, critical: bool = False):
+        super().__init__("synthetic_data_feed", critical)
+        self.provider = provider
+        self.max_staleness_s = max_staleness_s
+
+    def _check(self):
+        provider = self.provider
+        if provider is None:
+            from ..data.streaming import SimulatedStreamProvider
+
+            provider = SimulatedStreamProvider(seed=0, base_prices={"__PROBE__": 100.0})
+        ticks = provider.step(["__PROBE__"])
+        if not ticks:
+            return HealthState.UNHEALTHY, "provider returned no ticks"
+        tick = ticks[-1]
+        if tick.price <= 0:
+            return HealthState.UNHEALTHY, f"non-positive price {tick.price}"
+        age = (datetime.now(timezone.utc) - tick.time).total_seconds()
+        if age > self.max_staleness_s:
+            return HealthState.DEGRADED, f"tick {age:.0f}s stale"
+        return HealthState.HEALTHY, f"tick {tick.price:.2f}, {age:.1f}s old"
 
 
 class SyntheticCalibrationProbe(HealthCheck):

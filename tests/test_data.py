@@ -1,6 +1,7 @@
 """Data pipeline + persistence tests: options/SVI, providers, validation,
 streaming, calendar, ingestion/recovery, quality monitoring, HTTP API, DB."""
 
+import os
 from datetime import date, datetime, timedelta, timezone
 
 import numpy as np
@@ -252,6 +253,52 @@ class TestDatabase:
         )
         chain = db.query_option_chain("SPY")
         assert len(chain) == 1 and chain[0]["strike"] == 450.0
+
+    def test_backup_and_restore_roundtrip(self, tmp_path):
+        src = TimeSeriesDB(str(tmp_path / "live.db"))
+        src.insert_market_prices(
+            [{"time": "2026-01-01T00:00:00", "symbol": "SPY", "close": 123.0, "volume": 1.0}]
+        )
+        out = src.backup(str(tmp_path / "bk.db"))
+        assert out["tables"] > 0
+
+        # damage simulation: a fresh empty db restored from the backup
+        dst = TimeSeriesDB(str(tmp_path / "recovered.db"))
+        assert dst.query_market_prices("SPY") == []
+        dst.restore(str(tmp_path / "bk.db"))
+        rows = dst.query_market_prices("SPY")
+        assert len(rows) == 1 and rows[0]["close"] == 123.0
+        src.close()
+        dst.close()
+
+    def test_backup_restore_scripts(self, tmp_path):
+        import subprocess
+
+        live = tmp_path / "live.db"
+        db = TimeSeriesDB(str(live))
+        db.insert_market_prices(
+            [{"time": "2026-01-01T00:00:00", "symbol": "QQQ", "close": 7.0, "volume": 1.0}]
+        )
+        db.close()
+        bdir = tmp_path / "backups"
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [os.path.join(root, "deploy/scripts/backup.sh"), str(live), str(bdir)],
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        backups = sorted(bdir.glob("pde_tpu_*.db.gz"))
+        assert len(backups) == 1
+
+        live.unlink()  # total loss
+        r = subprocess.run(
+            [os.path.join(root, "deploy/scripts/restore.sh"), str(backups[0]), str(live)],
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        recovered = TimeSeriesDB(str(live))
+        assert recovered.query_market_prices("QQQ")[0]["close"] == 7.0
+        recovered.close()
 
     def test_health_check(self, db):
         h = db.health_check()

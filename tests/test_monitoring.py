@@ -93,6 +93,66 @@ class TestHealth:
         res = hl.TCPCheck("nowhere", "127.0.0.1", 1, timeout=0.2).run()
         assert res.state == hl.HealthState.UNHEALTHY
 
+    def test_http_check(self):
+        import http.server
+        import threading
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                code = 200 if self.path == "/health" else 503
+                self.send_response(code)
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            base = f"http://127.0.0.1:{srv.server_address[1]}"
+            assert hl.HTTPCheck("api", f"{base}/health").run().state == hl.HealthState.HEALTHY
+            assert hl.HTTPCheck("api", f"{base}/bad").run().state == hl.HealthState.DEGRADED
+        finally:
+            srv.shutdown()
+        res = hl.HTTPCheck("api", "http://127.0.0.1:1/x", timeout=0.2).run()
+        assert res.state == hl.HealthState.UNHEALTHY
+
+    def test_redis_check_protocol(self):
+        import socketserver
+        import threading
+
+        class FakeRedis(socketserver.StreamRequestHandler):
+            def handle(self):
+                if b"PING" in self.rfile.readline():
+                    self.wfile.write(b"+PONG\r\n")
+
+        srv = socketserver.TCPServer(("127.0.0.1", 0), FakeRedis)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            res = hl.RedisCheck("127.0.0.1", srv.server_address[1]).run()
+            assert res.state == hl.HealthState.HEALTHY
+        finally:
+            srv.shutdown()
+        down = hl.RedisCheck("127.0.0.1", 1, timeout=0.2).run()
+        assert down.state == hl.HealthState.UNHEALTHY
+
+    def test_rabbitmq_check_unreachable(self):
+        res = hl.RabbitMQCheck("127.0.0.1", 1, timeout=0.2).run()
+        assert res.state == hl.HealthState.UNHEALTHY
+
+    def test_cpu_check(self, monkeypatch):
+        assert hl.CPUCheck(max_load_per_core=1e9).run().state == hl.HealthState.HEALTHY
+        monkeypatch.setattr(hl.os, "getloadavg", lambda: (64.0, 64.0, 64.0))
+        assert hl.CPUCheck(max_load_per_core=0.5).run().state == hl.HealthState.DEGRADED
+
+    def test_synthetic_order_flow_probe(self):
+        res = hl.SyntheticOrderFlowProbe().run()
+        assert res.state == hl.HealthState.HEALTHY, res.message
+
+    def test_synthetic_data_feed_probe(self):
+        res = hl.SyntheticDataFeedProbe().run()
+        assert res.state == hl.HealthState.HEALTHY, res.message
+
 
 class TestAlerts:
     def test_rules_and_dedup(self):
