@@ -246,9 +246,15 @@ class HestonCalibrator:
                 )
             )
 
-            params = HestonParams(*[float(v) for v in np.asarray(lm_x)])
+            # ONE batched device->host transfer: on remote-tunnelled TPUs
+            # every individual pull pays a full RTT, so float()/np.asarray()
+            # per output is ruinous (measured ~30 ms each on axon)
+            de_fun, lm_x, lm_cost, lm_conv, lm_iter, model_prices = jax.device_get(
+                (de_fun, lm_x, lm_cost, lm_conv, lm_iter, model_prices)
+            )
+            params = HestonParams(*[float(v) for v in lm_x])
             warnings = self._validate_parameters(params)
-            fit_quality = self._fit_quality(np.asarray(model_prices), prices, params)
+            fit_quality = self._fit_quality(model_prices, prices, params)
             elapsed_ms = int((time.time() - start) * 1000)
 
             result = CalibrationResult(

@@ -153,7 +153,7 @@ class OUFitter:
         x = jnp.asarray(np.asarray(X, dtype=np.float64))
         n = int(x.shape[0])
 
-        theta, mu, sigma = (float(v) for v in _analytical_mle(x, dt))
+        theta, mu, sigma = (float(v) for v in jax.device_get(_analytical_mle(x, dt)))
         success = True
 
         if method == "analytical" and (mu < 0.01 or mu > 50):

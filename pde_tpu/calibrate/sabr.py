@@ -160,7 +160,9 @@ class SABRCalibrator:
             upper,
             beta=self.beta,
         )
-        x = np.asarray(x)
+        # one batched device->host pull (per-output pulls pay a full RTT
+        # each on remote-tunnelled TPUs)
+        x, rmse = jax.device_get((x, rmse))
         params = SABRParams(alpha=float(x[0]), beta=self.beta, rho=float(x[1]), nu=float(x[2]))
         return params, float(rmse)
 

@@ -201,7 +201,7 @@ def solve(params: HJBParams) -> HJBResult:
         params.x_min, params.x_max, params.n_space, params.n_time,
         method=params.method, psor_iterations=params.psor_iterations,
     )
-    x_np, V_np, g_np = np.asarray(x_out), np.asarray(V), np.asarray(g)
+    x_np, V_np, g_np = jax.device_get((x_out, V, g))  # one batched pull
     lo, hi = _find_boundaries(V_np, x_np, g_np)
     return HJBResult(V_np, x_np, lo, hi, None)
 
@@ -221,12 +221,12 @@ def solve_all_boundaries(params: HJBParams) -> OptimalTradingBoundaries:
         params.x_min, params.x_max, params.n_space, params.n_time,
         method=params.method, psor_iterations=params.psor_iterations,
     )
-    x_np = np.asarray(x_out)
+    x_np, V_np, g_np = jax.device_get((x_out, V_all, g_all))  # one batched pull
     sigma_stat = params.sigma / np.sqrt(2.0 * params.mu)
 
     bounds = {}
     for pr in StoppingProblem:
-        lo, hi = _find_boundaries(np.asarray(V_all[pr]), x_np, np.asarray(g_all[pr]))
+        lo, hi = _find_boundaries(V_np[pr], x_np, g_np[pr])
         bounds[pr] = (lo, hi)
 
     entry_long = bounds[StoppingProblem.ENTRY_LONG][0]
