@@ -27,7 +27,11 @@ Validated: 100x50x100 grid prices the canonical ATM call to 0.17% of truth
 per v level (uniform dx); all nv implicit S systems solve as ONE batched
 Thomas call riding the VPU lanes, all nS v systems likewise (the v operator
 is S-independent, one set of diagonals broadcast over rows); the time march
-is a ``lax.scan``; ``vmap`` over strikes/params prices surfaces per launch.
+is a ``lax.scan``.  All model/contract inputs (kappa..v0, r, q, T, K,
+is_call, S0) are TRACED, so :func:`solve_batch` vmaps whole option surfaces
+— mixed strikes, maturities, parameters, calls and puts — through one
+compiled march, and the batch axis shards over the ``dp`` mesh axis for
+multi-chip pricing.
 """
 
 from __future__ import annotations
@@ -41,7 +45,7 @@ import jax.numpy as jnp
 from ..core import grids
 from ..ops.tridiag import thomas
 
-__all__ = ["HestonPDEParams", "HestonPDEResult", "solve"]
+__all__ = ["HestonPDEParams", "HestonPDEResult", "solve", "solve_batch"]
 
 
 class HestonPDEParams(NamedTuple):
@@ -155,25 +159,38 @@ def _apply_a0(V, v_grid, dx, dv, rho, sigma):
     return jnp.pad(out, ((1, 1), (1, 1)))
 
 
-@functools.partial(jax.jit, static_argnames=("p",))
-def _solve_impl(p: HestonPDEParams, S0):
-    nS, nv, nT = p.n_spot, p.n_vol, p.n_time
-    x = jnp.linspace(jnp.log(p.K * p.s_min_mult), jnp.log(p.K * p.s_max_mult), nS)
+def _solve_core(
+    kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0,
+    *,
+    american: bool,
+    american_method: str,
+    n_spot: int,
+    n_vol: int,
+    n_time: int,
+    s_min_mult: float,
+    s_max_mult: float,
+    v_max: float,
+):
+    """The march with every model/contract input TRACED (only grid sizes and
+    the American mode are static) — the vmap/shard-able core."""
+    nS, nv, nT = n_spot, n_vol, n_time
+    is_call = jnp.asarray(is_call)
+    x = jnp.linspace(jnp.log(K * s_min_mult), jnp.log(K * s_max_mult), nS)
     s_grid = jnp.exp(x)
     dx = (x[-1] - x[0]) / (nS - 1)
-    v_grid = jnp.linspace(0.0, p.v_max, nv)
-    dv = p.v_max / (nv - 1)
-    dt = p.T / nT
+    v_grid = jnp.linspace(0.0, v_max, nv)
+    dv = v_max / (nv - 1)
+    dt = T / nT
     th = 0.5  # Douglas parameter
 
     payoff_1d = jnp.where(
-        p.is_call, jnp.maximum(s_grid - p.K, 0.0), jnp.maximum(p.K - s_grid, 0.0)
+        is_call, jnp.maximum(s_grid - K, 0.0), jnp.maximum(K - s_grid, 0.0)
     )
     payoff = jnp.broadcast_to(payoff_1d[:, None], (nS, nv))
 
-    lo_v, di_v, up_v = _a1_diags(v_grid, dx, p.r, p.q)
+    lo_v, di_v, up_v = _a1_diags(v_grid, dx, r, q)
     a1_lower, a1_diag, a1_upper = _assemble_a1(nS, nv, lo_v, di_v, up_v)
-    a2_lower, a2_diag, a2_upper = _a2_diags(v_grid, dv, p.kappa, p.theta, p.sigma, p.r)
+    a2_lower, a2_diag, a2_upper = _a2_diags(v_grid, dv, kappa, theta, sigma, r)
 
     # implicit system diagonals (I - th dt A)
     i1_lower = -th * dt * a1_lower
@@ -185,16 +202,11 @@ def _solve_impl(p: HestonPDEParams, S0):
 
     def apply_bc(V, tau):
         """Dirichlet boundaries at time-to-expiry tau (In 't Hout-Foulon)."""
-        df_r = jnp.exp(-p.r * tau)
-        df_q = jnp.exp(-p.q * tau)
-        if p.is_call:
-            V = V.at[0, :].set(0.0)
-            V = V.at[-1, :].set(s_grid[-1] * df_q - p.K * df_r)
-            V = V.at[:, -1].set(s_grid * df_q)
-        else:
-            V = V.at[0, :].set(p.K * df_r - s_grid[0] * df_q)
-            V = V.at[-1, :].set(0.0)
-            V = V.at[:, -1].set(p.K * df_r)
+        df_r = jnp.exp(-r * tau)
+        df_q = jnp.exp(-q * tau)
+        V = V.at[0, :].set(jnp.where(is_call, 0.0, K * df_r - s_grid[0] * df_q))
+        V = V.at[-1, :].set(jnp.where(is_call, s_grid[-1] * df_q - K * df_r, 0.0))
+        V = V.at[:, -1].set(jnp.where(is_call, s_grid * df_q, K * df_r))
         return V
 
     def adi_step(V, source):
@@ -203,7 +215,7 @@ def _solve_impl(p: HestonPDEParams, S0):
         ``source`` carries the Ikonen-Toivanen exercise-premium multiplier
         (zero for European / projection mode)."""
         F = (
-            _apply_a0(V, v_grid, dx, dv, p.rho, p.sigma)
+            _apply_a0(V, v_grid, dx, dv, rho, sigma)
             + _apply_a1(V, a1_lower, a1_diag, a1_upper)
             + _apply_a2(V, a2_lower, a2_diag, a2_upper)
         )
@@ -216,7 +228,7 @@ def _solve_impl(p: HestonPDEParams, S0):
         Y2 = thomas(i2_lower, i2_diag, i2_upper, rhs2)
         return Y2
 
-    use_it = p.american and p.american_method == "it_lcp"
+    use_it = american and american_method == "it_lcp"
 
     def step(carry, tau):
         V, lam = carry
@@ -230,7 +242,7 @@ def _solve_impl(p: HestonPDEParams, S0):
             lam = (V_new - W) / dt
             Vt = V_new
         Vt = apply_bc(Vt, tau)
-        if p.american and not use_it:
+        if american and not use_it:
             Vt = jnp.maximum(Vt, payoff)
         if use_it:
             # the Dirichlet/extrapolation boundaries are European; an
@@ -244,10 +256,10 @@ def _solve_impl(p: HestonPDEParams, S0):
     taus = dt * jnp.arange(1, nT + 1, dtype=s_grid.dtype)
     (V, _), _ = jax.lax.scan(step, (payoff, jnp.zeros_like(payoff)), taus)
 
-    price = grids.interp_bilinear(s_grid, v_grid, V, S0, p.v0)
+    price = grids.interp_bilinear(s_grid, v_grid, V, S0, v0)
 
     i = jnp.clip(grids.find_index(s_grid, S0), 1, nS - 2)
-    j = jnp.clip(grids.find_index(v_grid, p.v0), 1, nv - 2)
+    j = jnp.clip(grids.find_index(v_grid, v0), 1, nv - 2)
     delta = (V[i + 1, j] - V[i - 1, j]) / (s_grid[i + 1] - s_grid[i - 1])
     dS_m = s_grid[i] - s_grid[i - 1]
     dS_p = s_grid[i + 1] - s_grid[i]
@@ -256,9 +268,9 @@ def _solve_impl(p: HestonPDEParams, S0):
     dV_dv = (V[i, j + 1] - V[i, j - 1]) / (2.0 * dv)
     # vega ~ 2 sqrt(v0) T dV/dv (chain rule, same convention as the reference
     # heston_pde.hpp:534-547)
-    vega = 2.0 * jnp.sqrt(p.v0) * p.T * dV_dv
+    vega = 2.0 * jnp.sqrt(v0) * T * dV_dv
     theta_g = -(
-        _apply_a0(V, v_grid, dx, dv, p.rho, p.sigma)
+        _apply_a0(V, v_grid, dx, dv, rho, sigma)
         + _apply_a1(V, a1_lower, a1_diag, a1_upper)
         + _apply_a2(V, a2_lower, a2_diag, a2_upper)
     )[i, j]
@@ -266,10 +278,22 @@ def _solve_impl(p: HestonPDEParams, S0):
     return HestonPDEResult(price, delta, gamma, vega, theta_g, V, s_grid, v_grid)
 
 
+@functools.partial(jax.jit, static_argnames=("p",))
+def _solve_impl(p: HestonPDEParams, S0):
+    return _solve_core(
+        p.kappa, p.theta, p.sigma, p.rho, p.v0, p.r, p.q, p.T, p.K,
+        p.is_call, S0,
+        american=p.american, american_method=p.american_method,
+        n_spot=p.n_spot, n_vol=p.n_vol, n_time=p.n_time,
+        s_min_mult=p.s_min_mult, s_max_mult=p.s_max_mult, v_max=p.v_max,
+    )
+
+
 def solve(params: HestonPDEParams, S0) -> HestonPDEResult:
     """Solve the Heston PDE; price/Greeks at (S0, v0).
 
-    jit-compiled (params static); vmap over S0 for batches.
+    jit-compiled (params static); vmap over S0 for batches, or use
+    :func:`solve_batch` to batch over ALL inputs.
     """
     if params.kappa <= 0 or params.theta <= 0 or params.sigma <= 0:
         raise ValueError("kappa, theta, sigma must be positive")
@@ -278,3 +302,53 @@ def solve(params: HestonPDEParams, S0) -> HestonPDEResult:
     if params.v0 <= 0 or params.T <= 0 or params.K <= 0:
         raise ValueError("v0, T, K must be positive")
     return _solve_impl(params, S0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "american", "american_method", "n_spot", "n_vol", "n_time",
+        "s_min_mult", "s_max_mult", "v_max",
+    ),
+)
+def solve_batch(
+    kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0,
+    american: bool = False,
+    american_method: str = "projection",
+    n_spot: int = 100,
+    n_vol: int = 50,
+    n_time: int = 100,
+    s_min_mult: float = 0.2,
+    s_max_mult: float = 5.0,
+    v_max: float = 1.0,
+) -> HestonPDEResult:
+    """Price a whole BATCH of PDE problems in one compiled program.
+
+    Every array argument broadcasts against the others along one leading
+    batch axis — mixed strikes, maturities, rates, Heston parameters, spot
+    levels, calls AND puts (``is_call`` is traced) all march together; only
+    the grid sizes and the American mode are static.  The batch axis is
+    embarrassingly parallel: shard it over the ``dp`` mesh axis
+    (``jax.device_put`` with a ``NamedSharding(mesh, P("dp"))``) and XLA
+    runs each shard's marches locally with zero communication — the PDE
+    counterpart of the sharded calibration step (parallel/mesh.py).
+
+    The reference prices one option per HestonPDESolver instance in a C++
+    loop (heston_pde.hpp:56-150); this is the whole-desk replacement.
+    """
+    args = [jnp.atleast_1d(jnp.asarray(a)) for a in
+            (kappa, theta, sigma, rho, v0, r, q, T, K)]
+    is_call = jnp.atleast_1d(jnp.asarray(is_call))
+    S0 = jnp.atleast_1d(jnp.asarray(S0))
+    n = max(a.shape[0] for a in args + [is_call, S0])
+    args = [jnp.broadcast_to(a, (n,)) for a in args]
+    is_call = jnp.broadcast_to(is_call, (n,))
+    S0 = jnp.broadcast_to(S0, (n,))
+
+    core = functools.partial(
+        _solve_core,
+        american=american, american_method=american_method,
+        n_spot=n_spot, n_vol=n_vol, n_time=n_time,
+        s_min_mult=s_min_mult, s_max_mult=s_max_mult, v_max=v_max,
+    )
+    return jax.vmap(core)(*args, is_call, S0)

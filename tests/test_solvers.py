@@ -135,6 +135,43 @@ class TestHestonADI:
         with pytest.raises(ValueError):
             heston_adi.solve(self.PARAMS._replace(rho=1.5), 100.0)
 
+    def test_solve_batch_matches_scalar(self):
+        """One compiled march prices mixed strikes/maturities/calls/puts;
+        each row matches the per-option solve."""
+        import jax.numpy as jnp
+
+        K = jnp.asarray([90.0, 100.0, 110.0, 100.0])
+        T = jnp.asarray([0.5, 1.0, 1.0, 2.0])
+        is_call = jnp.asarray([True, True, False, False])
+        batch = heston_adi.solve_batch(
+            2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, T, K, is_call, 100.0
+        )
+        assert batch.price.shape == (4,)
+        for i in range(4):
+            p = self.PARAMS._replace(
+                K=float(K[i]), T=float(T[i]), is_call=bool(is_call[i])
+            )
+            single = heston_adi.solve(p, 100.0)
+            np.testing.assert_allclose(
+                float(batch.price[i]), float(single.price), rtol=1e-10
+            )
+            np.testing.assert_allclose(
+                float(batch.delta[i]), float(single.delta), rtol=1e-8
+            )
+
+    def test_solve_batch_american(self):
+        import jax.numpy as jnp
+
+        K = jnp.asarray([100.0, 100.0])
+        eu = heston_adi.solve_batch(
+            2.0, 0.04, 0.3, -0.7, 0.04, 0.08, 0.0, 1.0, K, False, 90.0
+        )
+        am = heston_adi.solve_batch(
+            2.0, 0.04, 0.3, -0.7, 0.04, 0.08, 0.0, 1.0, K, False, 90.0,
+            american=True,
+        )
+        assert float(am.price[0]) - float(eu.price[0]) > 0.02
+
 
 class TestHJB:
     PARAMS = hjb.HJBParams(theta=0.0, mu=5.0, sigma=0.1, r=0.05, T=1.0)
