@@ -99,6 +99,19 @@ def main():
     per = timeit(vm_fn, n=10)
     emit("heston_adi_vmapped16_steps_per_sec", 16 * hp.n_time / per, "steps/s")
 
+    # 4b. whole-surface PDE pricing (solve_batch: traced strikes/maturities/
+    # call-put flags, one compiled march) -------------------------------------
+    Kb = jnp.asarray(np.tile(np.linspace(85.0, 115.0, 12), 9), f32)
+    Tb = jnp.asarray(np.repeat(np.linspace(0.25, 1.5, 9), 12), f32)
+    cb = jnp.asarray(np.arange(108) % 2 == 0)
+    batch_fn = jax.jit(
+        lambda: heston_adi.solve_batch(
+            2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, Tb, Kb, cb, 100.0
+        ).price
+    )
+    per = timeit(batch_fn, n=10)
+    emit("heston_adi_batch108_options_per_sec", 108 / per, "options/s")
+
     # 5. American LCP --------------------------------------------------------
     am = hp._replace(is_call=False, american=True, american_method="it_lcp", r=0.08, q=0.0)
     am_fn = jax.jit(lambda: heston_adi._solve_impl(am, 90.0).price)
