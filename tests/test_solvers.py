@@ -159,6 +159,28 @@ class TestHestonADI:
                 float(batch.delta[i]), float(single.delta), rtol=1e-8
             )
 
+    def test_greeks_ad_match_fd(self):
+        """Adjoint Greeks through the ADI march match central differences;
+        remat=True gives the identical adjoint."""
+        args = (2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, 1.0, 100.0, True, 100.0)
+        kwargs = dict(n_spot=60, n_vol=30, n_time=40)
+        out = heston_adi.greeks_ad(*args, **kwargs)
+
+        def price(S0=100.0, sigma=0.3):
+            a = (2.0, 0.04, sigma, -0.7, 0.04, 0.05, 0.02, 1.0, 100.0, True, S0)
+            return float(heston_adi.solve_batch(*a, **kwargs).price[0])
+
+        eps = 1e-3
+        fd_delta = (price(S0=100.0 + eps) - price(S0=100.0 - eps)) / (2 * eps)
+        fd_dsigma = (price(sigma=0.3 + eps) - price(sigma=0.3 - eps)) / (2 * eps)
+        np.testing.assert_allclose(float(out["delta"]), fd_delta, rtol=1e-4)
+        np.testing.assert_allclose(float(out["d_sigma"]), fd_dsigma, rtol=1e-3)
+        assert float(out["d_T"]) > 0  # longer expiry, higher call value
+        assert float(out["d_v0"]) > 0
+
+        remat = heston_adi.greeks_ad(*args, remat=True, **kwargs)
+        np.testing.assert_allclose(float(remat["delta"]), float(out["delta"]), rtol=1e-12)
+
     def test_solve_batch_american(self):
         import jax.numpy as jnp
 
