@@ -68,6 +68,65 @@ def cmd_calibrate(args) -> int:
     return 0 if res.success else 1
 
 
+def cmd_price(args) -> int:
+    """Price a strike grid under Heston: Carr-Madan CF, the ADI PDE, or
+    adjoint Greeks — the pricing stack as a CLI surface."""
+    import numpy as np
+
+    strikes = np.asarray(args.strikes, dtype=float)
+    out = {"model": "heston", "method": args.method, "spot": args.spot,
+           "maturity": args.maturity, "strikes": strikes.tolist()}
+
+    if args.method == "cf":
+        import jax.numpy as jnp
+
+        from .models import heston
+
+        params = heston.HestonParams(
+            kappa=args.kappa, theta=args.theta, sigma=args.sigma,
+            rho=args.rho, v0=args.v0,
+        )
+        prices = heston.price_accurate(
+            params, jnp.asarray(strikes), args.maturity, args.spot,
+            args.rate, args.dividend, is_call=not args.put,
+        )
+        ivs = heston.implied_volatility(
+            params, jnp.asarray(strikes), jnp.asarray(args.maturity),
+            args.spot, args.rate, args.dividend, not args.put, accurate=True,
+        )
+        out["prices"] = np.asarray(prices).tolist()
+        out["implied_vols"] = np.asarray(ivs).tolist()
+    elif args.method == "pde":
+        from .solvers import heston_adi
+
+        res = heston_adi.solve_batch(
+            args.kappa, args.theta, args.sigma, args.rho, args.v0,
+            args.rate, args.dividend, args.maturity, strikes,
+            not args.put, args.spot, american=args.american,
+        )
+        out["prices"] = np.asarray(res.price).tolist()
+        out["delta"] = np.asarray(res.delta).tolist()
+        out["gamma"] = np.asarray(res.gamma).tolist()
+        out["american"] = args.american
+    else:  # greeks
+        import jax
+
+        from .solvers import heston_adi
+
+        rows = []
+        for K in strikes:
+            g = heston_adi.greeks_ad(
+                args.kappa, args.theta, args.sigma, args.rho, args.v0,
+                args.rate, args.dividend, args.maturity, float(K),
+                not args.put, args.spot,
+            )
+            rows.append({k: float(v) for k, v in jax.device_get(g).items()})
+        out["greeks"] = rows
+
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_status(args) -> int:
     system = TradingSystem(load_config(args.config))
     status = system.initialize()
@@ -249,6 +308,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maxiter", type=int, default=100)
     p.add_argument("--popsize", type=int, default=15)
     p.set_defaults(func=cmd_calibrate, config=None)
+
+    p = sub.add_parser("price", help="price a strike grid (Heston CF/PDE/AD-Greeks)")
+    p.add_argument("--method", choices=("cf", "pde", "greeks"), default="cf")
+    p.add_argument("--strikes", type=float, nargs="+", default=[90.0, 100.0, 110.0])
+    p.add_argument("--spot", type=float, default=100.0)
+    p.add_argument("--maturity", type=float, default=1.0)
+    p.add_argument("--rate", type=float, default=0.05)
+    p.add_argument("--dividend", type=float, default=0.0)
+    p.add_argument("--kappa", type=float, default=2.0)
+    p.add_argument("--theta", type=float, default=0.04)
+    p.add_argument("--sigma", type=float, default=0.3)
+    p.add_argument("--rho", type=float, default=-0.7)
+    p.add_argument("--v0", type=float, default=0.04)
+    p.add_argument("--put", action="store_true", help="price puts instead of calls")
+    p.add_argument("--american", action="store_true", help="PDE method: American exercise")
+    p.set_defaults(func=cmd_price, config=None)
 
     p = sub.add_parser("status", help="system component status")
     p.set_defaults(func=cmd_status, config=None)

@@ -180,6 +180,28 @@ class TestCLI:
         assert rc == 0
         assert os.path.exists(cache)
 
+    def test_price_command_cf(self, capsys):
+        rc = cli_main(["price", "--method", "cf", "--strikes", "90", "100", "110"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        p = out["prices"]
+        assert p[0] > p[1] > p[2] > 0  # calls decrease in strike
+        assert all(0.1 < iv < 0.5 for iv in out["implied_vols"])
+
+    def test_price_command_pde_american_put(self, capsys):
+        rc = cli_main(["price", "--method", "pde", "--put", "--american",
+                       "--strikes", "100", "--spot", "90", "--rate", "0.08",
+                       "--dividend", "0"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["american"] and out["prices"][0] >= 10.0  # >= intrinsic
+
+    def test_price_command_greeks(self, capsys):
+        rc = cli_main(["price", "--method", "greeks", "--strikes", "100"])
+        assert rc == 0
+        row = json.loads(capsys.readouterr().out)["greeks"][0]
+        assert 0.3 < row["delta"] < 0.9 and row["d_v0"] > 0
+
     def test_demo_command(self, capsys):
         rc = cli_main(["demo"])
         assert rc == 0
