@@ -199,25 +199,52 @@ class SABRCalibrator:
         rmse_by_maturity: Dict[float, float] = {}
         total_errors = []
 
-        for T in maturities:
-            mask = T_all == T
-            strikes = strikes_all[mask]
-            vols = vols_all[mask]
-            weights = w_all[mask] if w_all is not None else None
-            F = F0 * np.exp((r - q) * T) if use_forward else F0
-            guess = warm_start.get(T) if warm_start else None
-            try:
-                params, rmse = self.calibrate_single_maturity(
-                    strikes, vols, F, T, weights=weights, initial_guess=guess
+        # Regular surfaces (same strike count per maturity, no weights or
+        # warm starts) take the batched fast path: every smile fits in ONE
+        # vmapped jitted call + one device pull, instead of a Python loop
+        # paying a device round-trip per maturity.
+        counts = {int(np.sum(T_all == T)) for T in maturities}
+        regular = (
+            w_all is None and not warm_start and len(counts) == 1
+            and counts != {0} and next(iter(counts)) >= 3
+        )
+        if regular:
+            order = np.argsort(T_all, kind="stable")
+            Kn = next(iter(counts))
+            M = len(maturities)
+            s_mat = strikes_all[order].reshape(M, Kn)
+            v_mat = vols_all[order].reshape(M, Kn)
+            T_arr = np.asarray(maturities)
+            F_arr = F0 * np.exp((r - q) * T_arr) if use_forward else np.full(M, F0)
+            out = self.calibrate_surface_batch(s_mat, v_mat, F_arr, T_arr)
+            for m, T in enumerate(maturities):
+                params = SABRParams(
+                    alpha=float(out["alpha"][m]), beta=self.beta,
+                    rho=float(out["rho"][m]), nu=float(out["nu"][m]),
                 )
                 params_by_maturity[T] = params
-                rmse_by_maturity[T] = rmse
-                model = np.asarray(
-                    sabr_model.implied_volatilities(strikes, F, T, params)
-                )
-                total_errors.extend(((model - vols) ** 2).tolist())
-            except SABRCalibrationError:
-                rmse_by_maturity[T] = float("inf")
+                rmse_by_maturity[T] = float(out["rmse"][m])
+                total_errors.extend([float(out["rmse"][m]) ** 2] * Kn)
+        else:
+            for T in maturities:
+                mask = T_all == T
+                strikes = strikes_all[mask]
+                vols = vols_all[mask]
+                weights = w_all[mask] if w_all is not None else None
+                F = F0 * np.exp((r - q) * T) if use_forward else F0
+                guess = warm_start.get(T) if warm_start else None
+                try:
+                    params, rmse = self.calibrate_single_maturity(
+                        strikes, vols, F, T, weights=weights, initial_guess=guess
+                    )
+                    params_by_maturity[T] = params
+                    rmse_by_maturity[T] = rmse
+                    model = np.asarray(
+                        sabr_model.implied_volatilities(strikes, F, T, params)
+                    )
+                    total_errors.extend(((model - vols) ** 2).tolist())
+                except SABRCalibrationError:
+                    rmse_by_maturity[T] = float("inf")
 
         elapsed = time.time() - start
         total_rmse = float(np.sqrt(np.mean(total_errors))) if total_errors else float("inf")
@@ -270,12 +297,13 @@ class SABRCalibrator:
             jnp.asarray(maturities),
             jnp.asarray(x0),
         )
+        xs, rmses, conv = jax.device_get((xs, rmses, conv))  # one batched pull
         return {
-            "alpha": np.asarray(xs[:, 0]),
-            "rho": np.asarray(xs[:, 1]),
-            "nu": np.asarray(xs[:, 2]),
-            "rmse": np.asarray(rmses),
-            "converged": np.asarray(conv),
+            "alpha": xs[:, 0],
+            "rho": xs[:, 1],
+            "nu": xs[:, 2],
+            "rmse": rmses,
+            "converged": conv,
         }
 
     # -------------------------------------------------- interpolation & gen
