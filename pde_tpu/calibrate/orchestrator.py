@@ -201,12 +201,31 @@ class CalibrationOrchestrator:
             run_time=time.time() - start,
         )
 
-    def run_all(self, tasks: Dict[str, Dict]) -> Dict[str, CalibrationRunResult]:
-        """Calibrate many underlyings: {name: {market_options, S0, ...}}."""
-        return {
-            name: self.run_daily_calibration(underlying=name, **kwargs)
-            for name, kwargs in tasks.items()
-        }
+    def run_all(
+        self, tasks: Dict[str, Dict], concurrent: bool = False, max_workers: int = 4
+    ) -> Dict[str, CalibrationRunResult]:
+        """Calibrate many underlyings: {name: {market_options, S0, ...}}.
+
+        ``concurrent=True`` realizes the reference design sketch's
+        ``asyncio.gather`` of per-underlying calibrations (design-doc.md; the
+        shipped reference runs them sequentially, orchestrator.py) with a
+        thread pool: the GIL releases during device execution, so one
+        underlying's Heston fit on the TPU overlaps another's host-side OU
+        work.  Per-underlying failures degrade independently either way.
+        """
+        if not concurrent:
+            return {
+                name: self.run_daily_calibration(underlying=name, **kwargs)
+                for name, kwargs in tasks.items()
+            }
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            futures = {
+                name: pool.submit(self.run_daily_calibration, underlying=name, **kwargs)
+                for name, kwargs in tasks.items()
+            }
+            return {name: f.result() for name, f in futures.items()}
 
     def get_cached_parameters(self, underlying: str, model_type: str = "heston"):
         """Latest stored parameters (orchestrator.py:502-547)."""

@@ -321,6 +321,32 @@ class TestOrchestrator:
         # warm start cached for next run
         assert "TEST" in orch._heston_warm
 
+    def test_run_all_concurrent_matches_sequential(self):
+        def fresh():
+            return CalibrationOrchestrator(
+                heston_calibrator=HestonCalibrator(global_maxiter=20, global_popsize=6),
+            )
+
+        tasks = {
+            name: {
+                "market_options": HestonCalibrator.generate_synthetic_data(
+                    n_strikes=7, n_maturities=2
+                ),
+                "S0": 100.0,
+            }
+            for name in ("AAA", "BBB")
+        }
+        seq = fresh().run_all(tasks)
+        conc = fresh().run_all(tasks, concurrent=True, max_workers=2)
+        assert set(seq) == set(conc) == {"AAA", "BBB"}
+        for name in tasks:
+            assert conc[name].heston_result is not None
+            np.testing.assert_allclose(
+                conc[name].heston_result.params.kappa,
+                seq[name].heston_result.params.kappa,
+                rtol=1e-6,
+            )
+
     def test_too_few_options_fails(self):
         orch = CalibrationOrchestrator()
         res = orch.run_daily_calibration(
