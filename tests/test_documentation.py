@@ -1,0 +1,105 @@
+"""Documentation drift tests.
+
+Mirrors the reference tests/python/documentation/test_documentation.py
+(SURVEY.md §4: "required docs exist, internal links resolve"): the docs set
+is part of the product; broken links and phantom modules fail the build.
+"""
+
+import os
+import re
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def read(rel):
+    with open(os.path.join(ROOT, rel)) as f:
+        return f.read()
+
+
+class TestRequiredDocs:
+    REQUIRED = [
+        "README.md",
+        "SURVEY.md",
+        "docs/architecture.md",
+        "docs/parity_map.md",
+        "docs/performance.md",
+        "docs/database_recovery.md",
+    ]
+
+    @pytest.mark.parametrize("path", REQUIRED)
+    def test_exists_and_nonempty(self, path):
+        full = os.path.join(ROOT, path)
+        assert os.path.isfile(full), f"missing required doc {path}"
+        assert os.path.getsize(full) > 200, f"{path} suspiciously small"
+
+    def test_entry_points_exist(self):
+        for path in ("bench.py", "bench_full.py", "__graft_entry__.py",
+                     "scripts/robustness_check.py", "scripts/smoke_test.sh",
+                     "deploy/scripts/backup.sh", "deploy/scripts/restore.sh"):
+            assert os.path.isfile(os.path.join(ROOT, path)), path
+
+
+class TestInternalLinks:
+    DOCS = ["README.md", "docs/architecture.md", "docs/parity_map.md",
+            "docs/performance.md", "docs/database_recovery.md"]
+
+    @pytest.mark.parametrize("doc", DOCS)
+    def test_relative_links_resolve(self, doc):
+        text = read(doc)
+        base = os.path.dirname(os.path.join(ROOT, doc))
+        for match in re.finditer(r"\[[^\]]*\]\(([^)#\s]+)\)", text):
+            target = match.group(1)
+            if target.startswith(("http://", "https://", "mailto:")):
+                continue
+            resolved = os.path.normpath(os.path.join(base, target))
+            assert os.path.exists(resolved), f"{doc}: broken link -> {target}"
+
+
+class TestReadmeMatchesPackage:
+    def test_layout_block_names_real_packages(self):
+        """Every `pde_tpu/<name>/` the README layout block mentions exists."""
+        text = read("README.md")
+        block = text.split("```")[1]
+        for line in block.splitlines():
+            m = re.match(r"\s{2}(\w+)/", line)
+            if m:
+                sub = m.group(1)
+                assert os.path.isdir(os.path.join(ROOT, "pde_tpu", sub)), (
+                    f"README layout names pde_tpu/{sub}/ which does not exist"
+                )
+
+    def test_no_phantom_packages(self):
+        """Every real pde_tpu subpackage is mentioned somewhere in the README."""
+        text = read("README.md")
+        for entry in sorted(os.listdir(os.path.join(ROOT, "pde_tpu"))):
+            full = os.path.join(ROOT, "pde_tpu", entry)
+            if os.path.isdir(full) and not entry.startswith("__"):
+                assert entry in text, f"pde_tpu/{entry} missing from README"
+
+    def test_quickstart_code_runs_shape(self):
+        """The README quick-start python snippet references real symbols."""
+        from pde_tpu.calibrate import HestonCalibrator
+
+        assert hasattr(HestonCalibrator, "generate_synthetic_data")
+        assert hasattr(HestonCalibrator, "calibrate")
+
+    def test_cited_reference_paths_format(self):
+        """Docstring citations follow file:line into the reference tree."""
+        import pde_tpu.models.heston as h
+
+        assert re.search(r"heston[._a-z]*\.(cpp|hpp|py):\d+", h.__doc__ or "" + h.price_carr_madan.__doc__)
+
+
+class TestSurveyInventoryCoverage:
+    def test_parity_map_covers_survey_modules(self):
+        """Every reference module named in SURVEY §2 appears in the parity map."""
+        survey = read("SURVEY.md")
+        pmap = read("docs/parity_map.md")
+        sec2 = survey.split("## 2")[1].split("## 3")[0]
+        modules = set(re.findall(r"\b(?:calibration|signals|risk|backtesting|"
+                                 r"validation|execution|data|database|monitoring)"
+                                 r"\.\w+", sec2))
+        missing = [m for m in sorted(modules) if m.split(".", 1)[1] not in pmap]
+        assert not missing, f"parity map missing: {missing}"
