@@ -265,6 +265,10 @@ class TradingSystem:
 
         mgr = StreamManager(stream_provider, bar_seconds=bar_seconds)
         voter = MultiStrategyManager(symbols, window=lookback)
+        # warm the jitted signal bundle so the first LIVE vote measures
+        # steady-state latency, not compilation (the reference's <5 s target
+        # is a production figure; compile happens before market open)
+        voter.vote(np.full(lookback, 100.0))
         broker = self._components["broker"]
         om = self._components["order_manager"]
         ks = self._components.get("kill_switch")
