@@ -99,6 +99,11 @@ def main():
     per = timeit(vm_fn, n=10)
     emit("heston_adi_vmapped16_steps_per_sec", 16 * hp.n_time / per, "steps/s")
 
+    # 4a. fully-fused Pallas march (whole time loop in one kernel) ------------
+    fused_fn = jax.jit(lambda: heston_adi._solve_fused_impl(hp, 100.0, False).price)
+    per = timeit(fused_fn, n=10)
+    emit("heston_adi_fused_solve_s", per, "solve_s")
+
     # 4b. whole-surface PDE pricing (solve_batch: traced strikes/maturities/
     # call-put flags, one compiled march) -------------------------------------
     Kb = jnp.asarray(np.tile(np.linspace(85.0, 115.0, 12), 9), f32)

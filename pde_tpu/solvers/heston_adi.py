@@ -45,7 +45,14 @@ import jax.numpy as jnp
 from ..core import grids
 from ..ops.tridiag import thomas
 
-__all__ = ["HestonPDEParams", "HestonPDEResult", "solve", "solve_batch", "greeks_ad"]
+__all__ = [
+    "HestonPDEParams",
+    "HestonPDEResult",
+    "solve",
+    "solve_fused",
+    "solve_batch",
+    "greeks_ad",
+]
 
 
 class HestonPDEParams(NamedTuple):
@@ -306,6 +313,91 @@ def solve(params: HestonPDEParams, S0) -> HestonPDEResult:
     if params.v0 <= 0 or params.T <= 0 or params.K <= 0:
         raise ValueError("v0, T, K must be positive")
     return _solve_impl(params, S0)
+
+
+def solve_fused(params: HestonPDEParams, S0, interpret: bool = False) -> HestonPDEResult:
+    """Solve via the fully-fused Pallas march (ops/adi_fused.py).
+
+    The entire time loop runs inside ONE TPU kernel with the grid and all
+    sweep scratch VMEM-resident — 2.4x the `solve` scan path for a single
+    100x50x100 solve on v5e, agreeing to f32 accumulation tolerance.
+    Supports European and projection-mode American (it_lcp and autodiff stay
+    on the scan path).  ``interpret=True`` runs the kernel in interpreter
+    mode for CPU testing.
+    """
+    if params.american and params.american_method != "projection":
+        raise ValueError("solve_fused supports american_method='projection' only")
+    if params.kappa <= 0 or params.theta <= 0 or params.sigma <= 0:
+        raise ValueError("kappa, theta, sigma must be positive")
+    return _solve_fused_impl(params, S0, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "interpret"))
+def _solve_fused_impl(p: HestonPDEParams, S0, interpret: bool) -> HestonPDEResult:
+    from ..ops.adi_fused import fused_douglas_march
+    import math
+
+    nS, nv, nT = p.n_spot, p.n_vol, p.n_time
+    x = jnp.linspace(jnp.log(p.K * p.s_min_mult), jnp.log(p.K * p.s_max_mult), nS)
+    s_grid = jnp.exp(x)
+    dx = (math.log(p.s_max_mult) - math.log(p.s_min_mult)) / (nS - 1)
+    v_grid = jnp.linspace(0.0, p.v_max, nv)
+    dv = p.v_max / (nv - 1)
+    dt = p.T / nT
+    th = 0.5
+
+    payoff_1d = jnp.where(
+        p.is_call, jnp.maximum(s_grid - p.K, 0.0), jnp.maximum(p.K - s_grid, 0.0)
+    )
+    payoff = jnp.broadcast_to(payoff_1d[:, None], (nS, nv))
+
+    lo_v, di_v, up_v = _a1_diags(v_grid, dx, p.r, p.q)
+    a1_lower, a1_diag, a1_upper = _assemble_a1(nS, nv, lo_v, di_v, up_v)
+    a2_lower, a2_diag, a2_upper = _a2_diags(v_grid, dv, p.kappa, p.theta, p.sigma, p.r)
+
+    # row-aligned (nS, nv) layouts: band[i] multiplies the value shifted INTO
+    # row i (zero where the shift runs off the grid)
+    def row_align(lower, diag, upper):
+        L = jnp.zeros((nS, nv)).at[1:, :].set(lower.T)
+        U = jnp.zeros((nS, nv)).at[:-1, :].set(upper.T)
+        return L, diag.T, U
+
+    a1L, a1D, a1U = row_align(a1_lower, a1_diag, a1_upper)
+    i1L, i1D, i1U = row_align(-th*dt*a1_lower, 1.0 - th*dt*a1_diag, -th*dt*a1_upper)
+
+    def v_align(lower, diag, upper):
+        L = jnp.zeros(nv).at[1:].set(lower)   # multiplies V[:, j-1]
+        U = jnp.zeros(nv).at[:-1].set(upper)  # multiplies V[:, j+1]
+        return L, diag, U
+
+    a2L, a2D, a2U = v_align(a2_lower, a2_diag, a2_upper)
+    i2L, i2D, i2U = v_align(-th*dt*a2_lower, 1.0 - th*dt*a2_diag, -th*dt*a2_upper)
+
+    mix = (p.rho * p.sigma / (4.0 * dx * dv)) * v_grid
+    scalars = jnp.asarray(
+        [dt, p.r, p.q, p.K, float(bool(p.is_call)), float(bool(p.american))]
+    )
+
+    V = fused_douglas_march(
+        payoff, (a1L, a1D, a1U), (i1L, i1D, i1U), (a2L, a2D, a2U),
+        (i2L, i2D, i2U), mix, s_grid, scalars,
+        n_spot=nS, n_vol=nv, n_time=nT, interpret=interpret,
+    ).astype(s_grid.dtype)
+
+    price = grids.interp_bilinear(s_grid, v_grid, V, S0, p.v0)
+    i = jnp.clip(grids.find_index(s_grid, S0), 1, nS - 2)
+    j = jnp.clip(grids.find_index(v_grid, p.v0), 1, nv - 2)
+    delta = (V[i + 1, j] - V[i - 1, j]) / (s_grid[i + 1] - s_grid[i - 1])
+    davg = 0.5 * (s_grid[i + 1] - s_grid[i - 1])
+    gamma = (V[i + 1, j] - 2.0 * V[i, j] + V[i - 1, j]) / (davg * davg)
+    dV_dv = (V[i, j + 1] - V[i, j - 1]) / (2.0 * dv)
+    vega = 2.0 * jnp.sqrt(p.v0) * p.T * dV_dv
+    theta_g = -(
+        _apply_a0(V, v_grid, dx, dv, p.rho, p.sigma)
+        + _apply_a1(V, a1_lower, a1_diag, a1_upper)
+        + _apply_a2(V, a2_lower, a2_diag, a2_upper)
+    )[i, j]
+    return HestonPDEResult(price, delta, gamma, vega, theta_g, V, s_grid, v_grid)
 
 
 @functools.partial(

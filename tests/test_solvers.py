@@ -159,6 +159,31 @@ class TestHestonADI:
                 float(batch.delta[i]), float(single.delta), rtol=1e-8
             )
 
+    def test_solve_fused_matches_scan(self):
+        """The fully-fused Pallas march (interpret mode on CPU) reproduces
+        the scan solver on the same grid — European call/put and American."""
+        small = self.PARAMS._replace(n_spot=24, n_vol=12, n_time=8)
+        for variant in (
+            small,
+            small._replace(is_call=False),
+            small._replace(is_call=False, american=True, r=0.08, q=0.0),
+        ):
+            ref = heston_adi.solve(variant, 100.0)
+            fus = heston_adi.solve_fused(variant, 100.0, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(fus.prices), np.asarray(ref.prices), atol=5e-4,
+            )
+            np.testing.assert_allclose(
+                float(fus.price), float(ref.price), atol=5e-4
+            )
+
+    def test_solve_fused_rejects_it_lcp(self):
+        with pytest.raises(ValueError):
+            heston_adi.solve_fused(
+                self.PARAMS._replace(american=True, american_method="it_lcp"),
+                100.0, interpret=True,
+            )
+
     def test_greeks_ad_match_fd(self):
         """Adjoint Greeks through the ADI march match central differences;
         remat=True gives the identical adjoint."""
