@@ -66,13 +66,20 @@ def main():
     out = _calibrate_pipeline(*args, **kwargs)
     jax.block_until_ready(out)
 
-    # timed runs
-    n_rep = 5
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = _calibrate_pipeline(*args, **kwargs)
-    jax.block_until_ready(out)
-    wall = (time.perf_counter() - t0) / n_rep
+    # timed runs: transfer-forced differencing — end each batch with a
+    # scalar pull so the remote-tunnel runtime cannot report readiness
+    # early, and difference two batch sizes so the pull's RTT cancels
+    def run_reps(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = _calibrate_pipeline(*args, **kwargs)
+        float(out[3])
+        return time.perf_counter() - t0
+
+    t_small = run_reps(2)
+    t_large = run_reps(12)
+    wall = max((t_large - t_small) / 10.0, 1e-9)
 
     # sanity: parameters recovered
     lm_x = np.asarray(out[2])
