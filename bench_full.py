@@ -34,13 +34,32 @@ def sync(x):
     return x
 
 
+def _pull(x):
+    """Force a real device->host transfer of one element (over the axon
+    tunnel, block_until_ready alone can report readiness early)."""
+    import jax
+    import numpy as _np
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(_np.asarray(leaf).ravel()[0])
+
+
 def timeit(fn, n=20):
+    """Transfer-forced differencing: time 2 and n+2 reps, each batch ending
+    with one scalar pull, and difference so the pull's RTT cancels."""
     sync(fn())
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    sync(out)
-    return (time.perf_counter() - t0) / n
+
+    def run(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = fn()
+        _pull(out)
+        return time.perf_counter() - t0
+
+    t_small = run(2)
+    t_large = run(n + 2)
+    return max((t_large - t_small) / n, 1e-9)
 
 
 def main():
