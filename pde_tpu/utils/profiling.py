@@ -31,26 +31,42 @@ class Timings:
         return 1.0 / self.median_run_s if self.median_run_s > 0 else float("inf")
 
 
+def _force_transfer(out) -> float:
+    """Pull one scalar to the host — the only sync a remote-tunnelled device
+    cannot satisfy early (block_until_ready alone can report readiness
+    optimistically over the axon tunnel; see docs/performance.md)."""
+    import numpy as _np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(_np.asarray(leaf).ravel()[0])
+
+
 def time_jitted(fn: Callable, *args, n_runs: int = 10, **kwargs) -> Timings:
     """Time a jitted function with proper device synchronization.
 
-    First call (compile + run) is reported separately; subsequent calls are
-    synced with block_until_ready so dispatch pipelining doesn't understate
-    latency.
+    First call (compile + run) is reported separately.  Steady-state cost is
+    measured by transfer-forced differencing: two batch sizes, each ending
+    with one scalar pull, so both dispatch pipelining and the pull's network
+    round-trip cancel out of the per-call figure.
     """
     t0 = time.perf_counter()
     out = fn(*args, **kwargs)
     jax.block_until_ready(out)
+    _force_transfer(out)
     compile_s = time.perf_counter() - t0
 
-    runs = []
-    for _ in range(n_runs):
+    def run(reps: int) -> float:
         t0 = time.perf_counter()
-        out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
-        runs.append(time.perf_counter() - t0)
-    runs.sort()
-    return Timings(compile_s=compile_s, median_run_s=runs[len(runs) // 2], runs_s=runs)
+        out = None
+        for _ in range(reps):
+            out = fn(*args, **kwargs)
+        _force_transfer(out)
+        return time.perf_counter() - t0
+
+    t_small = run(2)
+    t_large = run(n_runs + 2)
+    per_call = max((t_large - t_small) / n_runs, 1e-12)
+    return Timings(compile_s=compile_s, median_run_s=per_call, runs_s=[per_call])
 
 
 class DeviceTimer:
