@@ -43,7 +43,7 @@ def fused_douglas_march(
     i2_bands,      # (i2L, i2D, i2U): (nv,) implicit v-system bands
     mix_coef,      # (nv,) rho*sigma*v_j / (4 dx dv)
     s_grid,        # (nS,)
-    scalars,       # (6,): dt, r, q, K, is_call(0/1), american(0/1)
+    scalars,       # (7,): dt, r, q, K, is_call(0/1), american(0/1), it_lcp(0/1)
     n_spot: int,
     n_vol: int,
     n_time: int,
@@ -53,7 +53,9 @@ def fused_douglas_march(
 
     Boundary treatment, band conventions and step ordering are identical to
     solvers/heston_adi._solve_core (In 't Hout–Foulon; reference counterpart
-    heston_pde.hpp:56-150); American exercise is the projection mode.
+    heston_pde.hpp:56-150).  American exercise: projection mode, or the
+    Ikonen–Toivanen multiplier splitting when the it_lcp flag is set (the
+    multiplier field lives in VMEM scratch alongside V).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -68,16 +70,18 @@ def fused_douglas_march(
     def kernel(payoff_ref, a1L_ref, a1D_ref, a1U_ref, i1L_ref, i1D_ref, i1U_ref,
                a2L_ref, a2D_ref, a2U_ref, i2L_ref, i2D_ref, i2U_ref,
                mix_ref, sg_ref, par_ref, out_ref,
-               V_scr, c_scr, d_scr, t_scr, c2_scr, d2_scr, t2_scr):
+               V_scr, c_scr, d_scr, t_scr, c2_scr, d2_scr, t2_scr, lam_scr):
         dt = par_ref[0]
         r = par_ref[1]
         q = par_ref[2]
         K = par_ref[3]
         is_call = par_ref[4] > 0.5
         american = par_ref[5] > 0.5
+        it_lcp = par_ref[6] > 0.5
         th = 0.5  # Douglas parameter
 
         V_scr[:, :] = payoff_ref[:, :]
+        lam_scr[:, :] = jnp.zeros((nS, nv), dtype)
 
         def sh_dn0(V):  # V[i-1, j]; zero row 0
             return jnp.pad(V[:-1, :], ((1, 0), (0, 0)))
@@ -111,7 +115,9 @@ def fused_douglas_march(
 
         def body(step, _):
             V = V_scr[:, :]
-            Y0 = V + dt*(apply_a0(V) + apply_a1(V) + apply_a2(V))
+            lam = lam_scr[:, :]
+            Y0 = V + dt*(apply_a0(V) + apply_a1(V) + apply_a2(V)
+                         + jnp.where(it_lcp, lam, 0.0))
 
             # implicit S sweep: stage rhs in scratch (refs allow dynamic
             # sublane indexing; register values do not)
@@ -160,6 +166,14 @@ def fused_douglas_march(
             jax.lax.fori_loop(0, nv - 1, bwd2, 0, unroll=False)
             Vn = t2_scr[:, :].T
 
+            # Ikonen–Toivanen multiplier update: V_new - dt lam_new =
+            # Vn - dt lam, V_new >= g, lam_new >= 0, lam_new (V_new - g) = 0
+            g = payoff_ref[:, :]
+            W = Vn - dt*lam
+            V_it = jnp.maximum(g, W)
+            lam_scr[:, :] = jnp.where(it_lcp, (V_it - W)/dt, lam)
+            Vn = jnp.where(it_lcp, V_it, Vn)
+
             # In 't Hout–Foulon Dirichlet boundaries at tau (iota masks —
             # scatter writes don't lower)
             tau = dt*(step + 1).astype(dtype)
@@ -172,7 +186,11 @@ def fused_douglas_march(
                            jnp.where(is_call, sg_ref[nS - 1, 0]*dfq - K*dfr, 0.0), Vn)
             Vn = jnp.where(jj == nv - 1,
                            jnp.where(is_call, sg2d*dfq, K*dfr), Vn)
-            Vn = jnp.where(american, jnp.maximum(Vn, payoff_ref[:, :]), Vn)
+            # projection-mode American: clamp everywhere; it_lcp: the
+            # Dirichlet rows are European — floor them at intrinsic
+            edge = (ii == 0) | (ii == nS - 1) | (jj == 0) | (jj == nv - 1)
+            Vn = jnp.where(american & ~it_lcp, jnp.maximum(Vn, g), Vn)
+            Vn = jnp.where(it_lcp & edge, jnp.maximum(Vn, g), Vn)
             V_scr[:, :] = Vn
             return 0
 
@@ -188,7 +206,8 @@ def fused_douglas_march(
                  + [vspec((1, nv)), vspec((nS, 1)), sspec],
         out_specs=vspec((nS, nv)),
         scratch_shapes=[pltpu.VMEM((nS, nv), dtype)]*4
-                       + [pltpu.VMEM((nv, nS), dtype)]*3,
+                       + [pltpu.VMEM((nv, nS), dtype)]*3
+                       + [pltpu.VMEM((nS, nv), dtype)],
         interpret=interpret,
     )
     return call(

@@ -325,8 +325,10 @@ def solve_fused(params: HestonPDEParams, S0, interpret: bool = False) -> HestonP
     on the scan path).  ``interpret=True`` runs the kernel in interpreter
     mode for CPU testing.
     """
-    if params.american and params.american_method != "projection":
-        raise ValueError("solve_fused supports american_method='projection' only")
+    if params.american and params.american_method not in ("projection", "it_lcp"):
+        raise ValueError(
+            "solve_fused supports american_method 'projection' or 'it_lcp'"
+        )
     if params.kappa <= 0 or params.theta <= 0 or params.sigma <= 0:
         raise ValueError("kappa, theta, sigma must be positive")
     return _solve_fused_impl(params, S0, interpret)
@@ -374,8 +376,10 @@ def _solve_fused_impl(p: HestonPDEParams, S0, interpret: bool) -> HestonPDEResul
     i2L, i2D, i2U = v_align(-th*dt*a2_lower, 1.0 - th*dt*a2_diag, -th*dt*a2_upper)
 
     mix = (p.rho * p.sigma / (4.0 * dx * dv)) * v_grid
+    use_it = p.american and p.american_method == "it_lcp"
     scalars = jnp.asarray(
-        [dt, p.r, p.q, p.K, float(bool(p.is_call)), float(bool(p.american))]
+        [dt, p.r, p.q, p.K, float(bool(p.is_call)), float(bool(p.american)),
+         float(use_it)]
     )
 
     V = fused_douglas_march(

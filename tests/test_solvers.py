@@ -167,6 +167,8 @@ class TestHestonADI:
             small,
             small._replace(is_call=False),
             small._replace(is_call=False, american=True, r=0.08, q=0.0),
+            small._replace(is_call=False, american=True, r=0.08, q=0.0,
+                           american_method="it_lcp"),
         ):
             ref = heston_adi.solve(variant, 100.0)
             fus = heston_adi.solve_fused(variant, 100.0, interpret=True)
@@ -177,10 +179,10 @@ class TestHestonADI:
                 float(fus.price), float(ref.price), atol=5e-4
             )
 
-    def test_solve_fused_rejects_it_lcp(self):
+    def test_solve_fused_rejects_unknown_american_method(self):
         with pytest.raises(ValueError):
             heston_adi.solve_fused(
-                self.PARAMS._replace(american=True, american_method="it_lcp"),
+                self.PARAMS._replace(american=True, american_method="psor"),
                 100.0, interpret=True,
             )
 
