@@ -77,7 +77,7 @@ def main():
     strikes = jnp.asarray(np.linspace(60, 140, n_opts), f32)
     mats = jnp.asarray(np.tile(np.linspace(0.1, 2.0, 8), n_opts // 8), f32)
     price_fn = jax.jit(lambda: heston.price_carr_madan(params, strikes, mats, 100.0, 0.05, 0.02))
-    per = timeit(price_fn)
+    per = timeit(price_fn, n=200)
     emit("heston_pricing_options_per_sec", n_opts / per, "options/s", baseline=10_000)
 
     # 2. SABR throughput -----------------------------------------------------
@@ -87,7 +87,7 @@ def main():
     n_v = 65536
     ks = jnp.asarray(np.linspace(60, 140, n_v), f32)
     sabr_fn = jax.jit(lambda: sabr.implied_volatilities(ks, 100.0, 1.0, sp))
-    per = timeit(sabr_fn)
+    per = timeit(sabr_fn, n=400)
     emit("sabr_vols_per_sec", n_v / per, "vols/s", baseline=100_000)  # 10us/calc
 
     # 3. OU simulate + fit ---------------------------------------------------
@@ -97,12 +97,12 @@ def main():
     n_paths = 1024
     keys = jax.random.split(jax.random.PRNGKey(0), n_paths)
     sim_fn = jax.jit(lambda: jax.vmap(lambda k: ou.simulate(op, 100.0, 1.0, 252, k))(keys))
-    per = timeit(sim_fn, n=10)
+    per = timeit(sim_fn, n=100)
     emit("ou_sim252_paths_per_sec", n_paths / per, "paths/s", baseline=10_000)  # 0.1ms/path
 
     paths = sim_fn()
     fit_fn = jax.jit(lambda: jax.vmap(lambda x: ou.fit_mle(x, 1 / 252).params.mu)(paths))
-    per = timeit(fit_fn, n=10)
+    per = timeit(fit_fn, n=100)
     emit("ou_mle252_fits_per_sec", n_paths / per, "fits/s", baseline=10_000)
 
     # 4. Heston ADI ----------------------------------------------------------
@@ -110,7 +110,7 @@ def main():
 
     hp = heston_adi.HestonPDEParams(q=0.02)
     adi_fn = jax.jit(lambda: heston_adi._solve_impl(hp, 100.0).price)
-    per = timeit(adi_fn, n=10)
+    per = timeit(adi_fn, n=30)
     emit("heston_adi_100x50_steps_per_sec", hp.n_time / per, "steps/s")
 
     spots = jnp.asarray(np.linspace(80, 120, 16), f32)
@@ -120,7 +120,7 @@ def main():
 
     # 4a. fully-fused Pallas march (whole time loop in one kernel) ------------
     fused_fn = jax.jit(lambda: heston_adi._solve_fused_impl(hp, 100.0, False).price)
-    per = timeit(fused_fn, n=10)
+    per = timeit(fused_fn, n=100)
     emit("heston_adi_fused_solve_s", per, "solve_s")
 
     # 4b. whole-surface PDE pricing (solve_batch: traced strikes/maturities/
@@ -139,8 +139,12 @@ def main():
     # 5. American LCP --------------------------------------------------------
     am = hp._replace(is_call=False, american=True, american_method="it_lcp", r=0.08, q=0.0)
     am_fn = jax.jit(lambda: heston_adi._solve_impl(am, 90.0).price)
-    per = timeit(am_fn, n=10)
+    per = timeit(am_fn, n=30)
     emit("heston_american_lcp_solve_s", per, "solve_s")
+
+    am_fused = jax.jit(lambda: heston_adi._solve_fused_impl(am, 90.0, False).price)
+    per = timeit(am_fused, n=100)
+    emit("heston_american_lcp_fused_solve_s", per, "solve_s")
 
     # 6/7. calibration headline + batched ------------------------------------
     from pde_tpu.calibrate.heston import HestonCalibrator
