@@ -110,3 +110,26 @@ class TestHJBPSOR:
         res = hjb.solve(p)
         g = np.asarray(hjb._exercise_value(jnp.asarray(res.x_grid), p, p.problem))
         assert np.all(res.value_function >= g - 1e-6)
+
+
+class TestPallasPSOR:
+    def test_interpret_matches_jnp(self, rng):
+        """The fused Pallas PSOR (interpret mode on CPU) reproduces the
+        jnp red-black PSOR on a batch of diagonally dominant LCPs."""
+        from pde_tpu.solvers.lcp import projected_sor, projected_sor_pallas
+
+        B, n = 5, 64
+        lower = rng.uniform(-0.4, -0.1, (B, n - 1))
+        upper = rng.uniform(-0.4, -0.1, (B, n - 1))
+        diag = 2.0 + rng.uniform(0, 1, (B, n))
+        b = rng.uniform(-1, 1, (B, n))
+        g = rng.uniform(-0.5, 0.5, (B, n))
+        import jax.numpy as jnp
+
+        args = tuple(map(jnp.asarray, (lower, diag, upper, b, g)))
+        # f32 both sides for a like-for-like comparison
+        f32 = tuple(a.astype(jnp.float32) for a in args)
+        x_ref, r_ref = projected_sor(*f32, n_iter=120)
+        x_pal, r_pal = projected_sor_pallas(*f32, n_iter=120, interpret=True)
+        np.testing.assert_allclose(np.asarray(x_pal), np.asarray(x_ref), atol=5e-5)
+        assert float(r_pal) < 1e-2
