@@ -63,13 +63,16 @@ class TestModelValidation:
 
 
 class TestStatisticalTests:
+    # own fixed generator: these are marginal statistical assertions, so the
+    # sample must not depend on how many tests drew from the shared session
+    # rng before this class runs
     @pytest.fixture
-    def profitable(self, rng):
-        return rng.normal(0.001, 0.01, 1000)
+    def profitable(self):
+        return np.random.default_rng(3).normal(0.001, 0.01, 1000)
 
     @pytest.fixture
-    def noise(self, rng):
-        return rng.normal(0.0, 0.01, 1000)
+    def noise(self):
+        return np.random.default_rng(8).normal(0.0, 0.01, 1000)
 
     def test_returns_significance(self, profitable, noise):
         tester = st.StrategyStatisticalTests()
