@@ -11,7 +11,8 @@ sweep:
 
     python scripts/robustness_check.py [n_cases]
 
-Latest sweep (6 cases, CPU float64): 6/6 recovered, worst rel RMSE 1.7e-6.
+Latest sweeps: 6/6 (CPU float64, worst rel RMSE 1.7e-6) and 10/10 on the
+real TPU v5e (float32, worst rel RMSE 8.5e-8, mean 74 ms/surface).
 """
 
 import sys
