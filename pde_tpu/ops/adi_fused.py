@@ -29,7 +29,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fused_douglas_march"]
+__all__ = ["fused_douglas_march", "fused_douglas_march_batched"]
 
 
 @functools.partial(
@@ -216,3 +216,263 @@ def fused_douglas_march(
         mix_coef.astype(dtype)[None, :], s_grid.astype(dtype)[:, None],
         scalars.astype(dtype),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_spot", "n_vol", "n_time", "use_it", "interpret"),
+)
+def fused_douglas_march_batched(
+    pay,           # (nS, 1, B) per-option payoff profile on its own K-scaled grid
+    sg,            # (nS, 1, B) per-option spot grid K_b * exp(x_i)
+    a1b,           # (3, nv, B) explicit S-operator interior rows [lo, di, up]
+    i1b,           # (3, nv, B) implicit S-system interior rows [lo, di, up]
+    a2b,           # (3, nv, B) explicit v-operator bands, row-aligned, edges baked
+    i2b,           # (3, nv, B) implicit v-system bands, row-aligned (identity at j=nv-1)
+    mixb,          # (1, nv, B) mixed-derivative coefficient, zero at both j edges
+    sc,            # (8, 1, B): dt, r, q, K, is_call(0/1), american(0/1), 0, 0
+    n_spot: int,
+    n_vol: int,
+    n_time: int,
+    use_it: bool = False,
+    interpret: bool = False,
+):
+    """Douglas ADI march for a whole option BATCH inside one Pallas kernel,
+    the batch riding the 128 VPU lanes.
+
+    Layout is ``(nS outer, nv sublane, B lane)`` throughout: the S-sweep's
+    Thomas recurrence walks the *outer* dim (cheap ``(1, nv, B)`` slices),
+    the v-sweep walks the sublane dim, and every vector op carries all B
+    options at once — so, unlike :func:`fused_douglas_march`, no lanes idle
+    (a single 100x50 grid uses 50 of 128 lanes) and the v-sweep needs no
+    transpose.  In log-spot coordinates with K-scaled grids, dx is the SAME
+    for every option, so the S-operator coefficients depend only on (v_j,
+    option) — the bands enter as ``(nv, B)`` lane-stacks, not full grids.
+    Per-option contract scalars (dt, r, q, K, call/put, American flag) ride
+    ``(1, 1, B)`` lane vectors: a batch may mix strikes, maturities, rates,
+    Heston parameters, calls with puts, AND European with American
+    (projection).  The Ikonen-Toivanen LCP variant (``use_it=True``, static
+    because it allocates the multiplier buffer) treats flagged lanes with
+    the multiplier splitting.
+
+    Batches larger than 128 run as a Mosaic grid over 128-lane blocks
+    (caller pads).  VMEM: 4 grid-size buffers (5 with ``use_it``) of
+    ~2.9 MB at the default 100x50 grid — the raised ``vmem_limit_bytes``
+    covers it (the default 16 MB Mosaic cap was the old blocker; the chip
+    has far more).
+
+    Reference counterpart: the per-option C++ solver loop around
+    heston_pde.hpp:116-170; here the whole desk marches per kernel call.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nS, nv, nT = n_spot, n_vol, n_time
+    B = pay.shape[-1]
+    BLK = 128 if B % 128 == 0 else B  # full-lane blocks; tiny batches in one
+    nb = B // BLK
+    dtype = jnp.float32
+    th = 0.5  # Douglas parameter
+
+    # i-axis masks as tiny inputs ((nS, 1, 1) f32) — avoids 3D iota in-kernel
+    ar = jnp.arange(nS, dtype=dtype)[:, None, None]
+    m0 = (ar == 0).astype(dtype)
+    mN = (ar == nS - 1).astype(dtype)
+    mi = ((ar > 0) & (ar < nS - 1)).astype(dtype)
+    aj = jnp.arange(nv, dtype=dtype)[None, :, None]
+    mj0 = (aj == 0).astype(dtype)
+    mjN = (aj == nv - 1).astype(dtype)
+
+    def kernel(pay_ref, sg_ref, a1_ref, i1_ref, a2_ref, i2_ref, mix_ref,
+               sc_ref, m0_ref, mN_ref, mi_ref, mj0_ref, mjN_ref,
+               out_ref, *scratch):
+        if use_it:
+            V_scr, c_scr, d_scr, lam_scr = scratch
+        else:
+            V_scr, c_scr, d_scr = scratch
+        dt = sc_ref[0:1, :, :]      # (1, 1, B)
+        r = sc_ref[1:2, :, :]
+        q = sc_ref[2:3, :, :]
+        K = sc_ref[3:4, :, :]
+        call_f = sc_ref[4:5, :, :]
+        amer_f = sc_ref[5:6, :, :]
+
+        m0_ = m0_ref[:, :, :]
+        mN_ = mN_ref[:, :, :]
+        mi_ = mi_ref[:, :, :]
+        mj0_ = mj0_ref[:, :, :]
+        mjN_ = mjN_ref[:, :, :]
+
+        g = pay_ref[:, :, :]        # (nS, 1, B), broadcasts over sublanes
+
+        V_scr[:, :, :] = jnp.broadcast_to(g, (nS, nv, BLK))
+        if use_it:
+            lam_scr[:, :, :] = jnp.zeros((nS, nv, BLK), dtype)
+
+        def sh_dn0(V):  # V[i-1, j]; zero row 0
+            return jnp.pad(V[:-1], ((1, 0), (0, 0), (0, 0)))
+
+        def sh_up0(V):  # V[i+1, j]; zero last row
+            return jnp.pad(V[1:], ((0, 1), (0, 0), (0, 0)))
+
+        def sh_dn1(V):  # V[i, j-1]
+            return jnp.pad(V[:, :-1], ((0, 0), (1, 0), (0, 0)))
+
+        def sh_up1(V):  # V[i, j+1]
+            return jnp.pad(V[:, 1:], ((0, 0), (0, 1), (0, 0)))
+
+        a1L, a1D, a1U = a1_ref[0:1, :, :], a1_ref[1:2, :, :], a1_ref[2:3, :, :]
+        i1L, i1D, i1U = i1_ref[0:1, :, :], i1_ref[1:2, :, :], i1_ref[2:3, :, :]
+        a2L, a2D, a2U = a2_ref[0:1, :, :], a2_ref[1:2, :, :], a2_ref[2:3, :, :]
+        mix = mix_ref[:, :, :]
+
+        def apply_a1(V):
+            return mi_ * (a1D * V + a1L * sh_dn0(V) + a1U * sh_up0(V))
+
+        def apply_a2(V):
+            return a2D * V + a2L * sh_dn1(V) + a2U * sh_up1(V)
+
+        def apply_a0(V):
+            Vxv = (sh_up0(sh_up1(V)) - sh_up0(sh_dn1(V))
+                   - sh_dn0(sh_up1(V)) + sh_dn0(sh_dn1(V)))
+            return mi_ * (mix * Vxv)
+
+        def body(step, _):
+            V = V_scr[:, :, :]
+            # rhs1 = V + dt A0 V + (1-th) dt A1 V + dt A2 V (+ dt lam)
+            acc = V + dt * apply_a0(V)
+            acc = acc + ((1.0 - th) * dt) * apply_a1(V)
+            acc = acc + dt * apply_a2(V)
+            if use_it:
+                acc = acc + dt * lam_scr[:, :, :]
+            out_ref[:, :, :] = acc
+
+            # implicit S sweep (Thomas along the outer dim; edge rows are
+            # identity — handled by the i == nS-1 scalar factor; row 0's
+            # identity makes c[0] = 0, d[0] = rhs[0])
+            c_scr[0:1, :, :] = jnp.zeros((1, nv, BLK), dtype)
+            d_scr[0:1, :, :] = out_ref[0:1, :, :]
+
+            def fwd1(i, _):
+                nl = (i < nS - 1).astype(dtype)  # 0 at the last (identity) row
+                li = i1L * nl
+                dg = i1D * nl + (1.0 - nl)
+                ui = i1U * nl
+                inv = 1.0 / (dg - li * c_scr[pl.ds(i - 1, 1), :, :])
+                c_scr[pl.ds(i, 1), :, :] = ui * inv
+                d_scr[pl.ds(i, 1), :, :] = (
+                    out_ref[pl.ds(i, 1), :, :]
+                    - li * d_scr[pl.ds(i - 1, 1), :, :]
+                ) * inv
+                return 0
+
+            jax.lax.fori_loop(1, nS, fwd1, 0, unroll=False)
+            out_ref[pl.ds(nS - 1, 1), :, :] = d_scr[pl.ds(nS - 1, 1), :, :]
+
+            def bwd1(k, _):
+                i = nS - 2 - k
+                out_ref[pl.ds(i, 1), :, :] = (
+                    d_scr[pl.ds(i, 1), :, :]
+                    - c_scr[pl.ds(i, 1), :, :] * out_ref[pl.ds(i + 1, 1), :, :]
+                )
+                return 0
+
+            jax.lax.fori_loop(0, nS - 1, bwd1, 0, unroll=False)
+
+            # rhs2 = Y1 - th dt A2 V
+            out_ref[:, :, :] = out_ref[:, :, :] - (th * dt) * apply_a2(V)
+
+            # implicit v sweep (Thomas along the sublane dim; the j = nv-1
+            # identity row and the j = 0 one-sided row are baked into i2)
+            c_scr[:, 0:1, :] = jnp.broadcast_to(
+                i2_ref[2:3, 0:1, :] / i2_ref[1:2, 0:1, :], (nS, 1, BLK)
+            )
+            d_scr[:, 0:1, :] = out_ref[:, 0:1, :] / i2_ref[1:2, 0:1, :]
+
+            def fwd2(j, _):
+                lj = i2_ref[0:1, pl.ds(j, 1), :]          # (1, 1, B)
+                inv = 1.0 / (
+                    i2_ref[1:2, pl.ds(j, 1), :]
+                    - lj * c_scr[:, pl.ds(j - 1, 1), :]
+                )
+                c_scr[:, pl.ds(j, 1), :] = i2_ref[2:3, pl.ds(j, 1), :] * inv
+                d_scr[:, pl.ds(j, 1), :] = (
+                    out_ref[:, pl.ds(j, 1), :]
+                    - lj * d_scr[:, pl.ds(j - 1, 1), :]
+                ) * inv
+                return 0
+
+            jax.lax.fori_loop(1, nv, fwd2, 0, unroll=False)
+            out_ref[:, pl.ds(nv - 1, 1), :] = d_scr[:, pl.ds(nv - 1, 1), :]
+
+            def bwd2(k, _):
+                j = nv - 2 - k
+                out_ref[:, pl.ds(j, 1), :] = (
+                    d_scr[:, pl.ds(j, 1), :]
+                    - c_scr[:, pl.ds(j, 1), :] * out_ref[:, pl.ds(j + 1, 1), :]
+                )
+                return 0
+
+            jax.lax.fori_loop(0, nv - 1, bwd2, 0, unroll=False)
+            Vn = out_ref[:, :, :]
+
+            if use_it:
+                # Ikonen-Toivanen multiplier update on flagged lanes:
+                # V_new - dt lam_new = Vn - dt lam, V_new >= g, lam_new >= 0
+                lam = lam_scr[:, :, :]
+                W = Vn - dt * lam
+                V_it = jnp.maximum(g, W)
+                lam_scr[:, :, :] = amer_f * ((V_it - W) / dt) \
+                    + (1.0 - amer_f) * lam
+                Vn = amer_f * V_it + (1.0 - amer_f) * Vn
+
+            # In 't Hout-Foulon Dirichlet boundaries at tau (mask algebra —
+            # neither scatter nor row-predicated writes lower)
+            tau = dt * (step + 1).astype(dtype)
+            dfr = jnp.exp(-r * tau)
+            dfq = jnp.exp(-q * tau)
+            sgv = sg_ref[:, :, :]                       # (nS, 1, B)
+            bc0 = (1.0 - call_f) * (K * dfr - sg_ref[0:1, :, :] * dfq)
+            bcN = call_f * (sg_ref[pl.ds(nS - 1, 1), :, :] * dfq - K * dfr)
+            bcV = call_f * (sgv * dfq) + (1.0 - call_f) * (K * dfr)
+            Vn = Vn * (1.0 - m0_) + bc0 * m0_
+            Vn = Vn * (1.0 - mN_) + bcN * mN_
+            Vn = Vn * (1.0 - mjN_) + bcV * mjN_
+
+            if use_it:
+                # Dirichlet edges are European; floor flagged lanes there
+                me = jnp.minimum(m0_ + mN_ + mj0_ + mjN_, 1.0)
+                w = me * amer_f
+            else:
+                w = amer_f  # projection mode: clamp flagged lanes everywhere
+            Vn = Vn + w * (jnp.maximum(Vn, g) - Vn)
+            V_scr[:, :, :] = Vn
+            return 0
+
+        jax.lax.fori_loop(0, nT, body, 0, unroll=False)
+        out_ref[:, :, :] = V_scr[:, :, :]
+
+    lane = lambda shape: pl.BlockSpec(
+        shape[:-1] + (BLK,), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    scratch = [pltpu.VMEM((nS, nv, BLK), dtype)] * (4 if use_it else 3)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((nS, nv, B), dtype),
+        in_specs=[lane((nS, 1, B))] * 2 + [lane((3, nv, B))] * 4
+                 + [lane((1, nv, B)), lane((8, 1, B))]
+                 + [full((nS, 1, 1))] * 3 + [full((1, nv, 1))] * 2,
+        out_specs=lane((nS, nv, B)),
+        scratch_shapes=scratch[:3] + ([pltpu.VMEM((nS, nv, BLK), dtype)]
+                                      if use_it else []),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    args = [a.astype(dtype) for a in (pay, sg, a1b, i1b, a2b, i2b, mixb, sc)]
+    return call(*args, m0, mN, mi, mj0, mjN)

@@ -51,6 +51,7 @@ __all__ = [
     "solve",
     "solve_fused",
     "solve_batch",
+    "solve_fused_batch",
     "greeks_ad",
 ]
 
@@ -502,3 +503,187 @@ def solve_batch(
         s_min_mult=s_min_mult, s_max_mult=s_max_mult, v_max=v_max,
     )
     return jax.vmap(core)(*args, is_call, S0)
+
+
+def _broadcast_batch(kappa, theta, sigma, rho, v0, r, q, T, K, is_call,
+                     S0, american):
+    args = [jnp.atleast_1d(jnp.asarray(a, dtype=jnp.float32)) for a in
+            (kappa, theta, sigma, rho, v0, r, q, T, K)]
+    is_call = jnp.atleast_1d(jnp.asarray(is_call)).astype(jnp.float32)
+    american = jnp.atleast_1d(jnp.asarray(american)).astype(jnp.float32)
+    S0 = jnp.atleast_1d(jnp.asarray(S0, dtype=jnp.float32))
+    n = max(a.shape[0] for a in args + [is_call, S0, american])
+    args = [jnp.broadcast_to(a, (n,)) for a in args]
+    return (*args, jnp.broadcast_to(is_call, (n,)),
+            jnp.broadcast_to(S0, (n,)), jnp.broadcast_to(american, (n,)), n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "use_it", "n_spot", "n_vol", "n_time",
+        "s_min_mult", "s_max_mult", "v_max", "interpret",
+    ),
+)
+def _fused_batch_impl(
+    kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0, american,
+    use_it, n_spot, n_vol, n_time, s_min_mult, s_max_mult, v_max, interpret,
+):
+    from ..ops.adi_fused import fused_douglas_march_batched
+    import math
+
+    nS, nv, nT = n_spot, n_vol, n_time
+    B = kappa.shape[0]
+    th = 0.5
+    f32 = jnp.float32
+
+    # K-scaled log-spot grid: x = ln(S/K) is SHARED across the batch, so dx
+    # (and the S-operator lattice coefficients) are option-independent
+    x = jnp.linspace(math.log(s_min_mult), math.log(s_max_mult), nS, dtype=f32)
+    dx = (math.log(s_max_mult) - math.log(s_min_mult)) / (nS - 1)
+    ex = jnp.exp(x)                                   # (nS,)
+    v_grid = jnp.linspace(0.0, v_max, nv, dtype=f32)  # shared v grid
+    dv = v_max / (nv - 1)
+    dt = (T / nT).astype(f32)                         # (B,)
+
+    sg = ex[:, None] * K[None, :]                     # (nS, B)
+    pay = jnp.where(
+        is_call[None, :] > 0.5,
+        jnp.maximum(ex - 1.0, 0.0)[:, None] * K[None, :],
+        jnp.maximum(1.0 - ex, 0.0)[:, None] * K[None, :],
+    )
+
+    # explicit S-operator interior coefficients, (nv, B) lane-stacks
+    a = 0.5 * v_grid[:, None] / (dx * dx)             # (nv, 1)
+    bb = (r - q - 0.5 * v_grid[:, None]) / (2.0 * dx)  # (nv, B)
+    a1 = jnp.stack([a - bb, -2.0 * a - 0.5 * r[None, :], a + bb])   # (3,nv,B)
+    i1 = jnp.stack([
+        -th * dt[None, :] * a1[0],
+        1.0 - th * dt[None, :] * a1[1],
+        -th * dt[None, :] * a1[2],
+    ])
+
+    # v-operator bands per option (vmapped over the batch), row-aligned
+    a2lo, a2di, a2up = jax.vmap(
+        _a2_diags, in_axes=(None, None, 0, 0, 0, 0)
+    )(v_grid, dv, kappa, theta, sigma, r)             # (B, nv-1/nv/nv-1)
+
+    def _v_align_b(lower, diag, upper):
+        L = jnp.zeros((B, nv), f32).at[:, 1:].set(lower.astype(f32))
+        U = jnp.zeros((B, nv), f32).at[:, :-1].set(upper.astype(f32))
+        return L, diag.astype(f32), U
+
+    a2L, a2D, a2U = _v_align_b(a2lo, a2di, a2up)
+    i2L, i2D, i2U = _v_align_b(
+        -th * dt[:, None] * a2lo,
+        1.0 - th * dt[:, None] * a2di,
+        -th * dt[:, None] * a2up,
+    )
+    a2 = jnp.stack([a2L.T, a2D.T, a2U.T])             # (3, nv, B)
+    i2 = jnp.stack([i2L.T, i2D.T, i2U.T])
+
+    mix = (rho * sigma / (4.0 * dx * dv))[None, :] * v_grid[:, None]  # (nv,B)
+    mix = mix.at[nv - 1, :].set(0.0)                  # j = nv-1 is Dirichlet
+
+    sc = jnp.stack([
+        dt, r, q, K, is_call, american,
+        jnp.zeros((B,), f32), jnp.zeros((B,), f32),
+    ])                                                # (8, B)
+
+    # pad the batch to full 128-lane blocks (repeat lane 0 — any valid lane)
+    Bp = ((B + 127) // 128) * 128 if B > 128 or B == 128 else B
+    if B < 128:
+        Bp = B  # single sub-128 block: Mosaic pads lanes internally
+    padn = Bp - B
+
+    def padl(arr):
+        if padn == 0:
+            return arr
+        reps = jnp.repeat(arr[..., 0:1], padn, axis=-1)
+        return jnp.concatenate([arr, reps], axis=-1)
+
+    V = fused_douglas_march_batched(
+        padl(pay[:, None, :]), padl(sg[:, None, :]),
+        padl(a1), padl(i1), padl(a2), padl(i2),
+        padl(mix[None, :, :]), padl(sc[:, None, :]),
+        n_spot=nS, n_vol=nv, n_time=nT, use_it=use_it, interpret=interpret,
+    )[:, :, :B]                                       # (nS, nv, B)
+
+    # price + Greeks per option, on its own grid (same extraction as
+    # _solve_core / the reference heston_pde.hpp:481-559)
+    def extract(Vb, sgb, kb, tb, sb, rb, v0b, S0b, Tb, rhob, qb):
+        price = grids.interp_bilinear(sgb, v_grid, Vb, S0b, v0b)
+        i = jnp.clip(grids.find_index(sgb, S0b), 1, nS - 2)
+        j = jnp.clip(grids.find_index(v_grid, v0b), 1, nv - 2)
+        delta = (Vb[i + 1, j] - Vb[i - 1, j]) / (sgb[i + 1] - sgb[i - 1])
+        davg = 0.5 * (sgb[i + 1] - sgb[i - 1])
+        gamma = (Vb[i + 1, j] - 2.0 * Vb[i, j] + Vb[i - 1, j]) / (davg * davg)
+        dV_dv = (Vb[i, j + 1] - Vb[i, j - 1]) / (2.0 * dv)
+        vega = 2.0 * jnp.sqrt(v0b) * Tb * dV_dv
+        # theta from the PDE: V_t = -(A0 + A1 + A2) V (same as _solve_core)
+        lo_v, di_v, up_v = _a1_diags(v_grid, dx, rb, qb)
+        a1l, a1d, a1u = _assemble_a1(nS, nv, lo_v, di_v, up_v)
+        a2l, a2d, a2u = _a2_diags(v_grid, dv, kb, tb, sb, rb)
+        theta_b = -(
+            _apply_a0(Vb, v_grid, dx, dv, rhob, sb)
+            + _apply_a1(Vb, a1l, a1d, a1u)
+            + _apply_a2(Vb, a2l, a2d, a2u)
+        )[i, j]
+        return price, delta, gamma, vega, theta_b
+
+    Vt = jnp.transpose(V, (2, 0, 1))                  # (B, nS, nv)
+    price, delta, gamma, vega, theta_g = jax.vmap(extract)(
+        Vt, sg.T, kappa, theta, sigma, r, v0, S0, T, rho, q
+    )
+    return HestonPDEResult(price, delta, gamma, vega, theta_g, Vt,
+                           sg.T, jnp.broadcast_to(v_grid, (B, nv)))
+
+
+def solve_fused_batch(
+    kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0,
+    american=False,
+    american_method: str = "projection",
+    n_spot: int = 100,
+    n_vol: int = 50,
+    n_time: int = 100,
+    s_min_mult: float = 0.2,
+    s_max_mult: float = 5.0,
+    v_max: float = 1.0,
+    interpret: bool = False,
+) -> HestonPDEResult:
+    """Batch PDE pricing through the lane-batched fused Pallas march.
+
+    Same broadcasting contract as :func:`solve_batch` — every array argument
+    broadcasts along one leading batch axis, and ``is_call`` AND ``american``
+    are per-option — but the whole batch marches inside ONE Pallas kernel
+    with the option batch riding the 128 VPU lanes
+    (ops/adi_fused.fused_douglas_march_batched): no idle lanes, no per-step
+    HBM round-trips, no v-sweep transpose.  ``american_method`` selects the
+    projection or Ikonen-Toivanen treatment for the flagged options (IT is a
+    separate kernel variant: it allocates the multiplier buffer).
+
+    Greeks: delta/gamma/vega/theta from the grid as in the reference
+    (heston_pde.hpp:520-559) and :func:`solve_batch`; use :func:`greeks_ad`
+    for exact adjoint sensitivities to the model parameters.
+    """
+    if american_method not in ("projection", "it_lcp"):
+        raise ValueError(
+            "solve_fused_batch supports american_method 'projection' or "
+            "'it_lcp'"
+        )
+    (kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0, american, _n) = \
+        _broadcast_batch(kappa, theta, sigma, rho, v0, r, q, T, K, is_call,
+                         S0, american)
+    use_it = american_method == "it_lcp" and bool(np_any_flag(american))
+    return _fused_batch_impl(
+        kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0, american,
+        use_it, n_spot, n_vol, n_time, s_min_mult, s_max_mult, v_max,
+        interpret,
+    )
+
+
+def np_any_flag(arr) -> bool:
+    """Host-side any() on a (possibly traced-free) flag array."""
+    import numpy as np
+
+    return bool(np.any(np.asarray(arr) > 0.5))

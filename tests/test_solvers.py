@@ -179,6 +179,48 @@ class TestHestonADI:
                 float(fus.price), float(ref.price), atol=5e-4
             )
 
+    def test_solve_fused_batch_matches_scan(self):
+        """The lane-batched fused march (interpret mode on CPU) reproduces
+        the per-option scan solves — mixed strikes, maturities, rates,
+        calls/puts, and European/American in ONE batch; both American
+        treatments."""
+        kw = dict(n_spot=24, n_vol=12, n_time=8)
+        K = np.array([90.0, 100.0, 110.0, 100.0])
+        T = np.array([0.5, 1.0, 1.5, 1.0])
+        is_call = np.array([1.0, 0.0, 1.0, 0.0])
+        kappa = np.array([2.0, 1.5, 2.0, 2.5])
+        r = np.array([0.05, 0.05, 0.03, 0.08])
+        q = np.array([0.02, 0.0, 0.02, 0.0])
+        for method, amer in (
+            ("projection", np.array([0.0, 0.0, 0.0, 1.0])),
+            ("it_lcp", np.array([1.0, 1.0, 0.0, 1.0])),
+        ):
+            batch = heston_adi.solve_fused_batch(
+                kappa, 0.04, 0.3, -0.7, 0.04, r, q, T, K, is_call, 100.0,
+                american=amer, american_method=method, interpret=True, **kw
+            )
+            for i in range(4):
+                p = self.PARAMS._replace(
+                    kappa=float(kappa[i]), r=float(r[i]), q=float(q[i]),
+                    K=float(K[i]), T=float(T[i]), is_call=bool(is_call[i]),
+                    american=bool(amer[i]), american_method=method, **kw
+                )
+                ref = heston_adi.solve(p, 100.0)
+                np.testing.assert_allclose(
+                    float(batch.price[i]), float(ref.price), atol=5e-4
+                )
+                np.testing.assert_allclose(
+                    float(batch.delta[i]), float(ref.delta), atol=5e-4
+                )
+
+    def test_solve_fused_batch_rejects_unknown_american_method(self):
+        with pytest.raises(ValueError):
+            heston_adi.solve_fused_batch(
+                2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, 1.0, 100.0, 1.0,
+                100.0, american=1.0, american_method="psor", interpret=True,
+                n_spot=16, n_vol=8, n_time=4,
+            )
+
     def test_solve_fused_rejects_unknown_american_method(self):
         with pytest.raises(ValueError):
             heston_adi.solve_fused(
