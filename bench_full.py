@@ -136,6 +136,18 @@ def main():
     per = timeit(batch_fn, n=10)
     emit("heston_adi_batch108_options_per_sec", 108 / per, "options/s")
 
+    # 4c. lane-batched fused march: the whole desk inside ONE Pallas kernel,
+    # options riding the 128 VPU lanes (512 = four 128-lane grid blocks) ------
+    B = 512
+    Kf = jnp.asarray(np.linspace(85.0, 115.0, B), f32)
+    Tf = jnp.asarray(np.linspace(0.25, 1.5, B), f32)
+    cf = jnp.asarray((np.arange(B) % 2).astype(np.float32))
+    fb_fn = lambda: heston_adi.solve_fused_batch(
+        2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, Tf, Kf, cf, 100.0
+    ).price
+    per = timeit(fb_fn, n=10)
+    emit("heston_adi_fused_batch512_options_per_sec", B / per, "options/s")
+
     # 5. American LCP --------------------------------------------------------
     am = hp._replace(is_call=False, american=True, american_method="it_lcp", r=0.08, q=0.0)
     am_fn = jax.jit(lambda: heston_adi._solve_impl(am, 90.0).price)

@@ -23,6 +23,10 @@ class TestRequiredDocs:
         "README.md",
         "SURVEY.md",
         "docs/architecture.md",
+        "docs/getting_started.md",
+        "docs/api.md",
+        "docs/models.md",
+        "docs/operations.md",
         "docs/parity_map.md",
         "docs/performance.md",
         "docs/database_recovery.md",
@@ -43,7 +47,9 @@ class TestRequiredDocs:
 
 class TestInternalLinks:
     DOCS = ["README.md", "docs/architecture.md", "docs/parity_map.md",
-            "docs/performance.md", "docs/database_recovery.md"]
+            "docs/performance.md", "docs/database_recovery.md",
+            "docs/getting_started.md", "docs/api.md", "docs/models.md",
+            "docs/operations.md"]
 
     @pytest.mark.parametrize("doc", DOCS)
     def test_relative_links_resolve(self, doc):

@@ -213,6 +213,27 @@ class TestHestonADI:
                     float(batch.delta[i]), float(ref.delta), atol=5e-4
                 )
 
+    def test_solve_fused_batch_multiblock_padding(self):
+        """A batch that is not a multiple of 128 pads to full lane blocks and
+        runs as a Mosaic grid; results match the scan path row-for-row."""
+        kw = dict(n_spot=16, n_vol=8, n_time=4)
+        B = 130  # pads to 256 -> two 128-lane grid blocks
+        K = np.linspace(80.0, 120.0, B)
+        T = np.linspace(0.3, 1.2, B)
+        is_call = (np.arange(B) % 2).astype(float)
+        batch = heston_adi.solve_fused_batch(
+            2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, T, K, is_call, 100.0,
+            interpret=True, **kw
+        )
+        assert batch.price.shape == (B,)
+        ref = heston_adi.solve_batch(
+            2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, T, K,
+            is_call > 0.5, 100.0, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch.price), np.asarray(ref.price), atol=5e-4
+        )
+
     def test_solve_fused_batch_rejects_unknown_american_method(self):
         with pytest.raises(ValueError):
             heston_adi.solve_fused_batch(
