@@ -24,6 +24,8 @@ __all__ = [
     "thomas_solve",
     "ou_mle",
     "zscore_positions",
+    "heston_price_batch",
+    "sabr_vols",
 ]
 
 
@@ -94,4 +96,40 @@ def zscore_positions(prices, lookback: int, entry_z: float, exit_z: float) -> np
     prices = np.ascontiguousarray(prices, dtype=np.float64)
     out = np.zeros(len(prices), dtype=np.float64)
     lib.zscore_positions(_c(prices), len(prices), lookback, entry_z, exit_z, _c(out))
+    return out
+
+
+def heston_price_batch(kappa, theta, sigma, rho, v0, spot, r, q,
+                       strikes, maturities, is_call,
+                       n_points: int = 1024, du: float = 0.01,
+                       alpha: float = 0.75) -> np.ndarray:
+    """Float64 Carr-Madan oracle of models.heston.price_carr_madan.
+
+    The scalar per-option loop the reference runs in C++
+    (heston.cpp:94-151); used by tests and scripts/native_vs_jax.py to
+    cross-check and race the JAX device path on this machine.
+    """
+    lib = load()
+    strikes = np.ascontiguousarray(strikes, dtype=np.float64)
+    n = len(strikes)
+    maturities = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(maturities, dtype=np.float64), (n,))
+    )
+    is_call = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(is_call, dtype=np.float64), (n,))
+    )
+    out = np.zeros(n, dtype=np.float64)
+    lib.heston_price_batch(kappa, theta, sigma, rho, v0, spot, r, q,
+                           _c(strikes), _c(maturities), _c(is_call), n,
+                           n_points, du, alpha, _c(out))
+    return out
+
+
+def sabr_vols(alpha, beta, rho, nu, forward, maturity, strikes) -> np.ndarray:
+    """Float64 Hagan-smile oracle of models.sabr.implied_volatilities."""
+    lib = load()
+    strikes = np.ascontiguousarray(strikes, dtype=np.float64)
+    out = np.zeros(len(strikes), dtype=np.float64)
+    lib.sabr_vols(alpha, beta, rho, nu, forward, maturity,
+                  _c(strikes), len(strikes), _c(out))
     return out

@@ -71,6 +71,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.zscore_positions.argtypes = [dbl_p, i64, i64, ctypes.c_double, ctypes.c_double, dbl_p]
     lib.zscore_positions.restype = None
 
+    dbl = ctypes.c_double
+    lib.heston_price_batch.argtypes = [dbl] * 8 + [dbl_p, dbl_p, dbl_p, i64,
+                                                   i64, dbl, dbl, dbl_p]
+    lib.heston_price_batch.restype = None
+
+    lib.sabr_vols.argtypes = [dbl] * 6 + [dbl_p, i64, dbl_p]
+    lib.sabr_vols.restype = None
+
     lib.pde_host_abi_version.restype = ctypes.c_int32
     return lib
 
@@ -85,7 +93,7 @@ def load() -> ctypes.CDLL:
     try:
         path = build()
         _lib = _bind(ctypes.CDLL(str(path)))
-        assert _lib.pde_host_abi_version() == 1
+        assert _lib.pde_host_abi_version() == 2
         return _lib
     except Exception as exc:  # noqa: BLE001 - record and degrade
         _load_error = str(exc)

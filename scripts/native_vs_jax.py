@@ -91,7 +91,52 @@ def main() -> int:
                       "native_s": round(t_cpp, 6), "jax_s": round(t_jax, 6),
                       "speedup": round(t_cpp / t_jax, 1)}))
 
-    # 3. tick->bar aggregation (host-side workload: C++ is the right tool;
+    # 3. Heston Carr-Madan pricing: the reference's STAR workload
+    # (benchmarks/python_vs_cpp.py: "10,000+ options/sec" C++). Native runs
+    # the per-option 1024-point loop; JAX prices the same batch as one
+    # tensor op on device.
+    from pde_tpu.models import heston
+
+    nopt = 512
+    Kh = np.linspace(70.0, 130.0, nopt)
+    Th = np.tile(np.linspace(0.1, 2.0, 8), nopt // 8)
+    ich = (np.arange(nopt) % 2).astype(float)
+    t_cpp = time_host(
+        lambda: native.heston_price_batch(
+            2.0, 0.04, 0.3, -0.7, 0.04, 100.0, 0.05, 0.02, Kh, Th, ich
+        ),
+        n=3,
+    )
+    hp = heston.HestonParams(2.0, 0.04, 0.3, -0.7, 0.04)
+    Kj, Tj = jnp.asarray(Kh, jnp.float32), jnp.asarray(Th, jnp.float32)
+    icj = jnp.asarray(ich) > 0.5
+    jprice = jax.jit(
+        lambda K, T, ic: heston.price_carr_madan(hp, K, T, 100.0, 0.05, 0.02, is_call=ic)
+    )
+    t_jax = time_device(lambda: jprice(Kj, Tj, icj), n=30)
+    print(json.dumps({"metric": "heston_price_512_native_vs_jax",
+                      "native_s": round(t_cpp, 6), "jax_s": round(t_jax, 6),
+                      "native_options_per_sec": round(nopt / t_cpp),
+                      "jax_options_per_sec": round(nopt / t_jax),
+                      "speedup": round(t_cpp / t_jax, 1)}))
+
+    # 4. SABR Hagan smile: 4096 strikes
+    from pde_tpu.models import sabr
+
+    ns = 4096
+    Ks = np.linspace(60.0, 140.0, ns)
+    t_cpp = time_host(
+        lambda: native.sabr_vols(0.25, 0.7, -0.3, 0.45, 100.0, 1.25, Ks), n=10
+    )
+    sp = sabr.SABRParams(alpha=0.25, beta=0.7, rho=-0.3, nu=0.45)
+    Ksj = jnp.asarray(Ks, jnp.float32)
+    jvols = jax.jit(lambda K: sabr.implied_volatilities(K, 100.0, 1.25, sp))
+    t_jax = time_device(lambda: jvols(Ksj), n=30)
+    print(json.dumps({"metric": "sabr_vols_4096_native_vs_jax",
+                      "native_s": round(t_cpp, 6), "jax_s": round(t_jax, 6),
+                      "speedup": round(t_cpp / t_jax, 1)}))
+
+    # 5. tick->bar aggregation (host-side workload: C++ is the right tool;
     # report it as such)
     n_ticks = 1_000_000
     times = np.sort(rng.uniform(0, 3600, n_ticks))

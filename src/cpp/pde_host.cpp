@@ -11,6 +11,7 @@
 
 #include <algorithm>
 #include <cmath>
+#include <complex>
 #include <cstdint>
 #include <cstring>
 
@@ -183,6 +184,110 @@ void zscore_positions(const double* prices, int64_t n, int64_t lookback,
     }
 }
 
-int32_t pde_host_abi_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Heston Carr-Madan pricing: float64 oracle of models.heston.price_carr_madan
+// (independent implementation of the Heston 1993 CF in the stable branch-cut
+// formulation + the damped Carr-Madan integral; same quadrature convention
+// as the reference engine: j = 1..n_points-1 unit weights, alpha damping).
+// is_call: 1.0 call / 0.0 put (parity).  out: n prices.
+void heston_price_batch(double kappa, double theta, double sigma, double rho,
+                        double v0, double spot, double r, double q,
+                        const double* strikes, const double* maturities,
+                        const double* is_call, int64_t n,
+                        int64_t n_points, double du, double alpha,
+                        double* out) {
+    using cplx = std::complex<double>;
+    const cplx I(0.0, 1.0);
+    const double sigma2 = sigma * sigma;
+
+    for (int64_t k = 0; k < n; ++k) {
+        const double K = strikes[k];
+        const double T = maturities[k];
+        if (T <= 0.0) {
+            double intr = is_call[k] > 0.5 ? std::max(spot - K, 0.0)
+                                           : std::max(K - spot, 0.0);
+            out[k] = intr;
+            continue;
+        }
+        const double log_fk = std::log(spot / K) + (r - q) * T;
+        double sum = 0.0;
+        for (int64_t j = 1; j < n_points; ++j) {
+            const double v = j * du;
+            const cplx u = cplx(v, -(alpha + 1.0));
+            // reduced CF exp(C + D v0) (phase terms folded into log_fk)
+            const cplx xi = kappa - rho * sigma * I * u;
+            const cplx d = std::sqrt(xi * xi + sigma2 * (I * u + u * u));
+            const cplx g = (xi - d) / (xi + d);
+            const cplx emdT = std::exp(-d * T);
+            const cplx C = (kappa * theta / sigma2) *
+                ((xi - d) * T - 2.0 * std::log((1.0 - g * emdT) / (1.0 - g)));
+            const cplx D = ((xi - d) / sigma2) * ((1.0 - emdT) / (1.0 - g * emdT));
+            const cplx cf = std::exp(C + D * v0 + I * v * log_fk);
+            const cplx denom(alpha * alpha + alpha - v * v, (2.0 * alpha + 1.0) * v);
+            sum += (cf / denom).real();
+        }
+        const double discount = std::exp(-r * T);
+        const double fwd_over_k = std::exp(log_fk);
+        const double prefactor = K * std::pow(fwd_over_k, alpha + 1.0);
+        double call = std::max(prefactor / M_PI * discount * du * sum, 0.0);
+        if (is_call[k] > 0.5) {
+            out[k] = call;
+        } else {
+            out[k] = std::max(call - spot * std::exp(-q * T) + K * discount, 0.0);
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// SABR Hagan (2002) lognormal implied vol: float64 oracle of
+// models.sabr.implied_volatility (same branch structure: zero-maturity
+// shortcut, ATM cutoff 1e-6, small-z Taylor of chi).
+void sabr_vols(double alpha, double beta, double rho, double nu,
+               double forward, double maturity,
+               const double* strikes, int64_t n, double* out) {
+    const double EPS = 1e-10, ATM = 1e-6;
+    const double omb = 1.0 - beta;
+    for (int64_t k = 0; k < n; ++k) {
+        const double K = strikes[k];
+        const double log_fk = std::log(forward / K);
+        const double fk_mid = std::sqrt(forward * K);
+        const double fk_pow = std::pow(fk_mid, omb);
+        if (maturity < EPS) { out[k] = alpha / fk_pow; continue; }
+
+        const double f_pow = std::pow(forward, omb);
+        const double t1a = (omb * omb / 24.0) * alpha * alpha / (f_pow * f_pow);
+        const double t2a = (rho * beta * nu * alpha) / (4.0 * f_pow);
+        const double t3 = ((2.0 - 3.0 * rho * rho) / 24.0) * nu * nu;
+        const double atm_vol = alpha / f_pow * (1.0 + (t1a + t2a + t3) * maturity);
+        if (std::fabs(log_fk) < ATM) { out[k] = atm_vol; continue; }
+
+        double z_over_chi = 1.0;
+        if (nu >= EPS && alpha >= EPS) {
+            const double z = (nu / std::max(alpha, EPS)) * fk_pow * log_fk;
+            if (std::fabs(z) >= EPS) {
+                double chi;
+                if (std::fabs(z) < EPS) {
+                    chi = z * (1.0 + 0.5 * rho * z + (2.0 * rho * rho - 1.0) / 6.0 * z * z);
+                } else {
+                    const double sq = std::sqrt(std::max(1.0 - 2.0 * rho * z + z * z, 0.0));
+                    const double numer = std::max(sq + z - rho, EPS);
+                    double denom = 1.0 - rho;
+                    if (std::fabs(denom) < EPS) denom = EPS;
+                    chi = std::log(numer / denom);
+                }
+                z_over_chi = z / chi;
+            }
+        }
+        const double lfk2 = log_fk * log_fk;
+        const double series = 1.0 + (omb * omb / 24.0) * lfk2
+                              + (std::pow(omb, 4) / 1920.0) * lfk2 * lfk2;
+        const double t1 = (omb * omb / 24.0) * alpha * alpha / (fk_pow * fk_pow);
+        const double t2 = (rho * beta * nu * alpha) / (4.0 * fk_pow);
+        const double corr = 1.0 + (t1 + t2 + t3) * maturity;
+        out[k] = (alpha / (fk_pow * series)) * z_over_chi * corr;
+    }
+}
+
+int32_t pde_host_abi_version() { return 2; }
 
 }  // extern "C"

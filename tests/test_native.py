@@ -13,7 +13,7 @@ pytestmark = pytest.mark.skipif(
 class TestBuild:
     def test_abi(self):
         lib = native.load()
-        assert lib.pde_host_abi_version() == 1
+        assert lib.pde_host_abi_version() == 2
 
 
 class TestBarAggregation:
@@ -109,3 +109,45 @@ class TestOracles:
         assert fast[0] == pytest.approx(float(ref.params.theta), abs=1e-8)
         assert fast[1] == pytest.approx(float(ref.params.mu), rel=1e-6)
         assert fast[2] == pytest.approx(float(ref.params.sigma), rel=1e-8)
+
+    def test_heston_oracle_matches_jax(self):
+        """Native Carr-Madan (the reference's per-option C++ loop, written
+        independently) agrees with the JAX pricer to float64 roundoff."""
+        import jax.numpy as jnp
+
+        from pde_tpu.models import heston
+
+        p = heston.HestonParams(2.0, 0.04, 0.3, -0.7, 0.04)
+        K = np.linspace(80.0, 120.0, 21)
+        T = np.full(21, 0.9)
+        T[:3] = 0.0  # exercise the zero-maturity intrinsic branch
+        ic = (np.arange(21) % 2).astype(float)
+        cpp = native.heston_price_batch(
+            2.0, 0.04, 0.3, -0.7, 0.04, 100.0, 0.05, 0.02, K, T, ic
+        )
+        jx = np.asarray(
+            heston.price_carr_madan(
+                p, jnp.asarray(K), jnp.asarray(T), 100.0, 0.05, 0.02,
+                is_call=jnp.asarray(ic) > 0.5,
+            )
+        )
+        np.testing.assert_allclose(cpp, jx, atol=1e-10)
+
+    def test_sabr_oracle_matches_jax(self):
+        import jax.numpy as jnp
+
+        from pde_tpu.models import sabr
+
+        sp = sabr.SABRParams(alpha=0.25, beta=0.7, rho=-0.3, nu=0.45)
+        K = np.linspace(80.0, 120.0, 21)
+        cpp = native.sabr_vols(0.25, 0.7, -0.3, 0.45, 100.0, 1.25, K)
+        jx = np.asarray(sabr.implied_volatilities(jnp.asarray(K), 100.0, 1.25, sp))
+        np.testing.assert_allclose(cpp, jx, atol=1e-12)
+        # ATM and zero-maturity branches
+        atm_cpp = native.sabr_vols(0.25, 0.7, -0.3, 0.45, 100.0, 1.25,
+                                   np.array([100.0]))
+        atm_jx = float(sabr.implied_volatility(jnp.asarray(100.0), 100.0, 1.25, sp))
+        np.testing.assert_allclose(atm_cpp[0], atm_jx, atol=1e-12)
+        t0_cpp = native.sabr_vols(0.25, 0.7, -0.3, 0.45, 100.0, 0.0, K[:2])
+        t0_jx = np.asarray(sabr.implied_volatility(jnp.asarray(K[:2]), 100.0, 0.0, sp))
+        np.testing.assert_allclose(t0_cpp, t0_jx, atol=1e-12)
