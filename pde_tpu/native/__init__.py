@@ -26,6 +26,9 @@ __all__ = [
     "zscore_positions",
     "heston_price_batch",
     "sabr_vols",
+    "bs_pde_solve",
+    "heston_adi_solve",
+    "hjb_march",
 ]
 
 
@@ -132,4 +135,55 @@ def sabr_vols(alpha, beta, rho, nu, forward, maturity, strikes) -> np.ndarray:
     out = np.zeros(len(strikes), dtype=np.float64)
     lib.sabr_vols(alpha, beta, rho, nu, forward, maturity,
                   _c(strikes), len(strikes), _c(out))
+    return out
+
+
+def bs_pde_solve(S0, sigma, r, q, T, K, *, is_call=True, american=False,
+                 n_space: int = 200, n_time: int = 100,
+                 s_min_mult: float = 0.2, s_max_mult: float = 5.0,
+                 crank_nicolson: bool = True):
+    """Float64 log-space CN oracle of solvers.bs_pde.solve.
+
+    Returns (price, V_grid, spot_grid) — the same discretization as the JAX
+    march (and the reference black_scholes_pde.hpp), written independently.
+    """
+    lib = load()
+    grid = np.zeros(n_space, dtype=np.float64)
+    sgrid = np.zeros(n_space, dtype=np.float64)
+    price = lib.bs_pde_solve(S0, sigma, r, q, T, K, int(is_call), int(american),
+                             n_space, n_time, s_min_mult, s_max_mult,
+                             int(crank_nicolson), _c(grid), _c(sgrid))
+    return float(price), grid, sgrid
+
+
+def heston_adi_solve(kappa, theta, sigma, rho, v0, r, q, T, K, S0, *,
+                     is_call=True, american=False,
+                     n_spot: int = 100, n_vol: int = 50, n_time: int = 100,
+                     s_min_mult: float = 0.2, s_max_mult: float = 5.0,
+                     v_max: float = 1.0):
+    """Float64 Douglas-ADI oracle of solvers.heston_adi.solve.
+
+    Returns (price, V_grid) with V_grid of shape (n_spot, n_vol) — the same
+    scheme (In 't Hout-Foulon boundaries, theta = 1/2) as the JAX march,
+    written independently in scalar C++.
+    """
+    lib = load()
+    grid = np.zeros((n_spot, n_vol), dtype=np.float64)
+    price = lib.heston_adi_solve(kappa, theta, sigma, rho, v0, r, q, T, K,
+                                 int(is_call), int(american), S0,
+                                 n_spot, n_vol, n_time,
+                                 s_min_mult, s_max_mult, v_max, _c(grid))
+    return float(price), grid
+
+
+def hjb_march(theta, mu, sigma, r, T, x_min, x_max, exercise,
+              n_time: int = 200) -> np.ndarray:
+    """Float64 implicit-Euler obstacle march: oracle of solvers.hjb._march
+    (projection mode).  Returns the final value function on the x grid."""
+    lib = load()
+    exercise = np.ascontiguousarray(exercise, dtype=np.float64)
+    n = len(exercise)
+    out = np.zeros(n, dtype=np.float64)
+    lib.hjb_march(theta, mu, sigma, r, T, x_min, x_max, n, n_time,
+                  _c(exercise), _c(out))
     return out

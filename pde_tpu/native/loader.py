@@ -20,7 +20,10 @@ from typing import Optional
 __all__ = ["load", "is_available", "build", "NativeUnavailable"]
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
-_SOURCE = _REPO_ROOT / "src" / "cpp" / "pde_host.cpp"
+_SOURCES = [
+    _REPO_ROOT / "src" / "cpp" / "pde_host.cpp",
+    _REPO_ROOT / "src" / "cpp" / "pde_solvers.cpp",
+]
 _BUILD_DIR = Path(os.environ.get("PDE_TPU_BUILD_DIR", _REPO_ROOT / "build"))
 
 _lib: Optional[ctypes.CDLL] = None
@@ -32,8 +35,10 @@ class NativeUnavailable(RuntimeError):
 
 
 def _lib_path() -> Path:
-    digest = hashlib.sha256(_SOURCE.read_bytes()).hexdigest()[:12]
-    return _BUILD_DIR / f"libpde_host-{digest}.so"
+    h = hashlib.sha256()
+    for src in _SOURCES:
+        h.update(src.read_bytes())
+    return _BUILD_DIR / f"libpde_host-{h.hexdigest()[:12]}.so"
 
 
 def build(force: bool = False) -> Path:
@@ -44,7 +49,7 @@ def build(force: bool = False) -> Path:
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        str(_SOURCE), "-o", str(path),
+        *[str(s) for s in _SOURCES], "-o", str(path),
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
     if proc.returncode != 0:
@@ -79,6 +84,19 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.sabr_vols.argtypes = [dbl] * 6 + [dbl_p, i64, dbl_p]
     lib.sabr_vols.restype = None
 
+    # pde_solvers.cpp: float64 PDE-solver oracles
+    i32 = ctypes.c_int32
+    lib.bs_pde_solve.argtypes = [dbl] * 6 + [i32, i32, i64, i64, dbl, dbl, i32,
+                                             dbl_p, dbl_p]
+    lib.bs_pde_solve.restype = dbl
+
+    lib.heston_adi_solve.argtypes = [dbl] * 9 + [i32, i32, dbl, i64, i64, i64,
+                                                 dbl, dbl, dbl, dbl_p]
+    lib.heston_adi_solve.restype = dbl
+
+    lib.hjb_march.argtypes = [dbl] * 7 + [i64, i64, dbl_p, dbl_p]
+    lib.hjb_march.restype = None
+
     lib.pde_host_abi_version.restype = ctypes.c_int32
     return lib
 
@@ -93,7 +111,7 @@ def load() -> ctypes.CDLL:
     try:
         path = build()
         _lib = _bind(ctypes.CDLL(str(path)))
-        assert _lib.pde_host_abi_version() == 2
+        assert _lib.pde_host_abi_version() == 3
         return _lib
     except Exception as exc:  # noqa: BLE001 - record and degrade
         _load_error = str(exc)

@@ -288,6 +288,6 @@ void sabr_vols(double alpha, double beta, double rho, double nu,
     }
 }
 
-int32_t pde_host_abi_version() { return 2; }
+int32_t pde_host_abi_version() { return 3; }
 
 }  // extern "C"

@@ -13,7 +13,7 @@ pytestmark = pytest.mark.skipif(
 class TestBuild:
     def test_abi(self):
         lib = native.load()
-        assert lib.pde_host_abi_version() == 2
+        assert lib.pde_host_abi_version() == 3
 
 
 class TestBarAggregation:
@@ -151,3 +151,93 @@ class TestOracles:
         t0_cpp = native.sabr_vols(0.25, 0.7, -0.3, 0.45, 100.0, 0.0, K[:2])
         t0_jx = np.asarray(sabr.implied_volatility(jnp.asarray(K[:2]), 100.0, 0.0, sp))
         np.testing.assert_allclose(t0_cpp, t0_jx, atol=1e-12)
+
+
+class TestSolverOracles:
+    """Independent float64 C++ marches cross-check the JAX PDE solvers.
+
+    Same role as the reference's C++ solver tests (tests/cpp +
+    test_cpp_bindings.py:465-571): two implementations of each scheme,
+    written independently, must agree to float64 round-off."""
+
+    def test_bs_pde_european_matches_jax(self):
+        from pde_tpu.solvers import bs_pde
+
+        p = bs_pde.BSPDEParams(sigma=0.25, r=0.05, q=0.01, T=1.0, K=100.0)
+        res = bs_pde.solve(p, 105.0)
+        price, grid, sgrid = native.bs_pde_solve(105.0, 0.25, 0.05, 0.01, 1.0, 100.0)
+        assert price == pytest.approx(float(res.price), abs=1e-10)
+        np.testing.assert_allclose(grid, np.asarray(res.prices), rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(sgrid, np.asarray(res.spot_grid), rtol=1e-12)
+
+    def test_bs_pde_american_put_matches_jax(self):
+        from pde_tpu.solvers import bs_pde
+
+        p = bs_pde.BSPDEParams(
+            sigma=0.25, r=0.05, q=0.0, T=1.0, K=100.0, is_call=False, american=True
+        )
+        res = bs_pde.solve(p, 95.0)
+        price, _, _ = native.bs_pde_solve(
+            95.0, 0.25, 0.05, 0.0, 1.0, 100.0, is_call=False, american=True
+        )
+        assert price == pytest.approx(float(res.price), abs=1e-9)
+
+    def test_bs_pde_implicit_scheme_matches_jax(self):
+        from pde_tpu.solvers import bs_pde
+
+        p = bs_pde.BSPDEParams(sigma=0.3, r=0.03, T=0.5, K=90.0, scheme="implicit")
+        res = bs_pde.solve(p, 92.0)
+        price, _, _ = native.bs_pde_solve(
+            92.0, 0.3, 0.03, 0.0, 0.5, 90.0, crank_nicolson=False
+        )
+        assert price == pytest.approx(float(res.price), abs=1e-9)
+
+    def test_heston_adi_european_matches_jax(self, heston_test_params):
+        from pde_tpu.solvers import heston_adi
+
+        hp = heston_adi.HestonPDEParams()
+        res = heston_adi.solve(hp, 100.0)
+        price, grid = native.heston_adi_solve(
+            2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.0, 1.0, 100.0, 100.0
+        )
+        assert price == pytest.approx(float(res.price), abs=1e-9)
+        np.testing.assert_allclose(
+            grid, np.asarray(res.prices), rtol=1e-6, atol=1e-7
+        )
+
+    def test_heston_adi_american_put_matches_jax(self):
+        from pde_tpu.solvers import heston_adi
+
+        hp = heston_adi.HestonPDEParams(is_call=False, american=True)
+        res = heston_adi.solve(hp, 100.0)
+        price, _ = native.heston_adi_solve(
+            2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.0, 1.0, 100.0, 100.0,
+            is_call=False, american=True,
+        )
+        assert price == pytest.approx(float(res.price), abs=1e-9)
+
+    def test_heston_adi_nonzero_dividend_put(self):
+        from pde_tpu.solvers import heston_adi
+
+        hp = heston_adi.HestonPDEParams(q=0.02, T=0.5, K=95.0, is_call=False)
+        res = heston_adi.solve(hp, 100.0)
+        price, _ = native.heston_adi_solve(
+            2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, 0.5, 95.0, 100.0, is_call=False
+        )
+        assert price == pytest.approx(float(res.price), abs=1e-9)
+
+    def test_hjb_march_matches_jax(self):
+        import jax.numpy as jnp
+
+        from pde_tpu.solvers import hjb
+
+        p = hjb.HJBParams()
+        res = hjb.solve(p)
+        exercise = np.asarray(
+            hjb._exercise_value(jnp.asarray(res.x_grid), p, p.problem)
+        )
+        vn = native.hjb_march(
+            p.theta, p.mu, p.sigma, p.r, p.T, p.x_min, p.x_max, exercise,
+            n_time=p.n_time,
+        )
+        np.testing.assert_allclose(vn, res.value_function, rtol=1e-10, atol=1e-12)
