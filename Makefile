@@ -1,6 +1,6 @@
 # Developer entry points (role parity with the reference Makefile).
 
-.PHONY: test test-fast test-native bench native clean lint dryrun demo
+.PHONY: test test-fast test-native test-cpp bench native clean lint dryrun demo
 
 test:            ## full suite (CPU, float64 parity mode, 8 virtual devices)
 	python -m pytest tests/ -q
@@ -13,6 +13,12 @@ test-native:     ## native C++ host runtime only
 
 native:          ## build the C++ host library
 	python -c "from pde_tpu.native import build; print(build(force=True))"
+
+test-cpp:        ## native C++ unit tests (role parity with the reference GTest suites)
+	mkdir -p build
+	g++ -O2 -march=native -std=c++17 src/cpp/pde_host.cpp src/cpp/pde_solvers.cpp \
+		src/cpp/pde_host_test.cpp -o build/pde_host_test
+	./build/pde_host_test
 
 bench:           ## headline benchmark (runs on the attached TPU)
 	python bench.py

@@ -241,3 +241,30 @@ class TestSolverOracles:
             n_time=p.n_time,
         )
         np.testing.assert_allclose(vn, res.value_function, rtol=1e-10, atol=1e-12)
+
+
+class TestCppUnitTests:
+    """Build + run the native assert-suite (src/cpp/pde_host_test.cpp) —
+    the analog of the reference's GTest layer (tests/cpp, 57 TEST cases)."""
+
+    def test_cpp_suite_passes(self, tmp_path):
+        import subprocess
+        from pathlib import Path
+
+        root = Path(__file__).resolve().parents[1]
+        binary = tmp_path / "pde_host_test"
+        sources = [
+            root / "src" / "cpp" / f
+            for f in ("pde_host.cpp", "pde_solvers.cpp", "pde_host_test.cpp")
+        ]
+        build = subprocess.run(
+            ["g++", "-O2", "-march=native", "-std=c++17",
+             *map(str, sources), "-o", str(binary)],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert build.returncode == 0, build.stderr
+        run = subprocess.run(
+            [str(binary)], capture_output=True, text=True, timeout=600
+        )
+        assert run.returncode == 0, run.stdout + run.stderr
+        assert "0 failures" in run.stdout
