@@ -21,6 +21,7 @@ discretization, same branch choices of complex sqrt/log).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -89,6 +90,7 @@ class HestonParams(NamedTuple):
         return cls(arr[..., 0], arr[..., 1], arr[..., 2], arr[..., 3], arr[..., 4])
 
 
+@jax.jit
 def characteristic_function(params: HestonParams, u, maturity, spot, rate=0.0, dividend=0.0):
     """Heston characteristic function phi(u) of log-spot at maturity T.
 
@@ -194,6 +196,7 @@ def _carr_madan_integral(params, strike, maturity, spot, rate, dividend, n_point
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n_points", "du", "alpha"))
 def price_carr_madan(
     params: HestonParams,
     strike,
@@ -238,6 +241,7 @@ def price_carr_madan(
     return jnp.where(maturity <= 0.0, intrinsic, price)
 
 
+@functools.partial(jax.jit, static_argnames=("n_points", "du", "alpha"))
 def price_accurate(
     params: HestonParams,
     strike,
@@ -411,6 +415,7 @@ def greeks_ad(params, strike, maturity, spot, rate=0.0, dividend=0.0, is_call=Tr
     }
 
 
+@functools.partial(jax.jit, static_argnames=("n_fft", "eta", "alpha"))
 def price_fft(
     params: HestonParams,
     maturity,
