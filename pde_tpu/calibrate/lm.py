@@ -41,6 +41,7 @@ def levenberg_marquardt(
     lam0: float = 1e-3,
     ftol: float = 1e-10,
     gtol: float = 1e-10,
+    xtol: float = 1e-10,
     axis_name: Optional[str] = None,
 ) -> LMResult:
     """Minimize 0.5 ||residual_fn(x)||^2 subject to lower <= x <= upper.
@@ -52,6 +53,14 @@ def levenberg_marquardt(
     x0 = jnp.clip(jnp.asarray(x0), lower, upper)
     n = x0.shape[0]
     eye = jnp.eye(n, dtype=x0.dtype)
+    # The scipy-convention defaults (1e-10) are unreachable in float32, where
+    # relative cost improvements bottom out near machine epsilon (~1.2e-7) —
+    # on the TPU speed path the march would always report converged=False.
+    # Floor the tolerances at a small multiple of the working precision.
+    eps = float(jnp.finfo(x0.dtype).eps)
+    ftol = max(ftol, 4.0 * eps)
+    gtol = max(gtol, 4.0 * eps)
+    xtol = max(xtol, 4.0 * eps)
 
     def half_sq(r):
         c = 0.5 * jnp.sum(r * r)
@@ -103,6 +112,12 @@ def levenberg_marquardt(
         rel_impr = (carry.cost - cost_new) / jnp.maximum(carry.cost, 1e-300)
         conv = accept & (rel_impr < ftol)
         conv = conv | (jnp.max(jnp.abs(carry.JTr)) < gtol)
+        # xtol (scipy TRF semantics): the actual step has shrunk to working
+        # precision relative to x — fires also on REJECTED steps, which is
+        # how an f32 march at the optimum terminates (no step can lower the
+        # cost by more than round-off, so `accept` alone never converges)
+        step_norm = jnp.linalg.norm(x_new - carry.x)
+        conv = conv | (step_norm <= xtol * (xtol + jnp.linalg.norm(carry.x)))
         done = carry.done | conv
 
         step = lambda new, old: jnp.where(accept & ~carry.done, new, old)

@@ -14,6 +14,8 @@ data-dependent Python control flow) so it jits, vmaps and shards cleanly.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -126,6 +128,7 @@ def _brenner_subrahmanyam_init(target, spot, strike, rate, dividend, maturity):
     return jnp.clip(approx, 0.05, 2.0)
 
 
+@functools.partial(jax.jit, static_argnames=("max_iter", "tol"))
 def implied_vol(
     target_price,
     spot,
