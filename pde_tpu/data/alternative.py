@@ -10,6 +10,7 @@ are first-class for zero-egress environments.
 from __future__ import annotations
 
 import enum
+import zlib
 from dataclasses import dataclass, field
 from datetime import date, datetime, timedelta, timezone
 from typing import Dict, List, Optional
@@ -28,6 +29,13 @@ __all__ = [
     "SimulatedSentimentProvider",
     "AlternativeDataManager",
 ]
+
+
+def _stable_hash(text: str) -> int:
+    """Process-stable symbol hash (str ``hash`` is randomized per process,
+    which would make the "deterministic" simulated data differ between
+    runs)."""
+    return zlib.crc32(text.encode())
 
 
 @dataclass
@@ -111,7 +119,7 @@ class SimulatedMacroProvider:
 
     def get_series(self, series_id: str, start: date, end: date) -> MacroSeries:
         n = max((end - start).days, 1)
-        rng = np.random.default_rng(self.seed + (hash(series_id) % 1000))
+        rng = np.random.default_rng(self.seed + (_stable_hash(series_id) % 1000))
         level = self.LEVELS.get(series_id, 100.0)
         noise = rng.normal(0, 0.01 * level, n).cumsum() * 0.05
         values = level + noise - noise.mean()
@@ -129,7 +137,7 @@ class SimulatedEventProvider:
     def get_events(self, symbol: str, start: date, end: date) -> List[CorporateEvent]:
         events = []
         # quarterly earnings ~3rd week of Jan/Apr/Jul/Oct, offset per symbol
-        offset = hash(symbol) % 10
+        offset = _stable_hash(symbol) % 10
         for year in range(start.year, end.year + 1):
             for month in (1, 4, 7, 10):
                 d = date(year, month, 15 + offset % 10)
@@ -145,7 +153,7 @@ class SimulatedSentimentProvider:
         self.seed = seed
 
     def get_sentiment(self, symbol: str) -> SentimentScore:
-        rng = np.random.default_rng(self.seed + (hash(symbol) % 1000))
+        rng = np.random.default_rng(self.seed + (_stable_hash(symbol) % 1000))
         return SentimentScore(symbol=symbol, score=float(np.tanh(rng.normal(0, 0.5))),
                               n_sources=int(rng.integers(5, 50)))
 

@@ -11,8 +11,9 @@ it is the test/dev substitute in a zero-egress environment.
 from __future__ import annotations
 
 import abc
-import time
 import threading
+import time
+import zlib
 from dataclasses import dataclass, field
 from datetime import date, datetime, timedelta, timezone
 from typing import Any, Dict, List, Optional
@@ -31,6 +32,13 @@ __all__ = [
     "IEXProvider",
     "create_provider",
 ]
+
+
+def _stable_hash(text: str) -> int:
+    """Process-stable symbol hash (str ``hash`` is randomized per process,
+    which would make the "deterministic" simulated data differ between
+    runs)."""
+    return zlib.crc32(text.encode())
 
 
 class RateLimiter:
@@ -129,12 +137,12 @@ class SimulatedDataProvider(DataProvider):
     def _base(self, symbol: str) -> float:
         if symbol in self.base_prices:
             return self.base_prices[symbol]
-        return 50.0 + (hash(symbol) % 400)
+        return 50.0 + (_stable_hash(symbol) % 400)
 
     def get_bars(self, symbol, start, end, interval="1d") -> List[Bar]:
         self.rate_limiter.acquire()
         n = max((end - start).days, 1)
-        rng = np.random.default_rng(self.seed + (hash(symbol) % 10_000))
+        rng = np.random.default_rng(self.seed + (_stable_hash(symbol) % 10_000))
         dt = 1.0 / 252.0
         rets = (self.annual_drift - 0.5 * self.annual_vol**2) * dt + self.annual_vol * np.sqrt(
             dt
@@ -167,19 +175,26 @@ class SimulatedDataProvider(DataProvider):
         T = max((exp - date.today()).days, 1) / 365.0
         from ..models import black_scholes as bs_mod
 
+        # one vectorized pricing call for the whole chain: scalar per-option
+        # calls would pay a device round-trip EACH on a tunnelled TPU
+        strikes = np.round(spot * np.linspace(0.8, 1.2, 9), 1)
+        both = np.concatenate([strikes, strikes])
+        is_call = np.concatenate([np.ones(9, bool), np.zeros(9, bool)])
+        mids = np.asarray(bs_mod.price(spot, both, 0.05, 0.0, T, 0.22, is_call))
+
         rows = []
-        for k_mult in np.linspace(0.8, 1.2, 9):
-            strike = round(spot * k_mult, 1)
-            for opt_type, is_call in (("call", True), ("put", False)):
-                mid = float(bs_mod.price(spot, strike, 0.05, 0.0, T, 0.22, is_call))
-                rows.append(
-                    {
-                        "underlying": underlying, "strike": strike, "expiration": exp,
-                        "option_type": opt_type, "bid": max(mid * 0.98, 0.01),
-                        "ask": mid * 1.02 + 0.01, "last": mid, "volume": 500,
-                        "open_interest": 1000,
-                    }
-                )
+        for strike, call_flag, mid in zip(both, is_call, mids):
+            mid = float(mid)
+            rows.append(
+                {
+                    "underlying": underlying, "strike": float(strike),
+                    "expiration": exp,
+                    "option_type": "call" if call_flag else "put",
+                    "bid": max(mid * 0.98, 0.01),
+                    "ask": mid * 1.02 + 0.01, "last": mid, "volume": 500,
+                    "open_interest": 1000,
+                }
+            )
         return rows
 
 

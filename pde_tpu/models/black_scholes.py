@@ -42,6 +42,7 @@ def _d1_d2(spot, strike, rate, dividend, maturity, vol):
     return d1, d2
 
 
+@jax.jit
 def price(spot, strike, rate, dividend, maturity, vol, is_call=True):
     """European Black-Scholes price (broadcasts over all arguments).
 
@@ -65,6 +66,7 @@ def price(spot, strike, rate, dividend, maturity, vol, is_call=True):
     return jnp.where(maturity <= 0.0, intrinsic, val)
 
 
+@jax.jit
 def vega(spot, strike, rate, dividend, maturity, vol):
     """dV/dsigma.  Matches src/cpp/models/heston.cpp:296-309."""
     spot, strike, maturity, vol = jnp.broadcast_arrays(
@@ -78,17 +80,20 @@ def vega(spot, strike, rate, dividend, maturity, vol):
     return jnp.where(ok, v, 0.0)
 
 
+@jax.jit
 def delta(spot, strike, rate, dividend, maturity, vol, is_call=True):
     d1, _ = _d1_d2(spot, strike, rate, dividend, maturity, vol)
     dq = jnp.exp(-dividend * maturity)
     return jnp.where(is_call, dq * norm_cdf(d1), dq * (norm_cdf(d1) - 1.0))
 
 
+@jax.jit
 def gamma(spot, strike, rate, dividend, maturity, vol):
     d1, _ = _d1_d2(spot, strike, rate, dividend, maturity, vol)
     return jnp.exp(-dividend * maturity) * norm_pdf(d1) / (spot * vol * jnp.sqrt(maturity))
 
 
+@jax.jit
 def theta(spot, strike, rate, dividend, maturity, vol, is_call=True):
     """Calendar theta (per year).  Reference: data/options.py BS Greeks."""
     d1, d2 = _d1_d2(spot, strike, rate, dividend, maturity, vol)
@@ -100,6 +105,7 @@ def theta(spot, strike, rate, dividend, maturity, vol, is_call=True):
     return jnp.where(is_call, call, put)
 
 
+@jax.jit
 def rho(spot, strike, rate, dividend, maturity, vol, is_call=True):
     _, d2 = _d1_d2(spot, strike, rate, dividend, maturity, vol)
     dr = jnp.exp(-rate * maturity)
@@ -110,6 +116,7 @@ def rho(spot, strike, rate, dividend, maturity, vol, is_call=True):
     )
 
 
+@jax.jit
 def greeks(spot, strike, rate, dividend, maturity, vol, is_call=True):
     """All first/second-order BS Greeks as a dict of broadcast arrays."""
     return {
