@@ -364,6 +364,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # NOTE: deliberately NOT wrapped in utils.profiling.device_keepalive —
+    # the pinger helps steady-state loops (run_live uses it) but measurably
+    # slows the one-shot compile-heavy subcommands on a tunnelled device.
     args = build_parser().parse_args(argv)
     try:
         return args.func(args)
