@@ -29,6 +29,7 @@ __all__ = [
     "bs_pde_solve",
     "heston_adi_solve",
     "hjb_march",
+    "simulate_fills",
 ]
 
 
@@ -136,6 +137,33 @@ def sabr_vols(alpha, beta, rho, nu, forward, maturity, strikes) -> np.ndarray:
     lib.sabr_vols(alpha, beta, rho, nu, forward, maturity,
                   _c(strikes), len(strikes), _c(out))
     return out
+
+
+def simulate_fills(tick_times, tick_prices, submit_times, sides, types,
+                   limit_prices, stop_prices, quantities, *,
+                   slippage_pct: float = 0.0005,
+                   market_impact_coeff: float = 0.1,
+                   adv: float = 1e6):
+    """Native order-stream fill engine (twin of
+    backtest.execution.SimulatedExecutionHandler semantics).
+
+    ``sides``: +1 buy / -1 sell.  ``types``: 0 market, 1 limit, 2 stop.
+    Orders must be sorted by submit time; they rest until marketable.
+    Returns (n_filled, fills) where fills is (n_orders, 4) rows of
+    [fill_time, fill_price, commission, slippage] (NaN rows = never filled).
+    """
+    lib = load()
+    tick_times = np.ascontiguousarray(tick_times, dtype=np.float64)
+    tick_prices = np.ascontiguousarray(tick_prices, dtype=np.float64)
+    n_orders = len(submit_times)
+    arrs = [np.ascontiguousarray(a, dtype=np.float64)
+            for a in (submit_times, sides, types, limit_prices, stop_prices, quantities)]
+    out = np.zeros((n_orders, 4), dtype=np.float64)
+    n_filled = lib.simulate_fills(
+        _c(tick_times), _c(tick_prices), len(tick_times),
+        *(_c(a) for a in arrs), n_orders,
+        slippage_pct, market_impact_coeff, adv, _c(out))
+    return int(n_filled), out
 
 
 def bs_pde_solve(S0, sigma, r, q, T, K, *, is_call=True, american=False,

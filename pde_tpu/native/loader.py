@@ -84,6 +84,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.sabr_vols.argtypes = [dbl] * 6 + [dbl_p, i64, dbl_p]
     lib.sabr_vols.restype = None
 
+    lib.simulate_fills.argtypes = [dbl_p, dbl_p, i64,
+                                   dbl_p, dbl_p, dbl_p, dbl_p, dbl_p, dbl_p, i64,
+                                   dbl, dbl, dbl, dbl_p]
+    lib.simulate_fills.restype = i64
+
     # pde_solvers.cpp: float64 PDE-solver oracles
     i32 = ctypes.c_int32
     lib.bs_pde_solve.argtypes = [dbl] * 6 + [i32, i32, i64, i64, dbl, dbl, i32,

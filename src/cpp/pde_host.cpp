@@ -14,6 +14,10 @@
 #include <complex>
 #include <cstdint>
 #include <cstring>
+#include <functional>
+#include <limits>
+#include <map>
+#include <vector>
 
 extern "C" {
 
@@ -286,6 +290,104 @@ void sabr_vols(double alpha, double beta, double rho, double nu,
         const double corr = 1.0 + (t1 + t2 + t3) * maturity;
         out[k] = (alpha / (fk_pow * series)) * z_over_chi * corr;
     }
+}
+
+// ---------------------------------------------------------------------------
+// Order-stream fill engine: native twin of
+// pde_tpu.backtest.execution.SimulatedExecutionHandler (itself mirroring the
+// reference execution.py:249-480).  Processes a whole order stream against a
+// tick path in one call - market/limit/stop triggering, slippage + square-
+// root market impact, IBKR-style commission (0.005/share, min 1, cap 1% of
+// value).  Orders rest until marketable; unfilled orders get NaN outputs.
+//
+// Resting orders live in four price-indexed books (limit-buy / limit-sell /
+// stop-buy / stop-sell), so each order is inserted and popped exactly once:
+// O(n_ticks + n_orders log n_orders) total, NOT O(n_ticks * n_resting).
+//
+// sides: +1 buy / -1 sell.  types: 0 market, 1 limit, 2 stop.
+// out: n_orders rows of [fill_time, fill_price, commission, slippage].
+// Returns the number of filled orders.
+int64_t simulate_fills(const double* tick_times, const double* tick_prices,
+                       int64_t n_ticks,
+                       const double* submit_times, const double* sides,
+                       const double* types, const double* limit_prices,
+                       const double* stop_prices, const double* quantities,
+                       int64_t n_orders,
+                       double slippage_pct, double impact_coeff, double adv,
+                       double* out) {
+    const double NaN = std::nan("");
+    for (int64_t k = 0; k < n_orders; ++k) {
+        double* row = out + 4 * k;
+        row[0] = row[1] = row[2] = row[3] = NaN;
+    }
+
+    int64_t next_order = 0;  // orders sorted by submit time
+    int64_t n_filled = 0;
+
+    // trigger-price books; multimap preserves FIFO within a price level
+    std::multimap<double, int64_t, std::greater<double>> limit_buys;  // fill when px <= limit (highest first)
+    std::multimap<double, int64_t> limit_sells;                       // fill when px >= limit (lowest first)
+    std::multimap<double, int64_t> stop_buys;                         // fill when px >= stop (lowest first)
+    std::multimap<double, int64_t, std::greater<double>> stop_sells;  // fill when px <= stop (highest first)
+
+    auto fill_order = [&](int64_t k, double now, double price) {
+        const double q = std::fabs(quantities[k]);
+        const double impact = impact_coeff * std::sqrt(q / adv);
+        const double fp = price * (1.0 + sides[k] * (slippage_pct + impact));
+        const double raw = q * 0.005;
+        const double cap = 0.01 * q * fp;
+        double* row = out + 4 * k;
+        row[0] = now;
+        row[1] = fp;
+        row[2] = std::min(std::max(raw, 1.0), cap);
+        row[3] = std::fabs(fp - price) * q;
+        ++n_filled;
+    };
+
+    for (int64_t t = 0; t < n_ticks; ++t) {
+        const double now = tick_times[t];
+        const double price = tick_prices[t];
+
+        while (next_order < n_orders && submit_times[next_order] <= now) {
+            const int64_t k = next_order++;
+            if (price <= 0.0) {
+                // no valid market yet: a market order has no trigger price,
+                // park it as an always-marketable limit
+            }
+            const int type = (int)types[k];
+            if (type == 0) {
+                if (price > 0.0) fill_order(k, now, price);
+                else if (sides[k] > 0.0) limit_buys.emplace(std::numeric_limits<double>::infinity(), k);
+                else limit_sells.emplace(-std::numeric_limits<double>::infinity(), k);
+            } else if (type == 1) {
+                if (sides[k] > 0.0) limit_buys.emplace(limit_prices[k], k);
+                else limit_sells.emplace(limit_prices[k], k);
+            } else {
+                if (sides[k] > 0.0) stop_buys.emplace(stop_prices[k], k);
+                else stop_sells.emplace(stop_prices[k], k);
+            }
+        }
+        if (price <= 0.0) continue;
+
+        // pop every book entry whose trigger crosses the current price
+        while (!limit_buys.empty() && price <= limit_buys.begin()->first) {
+            fill_order(limit_buys.begin()->second, now, price);
+            limit_buys.erase(limit_buys.begin());
+        }
+        while (!limit_sells.empty() && price >= limit_sells.begin()->first) {
+            fill_order(limit_sells.begin()->second, now, price);
+            limit_sells.erase(limit_sells.begin());
+        }
+        while (!stop_buys.empty() && price >= stop_buys.begin()->first) {
+            fill_order(stop_buys.begin()->second, now, price);
+            stop_buys.erase(stop_buys.begin());
+        }
+        while (!stop_sells.empty() && price <= stop_sells.begin()->first) {
+            fill_order(stop_sells.begin()->second, now, price);
+            stop_sells.erase(stop_sells.begin());
+        }
+    }
+    return n_filled;
 }
 
 int32_t pde_host_abi_version() { return 3; }

@@ -268,3 +268,89 @@ class TestCppUnitTests:
         )
         assert run.returncode == 0, run.stdout + run.stderr
         assert "0 failures" in run.stdout
+
+
+class TestFillEngine:
+    """Native order-stream fill engine vs the Python execution handler."""
+
+    def _python_fills(self, ticks, orders, slippage, impact, adv):
+        from pde_tpu.backtest.events import Direction, MarketEvent, OrderEvent, OrderType
+
+        handler_cls = __import__(
+            "pde_tpu.backtest.execution", fromlist=["SimulatedExecutionHandler"]
+        ).SimulatedExecutionHandler
+        h = handler_cls(slippage_pct=slippage, market_impact_coeff=impact, adv=adv)
+        results = {}
+        oi = 0
+        for t, px in ticks:
+            h.update_market_data(MarketEvent(event_type=None, timestamp=t, symbol="X", price=px))
+            while oi < len(orders) and orders[oi][0] <= t:
+                st, side, typ, lp, sp, q = orders[oi]
+                ev = OrderEvent(
+                    event_type=None, timestamp=st, symbol="X",
+                    direction=Direction.BUY if side > 0 else Direction.SELL,
+                    quantity=q,
+                    order_type=[OrderType.MARKET, OrderType.LIMIT, OrderType.STOP][int(typ)],
+                    limit_price=lp, stop_price=sp, order_id=str(oi),
+                )
+                fill = h.execute_order(ev)
+                if fill is not None:
+                    results[oi] = (t, fill.fill_price, fill.commission, fill.slippage)
+                oi += 1
+            for fill in h.process_pending():
+                results[int(fill.order_id)] = (t, fill.fill_price, fill.commission, fill.slippage)
+        return results
+
+    def test_matches_python_handler(self, rng):
+        n_ticks, n_orders = 500, 60
+        times = np.arange(n_ticks, dtype=float)
+        prices = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.003, n_ticks)))
+        submit = np.sort(rng.uniform(0, n_ticks * 0.8, n_orders))
+        sides = rng.choice([1.0, -1.0], n_orders)
+        types = rng.choice([0.0, 1.0, 2.0], n_orders, p=[0.4, 0.3, 0.3])
+        limits = prices[0] * (1 + rng.normal(0, 0.01, n_orders))
+        stops = prices[0] * (1 + rng.normal(0, 0.01, n_orders))
+        qty = rng.integers(1, 500, n_orders).astype(float)
+
+        n_filled, fills = native.simulate_fills(
+            times, prices, submit, sides, types, limits, stops, qty,
+            slippage_pct=5e-4, market_impact_coeff=0.1, adv=1e6)
+        py = self._python_fills(
+            list(zip(times, prices)),
+            list(zip(submit, sides, types, limits, stops, qty)),
+            5e-4, 0.1, 1e6)
+
+        assert n_filled == len(py)
+        for k in range(len(submit)):
+            if k in py:
+                np.testing.assert_allclose(fills[k], py[k], rtol=1e-12,
+                                           err_msg=f"order {k}")
+            else:
+                assert np.isnan(fills[k]).all(), f"order {k} filled natively only"
+
+    def test_limit_buy_waits_for_price(self):
+        times = np.array([0.0, 1.0, 2.0])
+        prices = np.array([100.0, 101.0, 98.0])
+        n, fills = native.simulate_fills(
+            times, prices, [0.0], [1.0], [1.0], [99.0], [0.0], [10.0],
+            slippage_pct=0.0, market_impact_coeff=0.0)
+        assert n == 1
+        assert fills[0][0] == 2.0 and fills[0][1] == 98.0
+
+    def test_throughput(self, rng):
+        """The point of the native engine: millions of fills/sec."""
+        import time as _time
+
+        n_ticks, n_orders = 200_000, 100_000
+        times = np.arange(n_ticks, dtype=float)
+        prices = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.001, n_ticks)))
+        submit = np.sort(rng.uniform(0, n_ticks - 1.0, n_orders))
+        sides = rng.choice([1.0, -1.0], n_orders)
+        types = np.zeros(n_orders)  # market orders: one fill each
+        z = np.zeros(n_orders)
+        qty = np.full(n_orders, 100.0)
+        t0 = _time.perf_counter()
+        n, _ = native.simulate_fills(times, prices, submit, sides, types, z, z, qty)
+        dt = _time.perf_counter() - t0
+        assert n == n_orders
+        assert n / dt > 1e5, f"only {n/dt:.0f} fills/s"
