@@ -29,6 +29,7 @@ __all__ = [
     "IcebergExecutor",
     "POVExecutor",
     "create_executor",
+    "simulate_plan",
 ]
 
 
@@ -254,3 +255,93 @@ def create_executor(algorithm) -> BaseExecutor:
     """Factory (algorithms.py:758-794)."""
     algo = ExecutionAlgorithm(algorithm)
     return _EXECUTORS[algo]()
+
+
+def simulate_plan(
+    plan: ExecutionPlan,
+    tick_times: np.ndarray,
+    tick_prices: np.ndarray,
+    *,
+    slippage_pct: float = 0.0005,
+    market_impact_coeff: float = 0.1,
+    adv: float = 1e6,
+) -> Dict[str, float]:
+    """Simulate an execution plan against a tick path in one native call.
+
+    Child slices are released as market orders at their scheduled times (or
+    as limit orders when the parent carries a limit price) and filled by the
+    native order-stream engine (src/cpp/pde_host.cpp simulate_fills) with
+    slippage, square-root market impact and IBKR commissions.  Fills are
+    recorded back into the plan; the return value is a TCA-style summary.
+
+    ``tick_times`` are epoch seconds (compare against each slice's
+    ``scheduled_time``).  Falls back to a pure-Python loop when the native
+    toolchain is unavailable.
+    """
+    from .. import native
+
+    tick_times = np.ascontiguousarray(tick_times, dtype=np.float64)
+    tick_prices = np.ascontiguousarray(tick_prices, dtype=np.float64)
+    slices = sorted(plan.slices, key=lambda s: s.scheduled_time)
+    n = len(slices)
+    submit = np.array([s.scheduled_time.timestamp() for s in slices])
+    side = 1.0 if plan.order.side == OrderSide.BUY else -1.0
+    sides = np.full(n, side)
+    limit = plan.order.limit_price
+    types = np.full(n, 0.0 if limit is None else 1.0)
+    limits = np.full(n, 0.0 if limit is None else float(limit))
+    stops = np.zeros(n)
+    qty = np.array([s.quantity for s in slices])
+
+    if native.is_available():
+        _, fills = native.simulate_fills(
+            tick_times, tick_prices, submit, sides, types, limits, stops, qty,
+            slippage_pct=slippage_pct, market_impact_coeff=market_impact_coeff,
+            adv=adv,
+        )
+    else:  # pure-Python fallback: same semantics, one pass over the ticks
+        fills = np.full((n, 4), np.nan)
+        pending: List[int] = []
+        oi = 0
+        for t, px in zip(tick_times, tick_prices):
+            while oi < n and submit[oi] <= t:
+                pending.append(oi)
+                oi += 1
+            if px <= 0:
+                continue
+            still = []
+            for k in pending:
+                marketable = types[k] == 0.0 or (
+                    (side > 0 and px <= limits[k]) or (side < 0 and px >= limits[k])
+                )
+                if not marketable:
+                    still.append(k)
+                    continue
+                q = abs(qty[k])
+                impact = market_impact_coeff * np.sqrt(q / adv)
+                fp = px * (1.0 + side * (slippage_pct + impact))
+                fills[k] = (t, fp, min(max(q * 0.005, 1.0), 0.01 * q * fp),
+                            abs(fp - px) * q)
+            pending = still
+
+    filled = ~np.isnan(fills[:, 0])
+    for s, row, ok in zip(slices, fills, filled):
+        if ok:
+            plan.record_fill(s.slice_id, s.quantity, float(row[1]))
+
+    arrival = float(tick_prices[tick_prices > 0][0]) if np.any(tick_prices > 0) else 0.0
+    fqty = qty[filled]
+    fprice = fills[filled, 1]
+    total_filled = float(fqty.sum())
+    avg_price = float((fqty * fprice).sum() / total_filled) if total_filled else 0.0
+    shortfall = side * (avg_price - arrival) / arrival * 1e4 if arrival else 0.0
+    return {
+        "n_slices": float(n),
+        "n_filled": float(filled.sum()),
+        "filled_quantity": total_filled,
+        "avg_fill_price": avg_price,
+        "arrival_price": arrival,
+        "implementation_shortfall_bps": float(shortfall),
+        "total_commission": float(np.nansum(fills[filled, 2])) if filled.any() else 0.0,
+        "total_slippage": float(np.nansum(fills[filled, 3])) if filled.any() else 0.0,
+    }

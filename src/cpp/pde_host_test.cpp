@@ -37,6 +37,10 @@ double heston_adi_solve(double, double, double, double, double, double, double,
                         int64_t, int64_t, double, double, double, double*);
 void hjb_march(double, double, double, double, double, double, double, int64_t,
                int64_t, const double*, double*);
+int64_t simulate_fills(const double*, const double*, int64_t, const double*,
+                       const double*, const double*, const double*,
+                       const double*, const double*, int64_t, double, double,
+                       double, double*);
 int32_t pde_host_abi_version();
 }
 
@@ -271,6 +275,33 @@ void test_hjb() {
     check(V[n / 2] > 0.0, "continuation value positive at the mean");
 }
 
+void test_fill_engine() {
+    // price dips to 98 at t=2: resting limit buy at 99 fills there, stop
+    // sell at 98.5 triggers, market order fills immediately
+    double tt[] = {0.0, 1.0, 2.0};
+    double tp[] = {100.0, 101.0, 98.0};
+    double submit[] = {0.0, 0.0, 0.0};
+    double sides[] = {1.0, -1.0, 1.0};
+    double types[] = {1.0, 2.0, 0.0};          // limit buy, stop sell, market buy
+    double limits[] = {99.0, 0.0, 0.0};
+    double stops[] = {0.0, 98.5, 0.0};
+    double qty[] = {10.0, 10.0, 10.0};
+    double out[12];
+    int64_t n = simulate_fills(tt, tp, 3, submit, sides, types, limits, stops,
+                               qty, 3, 0.0, 0.0, 1e6, out);
+    check(n == 3, "all three orders fill");
+    check_near(out[0 * 4 + 0], 2.0, 0.0, "limit buy fills at t=2");
+    check_near(out[0 * 4 + 1], 98.0, 0.0, "limit buy fill price");
+    check_near(out[1 * 4 + 0], 2.0, 0.0, "stop sell triggers at t=2");
+    check_near(out[2 * 4 + 0], 0.0, 0.0, "market order fills immediately");
+    check_near(out[2 * 4 + 2], 1.0, 0.0, "IBKR minimum commission");
+    // slippage pushes buys up, sells down
+    n = simulate_fills(tt, tp, 3, submit, sides, types, limits, stops, qty, 3,
+                       0.001, 0.0, 1e6, out);
+    check(out[2 * 4 + 1] > 100.0, "buy slippage above market");
+    check(out[1 * 4 + 1] < 98.0, "sell slippage below market");
+}
+
 }  // namespace
 
 int main() {
@@ -285,6 +316,7 @@ int main() {
     test_bs_pde();
     test_heston_adi();
     test_hjb();
+    test_fill_engine();
     std::printf("pde_host_test: %d checks, %d failures\n", g_checks,
                 g_failures);
     return g_failures == 0 ? 0 : 1;

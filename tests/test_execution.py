@@ -327,3 +327,58 @@ class TestTCA:
         report = analyzer.aggregate_report(rs)
         assert report["n_orders"] == 3
         assert report["worst_order"] == "o2"
+
+
+class TestSimulatePlan:
+    """TWAP plan driven through the native fill engine end-to-end."""
+
+    def _plan_and_ticks(self):
+        from datetime import datetime, timedelta, timezone
+
+        import numpy as np
+
+        from pde_tpu.execution.algorithms import TWAPExecutor
+        from pde_tpu.execution.order import Order, OrderSide
+
+        start = datetime(2026, 1, 2, 14, 30, tzinfo=timezone.utc)
+        order = Order(symbol="SPY", side=OrderSide.BUY, quantity=10_000.0)
+        plan = TWAPExecutor().create_plan(
+            order, start_time=start, end_time=start + timedelta(hours=1),
+            n_slices=10,
+        )
+        t0 = start.timestamp()
+        times = t0 + np.arange(0.0, 3700.0, 10.0)
+        rng = np.random.default_rng(3)
+        prices = 500.0 * np.exp(np.cumsum(rng.normal(0, 1e-4, len(times))))
+        return plan, times, prices
+
+    def test_twap_fills_and_summary(self):
+        import numpy as np
+
+        from pde_tpu.execution.algorithms import simulate_plan
+
+        plan, times, prices = self._plan_and_ticks()
+        summary = simulate_plan(plan, times, prices)
+        assert summary["n_filled"] == summary["n_slices"] == 10.0
+        assert summary["filled_quantity"] == 10_000.0
+        assert plan.completion_rate == 1.0
+        # buy with slippage: avg fill above the clean tick average
+        assert summary["avg_fill_price"] > 0
+        assert abs(summary["implementation_shortfall_bps"]) < 100
+        assert summary["total_commission"] >= 10.0  # >= min commission per slice
+
+    def test_native_matches_python_fallback(self, monkeypatch):
+        import numpy as np
+
+        from pde_tpu import native
+        from pde_tpu.execution.algorithms import simulate_plan
+
+        if not native.is_available():
+            pytest.skip("native unavailable")
+        plan_a, times, prices = self._plan_and_ticks()
+        a = simulate_plan(plan_a, times, prices)
+        plan_b, _, _ = self._plan_and_ticks()
+        monkeypatch.setattr(native, "is_available", lambda: False)
+        b = simulate_plan(plan_b, times, prices)
+        for k in a:
+            assert a[k] == pytest.approx(b[k], rel=1e-12), k
