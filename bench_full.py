@@ -180,6 +180,28 @@ def main():
     per = time.perf_counter() - t0
     emit("heston_batched_calibration_surfaces_per_sec", U / per, "surfaces/s")
 
+    # 8. native host runtime: order-stream fill engine ------------------------
+    from pde_tpu import native
+
+    if native.is_available():
+        rng = np.random.default_rng(1)
+        n_ticks, n_orders = 2_000_000, 1_000_000
+        times = np.arange(n_ticks, dtype=float)
+        prices = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.001, n_ticks)))
+        submit = np.sort(rng.uniform(0, n_ticks - 1.0, n_orders))
+        sides = rng.choice([1.0, -1.0], n_orders)
+        types = rng.choice([0.0, 1.0, 2.0], n_orders, p=[0.6, 0.2, 0.2])
+        limits = prices[0] * (1 + rng.normal(0, 0.01, n_orders))
+        qty = np.full(n_orders, 100.0)
+        native.simulate_fills(times[:1000], prices[:1000], submit[:10] * 0,
+                              sides[:10], types[:10] * 0, limits[:10],
+                              limits[:10], qty[:10])  # warm the loader
+        t0 = time.perf_counter()
+        native.simulate_fills(times, prices, submit, sides, types, limits,
+                              limits.copy(), qty)
+        per = time.perf_counter() - t0
+        emit("fill_engine_orders_per_sec", n_orders / per, "orders/s")
+
 
 if __name__ == "__main__":
     main()
