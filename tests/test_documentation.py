@@ -28,6 +28,7 @@ class TestRequiredDocs:
         "docs/models.md",
         "docs/operations.md",
         "docs/parity_map.md",
+        "docs/migration.md",
         "docs/performance.md",
         "docs/database_recovery.md",
     ]
@@ -47,6 +48,7 @@ class TestRequiredDocs:
 
 class TestInternalLinks:
     DOCS = ["README.md", "docs/architecture.md", "docs/parity_map.md",
+            "docs/migration.md",
             "docs/performance.md", "docs/database_recovery.md",
             "docs/getting_started.md", "docs/api.md", "docs/models.md",
             "docs/operations.md"]
