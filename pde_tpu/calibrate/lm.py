@@ -115,9 +115,14 @@ def levenberg_marquardt(
         # xtol (scipy TRF semantics): the actual step has shrunk to working
         # precision relative to x — fires also on REJECTED steps, which is
         # how an f32 march at the optimum terminates (no step can lower the
-        # cost by more than round-off, so `accept` alone never converges)
+        # cost by more than round-off, so `accept` alone never converges).
+        # Guard: a rejected step only counts when the cost barely moved
+        # (|rel_impr| < ftol) — the at-the-optimum signature.  Without it,
+        # repeated rejections of genuinely bad steps (lam doubling shrinks
+        # delta geometrically) could fake convergence with a large gradient.
         step_norm = jnp.linalg.norm(x_new - carry.x)
-        conv = conv | (step_norm <= xtol * (xtol + jnp.linalg.norm(carry.x)))
+        step_small = step_norm <= xtol * (xtol + jnp.linalg.norm(carry.x))
+        conv = conv | (step_small & (accept | (jnp.abs(rel_impr) < ftol)))
         done = carry.done | conv
 
         step = lambda new, old: jnp.where(accept & ~carry.done, new, old)

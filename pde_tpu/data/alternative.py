@@ -10,12 +10,13 @@ are first-class for zero-egress environments.
 from __future__ import annotations
 
 import enum
-import zlib
 from dataclasses import dataclass, field
 from datetime import date, datetime, timedelta, timezone
 from typing import Dict, List, Optional
 
 import numpy as np
+
+from .providers import _stable_hash
 
 from .providers import RateLimiter
 
@@ -29,13 +30,6 @@ __all__ = [
     "SimulatedSentimentProvider",
     "AlternativeDataManager",
 ]
-
-
-def _stable_hash(text: str) -> int:
-    """Process-stable symbol hash (str ``hash`` is randomized per process,
-    which would make the "deterministic" simulated data differ between
-    runs)."""
-    return zlib.crc32(text.encode())
 
 
 @dataclass

@@ -149,6 +149,9 @@ def simulate_fills(tick_times, tick_prices, submit_times, sides, types,
 
     ``sides``: +1 buy / -1 sell.  ``types``: 0 market, 1 limit, 2 stop.
     Orders must be sorted by submit time; they rest until marketable.
+    Deliberate difference from the event handler: orders submitted before
+    the first valid (positive) price REST until one appears instead of
+    being dropped.
     Returns (n_filled, fills) where fills is (n_orders, 4) rows of
     [fill_time, fill_price, commission, slippage] (NaN rows = never filled).
     """

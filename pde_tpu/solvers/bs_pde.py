@@ -3,7 +3,9 @@
 Redesign of the reference BlackScholesPDESolver
 (src/cpp/solvers/black_scholes_pde.hpp): same discretization — log-space grid
 S in [K*s_min_mult, K*s_max_mult], central differences, Crank-Nicolson /
-implicit / explicit schemes, Dirichlet boundaries with discounting, per-step
+implicit schemes, Dirichlet boundaries with discounting (over time-to-expiry;
+the reference discounts over calendar time, black_scholes_pde.hpp:127, a
+non-converging deep-ITM boundary error corrected here), per-step
 ``max(V, payoff)`` projection for American exercise — but the backward time
 march is a ``lax.scan`` whose per-step work is one batched tridiagonal solve,
 so ``vmap`` over strikes/vols/expiries prices whole books per launch.
@@ -113,17 +115,27 @@ def _solve_impl(
         LV = L_m * V[:-2] + L_c * V[1:-1] + L_p * V[2:]
         return V.at[1:-1].add(0.5 * dt * LV)
 
-    def apply_bc(V, t):
-        df = jnp.exp(-r * t)
+    def apply_bc(V, tau):
+        """Dirichlet values at time-to-expiry ``tau``.
+
+        DEVIATION from the reference: black_scholes_pde.hpp:127 passes
+        calendar time (n_time-step-1)*dt to the discount instead of the
+        time since expiry, so its boundary value at t=0 is the UNdiscounted
+        K - S_min — a non-converging O(K(1-e^{-rT})) error in the deep
+        ITM/OTM wings (~0.16 on the canonical put).  Discount over tau, and
+        carry the dividend discount on the S leg (In 't Hout-Foulon
+        convention, as in solvers/heston_adi.py)."""
+        df_r = jnp.exp(-r * tau)
+        df_q = jnp.exp(-q * tau)
         if is_call:
             V = V.at[0].set(0.0)
-            V = V.at[-1].set(s_grid[-1] - K * df)
+            V = V.at[-1].set(s_grid[-1] * df_q - K * df_r)
         else:
-            V = V.at[0].set(K * df - s_grid[0])
+            V = V.at[0].set(K * df_r - s_grid[0] * df_q)
             V = V.at[-1].set(0.0)
         return V
 
-    def step(V, t_remaining):
+    def step(V, tau):
         rhs = explicit_rhs(V)
         if american and american_method == "psor":
             from .lcp import projected_sor
@@ -133,14 +145,16 @@ def _solve_impl(
             )
         else:
             V = thomas(lower, diag, upper, rhs)
-            if american:
-                V = jnp.maximum(V, payoff)
-        V = apply_bc(V, t_remaining)
+        V = apply_bc(V, tau)
+        if american:
+            # after the Dirichlet overwrite so the boundary rows are floored
+            # at intrinsic too (an American value can never sit below payoff)
+            V = jnp.maximum(V, payoff)
         return V, None
 
-    # backward march; t_remaining = time left after each step (bs_pde.hpp:127)
-    t_rem = (T / n_time) * jnp.arange(n_time - 1, -1, -1, dtype=s_grid.dtype)
-    V, _ = jax.lax.scan(step, payoff, t_rem)
+    # backward march; after step k the grid sits at time-to-expiry k*dt
+    taus = (T / n_time) * jnp.arange(1, n_time + 1, dtype=s_grid.dtype)
+    V, _ = jax.lax.scan(step, payoff, taus)
 
     price = grids.interp_linear(s_grid, V, S0)
 

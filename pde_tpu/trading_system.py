@@ -8,7 +8,6 @@ Monte-Carlo wrapper (:422-464) and status/shutdown (:466-495).
 
 from __future__ import annotations
 
-import contextlib
 import time
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
@@ -284,8 +283,7 @@ class TradingSystem:
         # (tens of seconds per re-warm) — keep it hot for the whole session
         from .utils.profiling import device_keepalive
 
-        with contextlib.ExitStack() as stack:
-            stack.enter_context(device_keepalive())
+        with device_keepalive():
             for _ in range(n_ticks):
                 stream_provider.step(symbols)
                 for s in symbols:

@@ -350,15 +350,20 @@ int64_t simulate_fills(const double* tick_times, const double* tick_prices,
 
         while (next_order < n_orders && submit_times[next_order] <= now) {
             const int64_t k = next_order++;
-            if (price <= 0.0) {
-                // no valid market yet: a market order has no trigger price,
-                // park it as an always-marketable limit
-            }
             const int type = (int)types[k];
             if (type == 0) {
-                if (price > 0.0) fill_order(k, now, price);
-                else if (sides[k] > 0.0) limit_buys.emplace(std::numeric_limits<double>::infinity(), k);
-                else limit_sells.emplace(-std::numeric_limits<double>::infinity(), k);
+                if (price > 0.0) {
+                    fill_order(k, now, price);
+                } else if (sides[k] > 0.0) {
+                    // no valid market yet: park the market order as an
+                    // always-marketable book entry so it fills at the first
+                    // real price.  (The Python event handler DROPS orders
+                    // that arrive before any market data — deliberate
+                    // difference; resting is the safer semantic.)
+                    limit_buys.emplace(std::numeric_limits<double>::infinity(), k);
+                } else {
+                    limit_sells.emplace(-std::numeric_limits<double>::infinity(), k);
+                }
             } else if (type == 1) {
                 if (sides[k] > 0.0) limit_buys.emplace(limit_prices[k], k);
                 else limit_sells.emplace(limit_prices[k], k);

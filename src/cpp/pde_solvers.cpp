@@ -84,7 +84,11 @@ double bs_pde_solve(double S0, double sigma, double r, double q, double T,
     }
 
     for (int64_t step = 0; step < n_time; ++step) {
-        const double t_rem = dt * double(n_time - 1 - step);
+        // after this step the grid sits at time-to-expiry tau.  (The
+        // reference discounts over calendar time instead —
+        // black_scholes_pde.hpp:127 — a non-converging boundary error the
+        // JAX solver and this oracle both correct; see solvers/bs_pde.py.)
+        const double tau = dt * double(step + 1);
         // rhs = V (+ CN explicit half-step on interior)
         std::memcpy(rhs.data(), V.data(), size_t(n) * sizeof(double));
         if (crank_nicolson) {
@@ -93,16 +97,17 @@ double bs_pde_solve(double S0, double sigma, double r, double q, double T,
         }
         thomas(lower.data(), diag.data(), upper.data(), rhs.data(), n, V.data(),
                cp.data(), dpv.data());
-        if (american)
-            for (int64_t i = 0; i < n; ++i) V[i] = std::max(V[i], payoff[i]);
-        const double df = std::exp(-r * t_rem);
+        const double df_r = std::exp(-r * tau);
+        const double df_q = std::exp(-q * tau);
         if (is_call) {
             V[0] = 0.0;
-            V[n - 1] = s[n - 1] - K * df;
+            V[n - 1] = s[n - 1] * df_q - K * df_r;
         } else {
-            V[0] = K * df - s[0];
+            V[0] = K * df_r - s[0] * df_q;
             V[n - 1] = 0.0;
         }
+        if (american)
+            for (int64_t i = 0; i < n; ++i) V[i] = std::max(V[i], payoff[i]);
     }
     if (out_grid) std::memcpy(out_grid, V.data(), size_t(n) * sizeof(double));
     if (out_sgrid) std::memcpy(out_sgrid, s.data(), size_t(n) * sizeof(double));

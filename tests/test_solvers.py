@@ -350,3 +350,47 @@ class TestHestonAmericanLCP:
         # interior of the grid respects the obstacle (v boundaries are
         # extrapolated and may dip within discretization error)
         assert np.all(np.asarray(res.prices)[:, 1:-1] >= intrinsic - 1e-6)
+
+
+class TestBSBoundaryDiscounting:
+    """Regression for the reference's calendar-time boundary discount
+    (black_scholes_pde.hpp:127): deep-ITM error must CONVERGE under grid
+    refinement, which the reference convention cannot do."""
+
+    def test_deep_itm_put_converges(self):
+        import numpy as np
+        from scipy.stats import norm
+
+        from pde_tpu.solvers import bs_pde
+
+        S0, K, r, sig, T = 30.0, 100.0, 0.05, 0.25, 1.0
+        d1 = (np.log(S0 / K) + (r + 0.5 * sig * sig) * T) / (sig * np.sqrt(T))
+        d2 = d1 - sig * np.sqrt(T)
+        truth = K * np.exp(-r * T) * norm.cdf(-d2) - S0 * norm.cdf(-d1)
+
+        errs = []
+        for ns, nt in [(200, 100), (800, 800)]:
+            p = bs_pde.BSPDEParams(sigma=sig, r=r, T=T, K=K, is_call=False,
+                                   n_space=ns, n_time=nt)
+            errs.append(abs(float(bs_pde.solve(p, S0).price) - truth))
+        assert errs[0] < 5e-3          # reference convention is ~0.15 here
+        assert errs[1] < errs[0] / 2   # and would NOT shrink with refinement
+
+    def test_dividend_boundary_call(self):
+        import numpy as np
+        from scipy.stats import norm
+
+        from pde_tpu.solvers import bs_pde
+
+        S0, K, r, q, sig, T = 400.0, 100.0, 0.05, 0.03, 0.25, 1.0
+        d1 = (np.log(S0 / K) + (r - q + 0.5 * sig * sig) * T) / (sig * np.sqrt(T))
+        d2 = d1 - sig * np.sqrt(T)
+        truth = S0 * np.exp(-q * T) * norm.cdf(d1) - K * np.exp(-r * T) * norm.cdf(d2)
+        errs = []
+        for ns, nt in [(400, 200), (800, 800)]:
+            p = bs_pde.BSPDEParams(sigma=sig, r=r, q=q, T=T, K=K, is_call=True,
+                                   n_space=ns, n_time=nt)
+            errs.append(abs(float(bs_pde.solve(p, S0).price) - truth))
+        # without the e^{-q tau} leg on the S_max boundary this error would
+        # plateau at ~S0 q T; with it, it converges
+        assert errs[0] < 1e-2 and errs[1] < errs[0] / 2
