@@ -36,7 +36,9 @@ __all__ = [
     "price_carr_madan",
     "price_options",
     "price_with_greeks",
+    "price_accurate",
     "implied_volatility",
+    "implied_volatility_surface",
     "price_fft",
 ]
 

@@ -251,5 +251,12 @@ def tridiagonal_solve(lower, diag, upper, rhs, use_pallas: bool | None = None):
             and jax.default_backend() == "tpu"
         )
     if use_pallas:
+        # thomas() accepts bands broadcastable against the rhs batch (e.g.
+        # shared 1-D diagonals for every system); the Pallas kernel needs
+        # fully materialized per-system bands, so broadcast first
+        lower, diag, upper = (
+            jnp.broadcast_to(jnp.asarray(b), rhs.shape[:-1] + (m,))
+            for b, m in ((lower, n - 1), (diag, n), (upper, n - 1))
+        )
         return thomas_pallas(lower, diag, upper, rhs)
     return thomas(lower, diag, upper, rhs)

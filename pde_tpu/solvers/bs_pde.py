@@ -39,7 +39,7 @@ class BSPDEParams(NamedTuple):
     n_time: int = 100
     s_min_mult: float = 0.2
     s_max_mult: float = 5.0
-    scheme: str = "crank_nicolson"  # "crank_nicolson" | "implicit"
+    scheme: str = "crank_nicolson"  # "crank_nicolson" | "implicit" | "explicit"
     # American exercise handling: "projection" = implicit-solve-then-max
     # (the reference's splitting, black_scholes_pde.hpp:116-124); "psor" =
     # the rigorous LCP via red-black projected SOR (solvers/lcp.py)
@@ -102,7 +102,10 @@ def _solve_impl(
     # implicit system diagonals (boundary rows are identity rows)
     interior = jnp.arange(n_space)
     is_interior = (interior > 0) & (interior < n_space - 1)
-    w = 0.5 if scheme == "crank_nicolson" else 1.0
+    # theta-scheme weight on the implicit side (TimeScheme semantics,
+    # pde_core.hpp:186): CN = 1/2, implicit Euler = 1, explicit Euler = 0
+    # (explicit needs dt under the CFL bound, pde_core.hpp:292-309)
+    w = {"crank_nicolson": 0.5, "implicit": 1.0, "explicit": 0.0}[scheme]
 
     diag = jnp.where(is_interior, 1.0 - w * dt * L_c, 1.0)
     lower = jnp.where(is_interior[1:], -w * dt * L_m, 0.0)
@@ -110,10 +113,10 @@ def _solve_impl(
 
     def explicit_rhs(V):
         """(I + (1-w) dt L) V on interior points."""
-        if scheme != "crank_nicolson":
+        if w == 1.0:
             return V
         LV = L_m * V[:-2] + L_c * V[1:-1] + L_p * V[2:]
-        return V.at[1:-1].add(0.5 * dt * LV)
+        return V.at[1:-1].add((1.0 - w) * dt * LV)
 
     def apply_bc(V, tau):
         """Dirichlet values at time-to-expiry ``tau``.
@@ -192,6 +195,8 @@ def solve(params: BSPDEParams, S0) -> BSPDEResult:
         raise ValueError("K must be positive")
     if params.n_space < 10 or params.n_time < 10:
         raise ValueError("n_space and n_time must be >= 10")
+    if params.scheme not in ("crank_nicolson", "implicit", "explicit"):
+        raise ValueError(f"unknown scheme {params.scheme!r}")
     return _solve_impl(
         S0,
         params.sigma,

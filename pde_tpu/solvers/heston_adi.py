@@ -290,30 +290,52 @@ def _solve_core(
     return HestonPDEResult(price, delta, gamma, vega, theta_g, V, s_grid, v_grid)
 
 
-@functools.partial(jax.jit, static_argnames=("p",))
-def _solve_impl(p: HestonPDEParams, S0):
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "american", "american_method", "n_spot", "n_vol", "n_time",
+        "s_min_mult", "s_max_mult", "v_max",
+    ),
+)
+def _solve_impl(kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0, *,
+                american, american_method, n_spot, n_vol, n_time,
+                s_min_mult, s_max_mult, v_max):
+    # every model/contract input is TRACED (only grid sizes and the American
+    # mode are static) — repricing with new parameters reuses the compiled
+    # march instead of paying a multi-second XLA compile per quote
     return _solve_core(
-        p.kappa, p.theta, p.sigma, p.rho, p.v0, p.r, p.q, p.T, p.K,
-        p.is_call, S0,
-        american=p.american, american_method=p.american_method,
-        n_spot=p.n_spot, n_vol=p.n_vol, n_time=p.n_time,
-        s_min_mult=p.s_min_mult, s_max_mult=p.s_max_mult, v_max=p.v_max,
+        kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0,
+        american=american, american_method=american_method,
+        n_spot=n_spot, n_vol=n_vol, n_time=n_time,
+        s_min_mult=s_min_mult, s_max_mult=s_max_mult, v_max=v_max,
     )
 
 
-def solve(params: HestonPDEParams, S0) -> HestonPDEResult:
-    """Solve the Heston PDE; price/Greeks at (S0, v0).
-
-    jit-compiled (params static); vmap over S0 for batches, or use
-    :func:`solve_batch` to batch over ALL inputs.
-    """
+def _validate_params(params: HestonPDEParams) -> None:
     if params.kappa <= 0 or params.theta <= 0 or params.sigma <= 0:
         raise ValueError("kappa, theta, sigma must be positive")
     if abs(params.rho) >= 1:
         raise ValueError("|rho| must be < 1")
     if params.v0 <= 0 or params.T <= 0 or params.K <= 0:
         raise ValueError("v0, T, K must be positive")
-    return _solve_impl(params, S0)
+
+
+def solve(params: HestonPDEParams, S0) -> HestonPDEResult:
+    """Solve the Heston PDE; price/Greeks at (S0, v0).
+
+    jit-compiled with only grid sizes/American mode static, so repricing
+    with new model parameters reuses the compiled march; vmap over S0 for
+    batches, or use :func:`solve_batch` to batch over ALL inputs.
+    """
+    _validate_params(params)
+    return _solve_impl(
+        params.kappa, params.theta, params.sigma, params.rho, params.v0,
+        params.r, params.q, params.T, params.K, params.is_call, S0,
+        american=params.american, american_method=params.american_method,
+        n_spot=params.n_spot, n_vol=params.n_vol, n_time=params.n_time,
+        s_min_mult=params.s_min_mult, s_max_mult=params.s_max_mult,
+        v_max=params.v_max,
+    )
 
 
 def solve_fused(params: HestonPDEParams, S0, interpret: bool = False) -> HestonPDEResult:
@@ -330,8 +352,7 @@ def solve_fused(params: HestonPDEParams, S0, interpret: bool = False) -> HestonP
         raise ValueError(
             "solve_fused supports american_method 'projection' or 'it_lcp'"
         )
-    if params.kappa <= 0 or params.theta <= 0 or params.sigma <= 0:
-        raise ValueError("kappa, theta, sigma must be positive")
+    _validate_params(params)
     return _solve_fused_impl(params, S0, interpret)
 
 
@@ -590,10 +611,9 @@ def _fused_batch_impl(
         jnp.zeros((B,), f32), jnp.zeros((B,), f32),
     ])                                                # (8, B)
 
-    # pad the batch to full 128-lane blocks (repeat lane 0 — any valid lane)
-    Bp = ((B + 127) // 128) * 128 if B > 128 or B == 128 else B
-    if B < 128:
-        Bp = B  # single sub-128 block: Mosaic pads lanes internally
+    # pad multi-block batches to full 128-lane blocks (repeat lane 0 — any
+    # valid lane); a single sub-128 block needs none, Mosaic pads internally
+    Bp = ((B + 127) // 128) * 128 if B >= 128 else B
     padn = Bp - B
 
     def padl(arr):
@@ -683,7 +703,15 @@ def solve_fused_batch(
 
 
 def np_any_flag(arr) -> bool:
-    """Host-side any() on a (possibly traced-free) flag array."""
+    """Host-side any() on a flag array, safe under tracing.
+
+    The flag selects a CODE PATH, so it must resolve at trace time; when the
+    array is a tracer (the batch pricer wrapped in an outer jit/vmap) the
+    value is unknowable and the conservative answer is True — the masked
+    update then handles per-element flags on device.
+    """
     import numpy as np
 
+    if isinstance(arr, jax.core.Tracer):
+        return True
     return bool(np.any(np.asarray(arr) > 0.5))

@@ -141,3 +141,33 @@ class TestPallasKernel:
                 jnp.asarray(lower), jnp.asarray(diag), jnp.asarray(upper), jnp.asarray(rhs)
             )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+class TestDispatcherBroadcastableBands:
+    def test_shared_bands_broadcast_to_pallas_shape(self, rng):
+        """tridiagonal_solve must accept the shared-1D-bands pattern
+        (heston_adi's v-sweep) on every dispatch path: the bands are
+        broadcast to per-system shape before the Pallas kernel."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pde_tpu.ops import tridiag
+
+        B, n = 6, 24
+        lower = jnp.asarray(rng.uniform(-1, 1, n - 1))
+        upper = jnp.asarray(rng.uniform(-1, 1, n - 1))
+        diag = jnp.asarray(4 + rng.uniform(0, 1, n))
+        rhs = jnp.asarray(rng.uniform(-1, 1, (B, n)), dtype=jnp.float32)
+
+        from jax.experimental import pallas as pl  # noqa: F401
+        from jax.experimental.pallas import tpu as pltpu
+
+        ref = tridiag.thomas(lower, diag, upper, rhs)
+        # force the pallas branch; broadcast must happen inside the dispatcher
+        with pltpu.force_tpu_interpret_mode():
+            out = tridiag.tridiagonal_solve(
+                lower.astype(jnp.float32), diag.astype(jnp.float32),
+                upper.astype(jnp.float32), rhs, use_pallas=True,
+            )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=1e-5)
