@@ -347,6 +347,11 @@ def solve_fused(params: HestonPDEParams, S0, interpret: bool = False) -> HestonP
     tolerance.  Supports European and American in both projection and
     Ikonen-Toivanen modes (autodiff stays on the scan path).
     ``interpret=True`` runs the kernel in interpreter mode for CPU tests.
+
+    NOTE: params are compile-time constants here (the kernel specializes on
+    them), so each parameter set pays one compile — use
+    :func:`solve_fused_batch`, which traces every model/contract input, to
+    price varying quotes without recompiling.
     """
     if params.american and params.american_method not in ("projection", "it_lcp"):
         raise ValueError(
