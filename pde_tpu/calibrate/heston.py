@@ -365,10 +365,18 @@ class HestonCalibrator:
             strikes = np.asarray(market_options["strike"], dtype=np.float64)
             maturities = np.asarray(market_options["maturity"], dtype=np.float64)
             prices = np.asarray(market_options["mid_price"], dtype=np.float64)
-            is_calls = np.asarray(
-                market_options.get("is_call", np.ones(len(strikes), dtype=bool)),
-                dtype=bool,
-            )
+            # same schema as the DataFrame branch: honor option_type too
+            if "is_call" in market_options:
+                is_calls = np.asarray(market_options["is_call"], dtype=bool)
+            elif "option_type" in market_options:
+                is_calls = np.asarray(
+                    [str(t).lower() == "call"
+                     for t in np.atleast_1d(market_options["option_type"])]
+                )
+            else:
+                is_calls = np.ones(len(strikes), dtype=bool)
+            if underlying is None and "underlying" in market_options:
+                underlying = str(np.atleast_1d(market_options["underlying"])[0])
             underlying = underlying or "UNKNOWN"
 
         # input validation (heston_calibrator.py:676-698)

@@ -153,7 +153,12 @@ class CalibrationOrchestrator:
         if self.config.calibrate_sabr:
             try:
                 sabr_input = self._to_sabr_input(market_options, S0, r, q)
-                if sabr_input is not None:
+                if sabr_input is None:
+                    errors.append(
+                        "sabr: skipped — fewer than 3 valid implied vols "
+                        "after BS inversion"
+                    )
+                else:
                     warm = self._sabr_warm.get(underlying) if self.config.use_warm_start else None
                     sabr_result = self.sabr.calibrate(
                         sabr_input, F0=S0, r=r, q=q, warm_start=warm, underlying=underlying
@@ -260,8 +265,20 @@ class CalibrationOrchestrator:
         if hasattr(market_options, "nlargest") and "volume" in market_options.columns:
             return market_options.nlargest(max_n, "volume")
         if hasattr(market_options, "iloc"):
-            return market_options.iloc[:max_n]
-        return {k: np.asarray(v)[:max_n] for k, v in market_options.items()}
+            # no liquidity info: keep the closest-to-money quotes — ATM
+            # carries the most calibration signal (positional truncation
+            # would keep whatever strike range happens to sort first)
+            spot_proxy = float(np.median(market_options["strike"]))
+            dist = (market_options["strike"] - spot_proxy).abs()
+            return market_options.loc[dist.nsmallest(max_n).index]
+        strikes = np.asarray(market_options["strike"], dtype=float)
+        spot_proxy = float(np.median(strikes))
+        keep = np.argsort(np.abs(strikes - spot_proxy))[:max_n]
+        return {
+            k: (np.asarray(v)[keep] if np.ndim(v) >= 1
+                and np.shape(np.asarray(v))[0] == len(strikes) else v)
+            for k, v in market_options.items()
+        }
 
     def _to_sabr_input(self, market_options, S0, r, q):
         """Build the SABR (strike, T, implied_vol) table from option prices

@@ -49,6 +49,7 @@ class SABRCalibrationResult:
     success: bool
     message: str
     timestamp: datetime = field(default_factory=lambda: datetime.now(timezone.utc))
+    converged_by_maturity: Dict[float, bool] = field(default_factory=dict)
 
     def to_dict(self) -> Dict:
         return {
@@ -149,7 +150,7 @@ class SABRCalibrator:
         lower = jnp.array([self.bounds["alpha"][0], self.bounds["rho"][0], self.bounds["nu"][0]])
         upper = jnp.array([self.bounds["alpha"][1], self.bounds["rho"][1], self.bounds["nu"][1]])
 
-        x, rmse, _ = _fit_smile(
+        x, rmse, conv = _fit_smile(
             jnp.asarray(strikes),
             jnp.asarray(market_vols),
             jnp.asarray(weights, dtype=jnp.asarray(strikes).dtype),
@@ -162,8 +163,9 @@ class SABRCalibrator:
         )
         # one batched device->host pull (per-output pulls pay a full RTT
         # each on remote-tunnelled TPUs)
-        x, rmse = jax.device_get((x, rmse))
+        x, rmse, conv = jax.device_get((x, rmse, conv))
         params = SABRParams(alpha=float(x[0]), beta=self.beta, rho=float(x[1]), nu=float(x[2]))
+        self._last_converged = bool(conv)
         return params, float(rmse)
 
     def calibrate(
@@ -197,6 +199,7 @@ class SABRCalibrator:
         maturities = sorted(np.unique(T_all).tolist())
         params_by_maturity: Dict[float, SABRParams] = {}
         rmse_by_maturity: Dict[float, float] = {}
+        converged_by_maturity: Dict[float, bool] = {}
         total_errors = []
 
         # Regular surfaces (same strike count per maturity, no weights or
@@ -224,6 +227,7 @@ class SABRCalibrator:
                 )
                 params_by_maturity[T] = params
                 rmse_by_maturity[T] = float(out["rmse"][m])
+                converged_by_maturity[T] = bool(np.asarray(out["converged"])[m])
                 total_errors.extend([float(out["rmse"][m]) ** 2] * Kn)
         else:
             for T in maturities:
@@ -239,6 +243,7 @@ class SABRCalibrator:
                     )
                     params_by_maturity[T] = params
                     rmse_by_maturity[T] = rmse
+                    converged_by_maturity[T] = getattr(self, "_last_converged", True)
                     model = np.asarray(
                         sabr_model.implied_volatilities(strikes, F, T, params)
                     )
@@ -248,7 +253,10 @@ class SABRCalibrator:
 
         elapsed = time.time() - start
         total_rmse = float(np.sqrt(np.mean(total_errors))) if total_errors else float("inf")
-        success = len(params_by_maturity) == len(maturities)
+        all_fitted = len(params_by_maturity) == len(maturities)
+        all_converged = all_fitted and all(converged_by_maturity.get(T, False)
+                                           for T in maturities)
+        success = all_converged
 
         result = SABRCalibrationResult(
             params_by_maturity=params_by_maturity,
@@ -258,7 +266,12 @@ class SABRCalibrator:
             n_maturities=len(maturities),
             n_options=len(strikes_all),
             success=success,
-            message="Calibration successful" if success else "Partial calibration",
+            message=(
+                "Calibration successful" if success
+                else ("Converged on a subset of maturities" if all_fitted
+                      else "Partial calibration")
+            ),
+            converged_by_maturity=converged_by_maturity,
         )
         if underlying:
             self._cached_params[underlying] = params_by_maturity

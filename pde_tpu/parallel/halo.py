@@ -94,17 +94,21 @@ def sharded_bs_explicit(
         is_last = idx == n_dev - 1
         m = V_local.shape[0]
 
-        def step(V, t_remaining):
+        def step(V, tau):
             lg, rg = _exchange_halos(V, axis)
             left = jnp.concatenate([lg[None], V[:-1]])
             right = jnp.concatenate([V[1:], rg[None]])
             LV = L_m * left + L_c * V + L_p * right
             V_new = V + dt * LV
 
-            # global Dirichlet boundaries (black_scholes_pde.hpp:276-290)
-            df = jnp.exp(-r * t_remaining)
-            lo = jnp.where(is_call, 0.0, K * df - s_local[0])
-            hi = jnp.where(is_call, s_local[-1] - K * df, 0.0)
+            # global Dirichlet boundaries, discounted over time-to-expiry
+            # with the dividend leg on S (the corrected convention of
+            # solvers/bs_pde.py apply_bc; the reference's calendar-time
+            # discount is a non-converging wing error)
+            df_r = jnp.exp(-r * tau)
+            df_q = jnp.exp(-q * tau)
+            lo = jnp.where(is_call, 0.0, K * df_r - s_local[0] * df_q)
+            hi = jnp.where(is_call, s_local[-1] * df_q - K * df_r, 0.0)
             V_new = jnp.where(
                 is_first, V_new.at[0].set(lo), V_new
             )
@@ -113,8 +117,8 @@ def sharded_bs_explicit(
             )
             return V_new, None
 
-        t_rem = dt * jnp.arange(n_time - 1, -1, -1, dtype=V_local.dtype)
-        V_final, _ = jax.lax.scan(step, V_local, t_rem)
+        taus = dt * jnp.arange(1, n_time + 1, dtype=V_local.dtype)
+        V_final, _ = jax.lax.scan(step, V_local, taus)
         return V_final
 
     from jax import shard_map

@@ -97,10 +97,18 @@ def make_mesh(
     return Mesh(mesh_devices, tuple(axis_names))
 
 
-def _price_population(x, strikes, maturities, S0, r, q):
+def _price_population(x, strikes, maturities, S0, r, q, is_call=True,
+                      n_points=heston_model.N_QUADRATURE, du=heston_model.DU):
+    """Vectorized pricing for mesh-sharded calibration.
+
+    Defaults to the reference-parity quadrature (1024 x 0.01) — the LM
+    refinement must optimize the same objective as the single-device stage.
+    Pass ``n_points=256, du=0.04`` for DE-grade basin search only.
+    """
     p = HestonParams(x[..., 0], x[..., 1], x[..., 2], x[..., 3], x[..., 4])
     return heston_model.price_carr_madan(
-        p, strikes, maturities, S0, r, q, n_points=256, du=0.04
+        p, strikes, maturities, S0, r, q, is_call=is_call,
+        n_points=n_points, du=du,
     )
 
 
@@ -127,9 +135,11 @@ def sharded_calibration_step(mesh: Mesh, lower, upper):
     dq = P("dp", "quotes")
     d1 = P("dp")
 
-    def step(x, strikes, maturities, target, lam, S0, r, q):
+    def step(x, strikes, maturities, target, lam, S0, r, q, is_call=True):
         def residuals_one(xi, ki, ti, yi):
-            prices = jnp.maximum(_price_population(xi, ki, ti, S0, r, q), 1e-10)
+            prices = jnp.maximum(
+                _price_population(xi, ki, ti, S0, r, q, is_call), 1e-10
+            )
             return (prices - yi) / yi
 
         def one_underlying(xi, ki, ti, yi, lam_i):

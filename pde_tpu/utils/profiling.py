@@ -87,10 +87,17 @@ class DeviceTimer:
         try:
             yield
         finally:
-            # sync everything outstanding so the section owns its device time
+            # Fence the device: per-device execution is in-order, so pulling
+            # a freshly dispatched trivial computation waits for everything
+            # the section enqueued.  (jax.effects_barrier alone only awaits
+            # EFFECTFUL computations — pure jitted calls would be missed and
+            # the section would record just its dispatch time.)
             try:
                 jax.effects_barrier()
-            except Exception:  # noqa: BLE001 - older jax versions
+                import jax.numpy as jnp
+
+                jax.device_get(jnp.zeros(()))
+            except Exception:  # noqa: BLE001 - no live backend
                 pass
             self.sections.setdefault(name, []).append(time.perf_counter() - t0)
 

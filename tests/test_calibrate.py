@@ -355,3 +355,57 @@ class TestOrchestrator:
             S0=100.0,
         )
         assert res.status == CalibrationStatus.FAILED
+
+
+class TestReviewRegressions:
+    def test_dict_input_honors_option_type(self):
+        """Puts in a dict input must not be priced as calls (review find)."""
+        import numpy as np
+
+        from pde_tpu.calibrate.heston import HestonCalibrator
+
+        strikes, mats, prices, is_calls, und = HestonCalibrator._extract(
+            {
+                "strike": [90.0, 100.0],
+                "maturity": [1.0, 1.0],
+                "mid_price": [5.0, 6.0],
+                "option_type": ["put", "call"],
+                "underlying": ["SPY", "SPY"],
+            },
+            None,
+        )
+        assert list(is_calls) == [False, True]
+        assert und == "SPY"
+
+    def test_filter_keeps_closest_to_money(self):
+        import numpy as np
+
+        from pde_tpu.calibrate.orchestrator import CalibrationConfig, CalibrationOrchestrator
+
+        orch = CalibrationOrchestrator(CalibrationConfig(max_options_per_underlying=3))
+        data = {
+            "strike": np.array([50.0, 80.0, 100.0, 105.0, 200.0]),
+            "maturity": np.ones(5),
+            "mid_price": np.ones(5),
+            "underlying": "SPY",   # scalar entry must not crash the filter
+        }
+        out = orch._filter_options(data)
+        assert sorted(out["strike"].tolist()) == [80.0, 100.0, 105.0]
+        assert out["underlying"] == "SPY"
+
+    def test_sabr_result_reports_convergence(self):
+        import numpy as np
+
+        from pde_tpu.calibrate.sabr import SABRCalibrator
+
+        cal = SABRCalibrator(beta=0.7)
+        strikes, vols = cal.generate_synthetic_smile(
+            alpha=0.25, beta=0.7, rho=-0.3, nu=0.45, F=100.0, T=1.0,
+            n_strikes=9,
+        )
+        res = cal.calibrate(
+            {"strike": strikes, "T": np.full(9, 1.0), "implied_vol": vols},
+            F0=100.0, use_forward=False,
+        )
+        assert res.success
+        assert res.converged_by_maturity and all(res.converged_by_maturity.values())

@@ -144,13 +144,13 @@ class TestHaloShardedPDE:
         Lm, Lc, Lp = a - b, -2 * a - r, a + b
         V = np.maximum(s - K, 0.0)
         for step in range(n_time):
-            t_rem = (n_time - step - 1) * dt
+            tau = (step + 1) * dt   # time-to-expiry convention (bs_pde fix)
             LV = np.zeros_like(V)
             LV[1:-1] = Lm * V[:-2] + Lc * V[1:-1] + Lp * V[2:]
             # edge cells never used after Dirichlet overwrite
             V = V + dt * LV
             V[0] = 0.0
-            V[-1] = s[-1] - K * np.exp(-r * t_rem)
+            V[-1] = s[-1] * np.exp(-q * tau) - K * np.exp(-r * tau)
         return s, V
 
     def test_matches_single_device(self):
@@ -232,3 +232,23 @@ class TestShardedPDEBatch:
         )
         np.testing.assert_allclose(np.asarray(out.price), np.asarray(ref.price), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(out.delta), np.asarray(ref.delta), rtol=1e-10)
+
+
+class TestShardedMatchesBSPDESolver:
+    def test_sharded_explicit_matches_solver_explicit(self):
+        """The halo-sharded march must agree with the (independently fixed)
+        single-device solver running the same explicit scheme — this is the
+        cross-implementation check the old self-referential test lacked."""
+        from pde_tpu.parallel.halo import make_grid_mesh, sharded_bs_explicit
+        from pde_tpu.solvers import bs_pde
+
+        kw = dict(sigma=0.2, r=0.05, q=0.02, T=0.25, K=100.0)
+        n_space, n_time = 256, 4000
+        mesh = make_grid_mesh(8)
+        s_grid, V = sharded_bs_explicit(mesh, n_space=n_space, n_time=n_time, **kw)
+        res = bs_pde.solve(
+            bs_pde.BSPDEParams(scheme="explicit", n_space=n_space,
+                               n_time=n_time, **kw), 100.0
+        )
+        np.testing.assert_allclose(np.asarray(V), np.asarray(res.prices),
+                                   rtol=1e-9, atol=1e-9)
