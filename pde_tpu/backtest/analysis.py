@@ -116,10 +116,20 @@ class WalkForwardAnalysis:
             scored = [(self._evaluate(is_prices, p), p) for p in grid]
             best_metrics, best_params = max(scored, key=lambda sp: sp[0][self.metric])
 
-            oos_prices = prices[is_end - 1 : oos_end]  # overlap one bar for returns
-            oos_metrics = self._evaluate(oos_prices, best_params)
-            pos = self.signal_fn(oos_prices, **best_params)
-            ret, _ = _strategy_returns(oos_prices, np.asarray(pos), self.cost)
+            # signals need IS history as lookback context: generate on
+            # IS+OOS and slice the OOS segment (computing them on the bare
+            # OOS window would zero the first lookback-1 bars and leave a
+            # long-lookback strategy flat for the whole window)
+            hist = prices[is_start:oos_end]
+            pos_full = np.asarray(self.signal_fn(hist, **best_params))
+            k = is_end - 1 - is_start  # one-bar overlap for returns
+            oos_prices = hist[k:]
+            pos = pos_full[k:]
+            out = backtest_positions(
+                jnp.asarray(oos_prices), jnp.asarray(pos), self.cost
+            )
+            oos_metrics = {kk: float(v) for kk, v in out.items()}
+            ret, _ = _strategy_returns(oos_prices, pos, self.cost)
             oos_returns.append(ret)
 
             windows.append(

@@ -119,6 +119,9 @@ class BacktestEngine:
                 if event.event_type == EventType.MARKET:
                     self.portfolio.update_market_data(event)
                     self.execution_handler.update_market_data(event)
+                    # resting limit/stop orders re-check against the new bar
+                    if hasattr(self.execution_handler, "process_pending"):
+                        self.execution_handler.process_pending(self.events)
                     self.strategy.calculate_signals(event, self.events)
                 elif event.event_type == EventType.SIGNAL:
                     self.portfolio.generate_order(event, self.events)

@@ -164,16 +164,19 @@ class SimulatedExecutionHandler(ExecutionHandler):
         return fill
 
     def process_pending(self, events_queue=None) -> list[FillEvent]:
-        """Re-check resting limit/stop orders against latest prices."""
-        still_pending, fills = [], []
+        """Re-check resting limit/stop orders against latest prices.
+
+        Called by BacktestEngine on every MARKET event, so a limit/stop
+        order placed on one bar fills on the first later bar that crosses
+        its trigger.  execute_order re-queues any still-unmarketable order
+        into self.pending_orders itself.
+        """
+        fills = []
         orders, self.pending_orders = self.pending_orders, []
         for order in orders:
             fill = self.execute_order(order, events_queue)
-            if fill is None and order in self.pending_orders:
-                continue  # execute_order re-queued it
             if fill is not None:
                 fills.append(fill)
-        self.pending_orders.extend(still_pending)
         return fills
 
 

@@ -10,10 +10,13 @@ Covers the reference's three optimizer modules in TPU-native form:
   producing fitness scores (JSON-checkpointed, :196-209);
 * rolling_optimizer.py:244-610 — optimize on window N, trade window N+1.
 
-The search core is the vmapped array backtester
-(pde_tpu.backtest.vectorized): an entire strategy's parameter grid evaluates
-in one device launch per price series, where the reference nests Python
-loops over sectors x strategies x parameter combos x bars.
+The search runs on the array backtester (pde_tpu.backtest.vectorized):
+positions for every combo are jitted device programs, dispatched
+asynchronously and pulled in ONE transfer per strategy family (the
+reference nests Python loops over sectors x strategies x combos x bars and
+re-walks the bars in Python each time).  Grid axes that are jnp-traceable
+can go further — vectorized.grid_backtest_ma evaluates a whole MA-crossover
+grid in a single vmapped launch.
 """
 
 from __future__ import annotations
@@ -183,11 +186,18 @@ class StrategyOptimizer:
         for name, spec in self.strategies.items():
             keys = list(spec["grid"])
             combos = list(itertools.product(*spec["grid"].values()))
+            # dispatch every combo asynchronously; ONE device pull at the end
+            # (per-combo float() syncs would serialize the grid on transfer
+            # latency — ruinous on a remote-tunnelled device)
+            evals = [
+                (dict(zip(keys, combo)),
+                 backtest_positions(p, spec["fn"](p, **dict(zip(keys, combo))),
+                                    self.cost))
+                for combo in combos
+            ]
+            results = jax.device_get([r for _, r in evals])
             best = None
-            for combo in combos:
-                params = dict(zip(keys, combo))
-                pos = spec["fn"](p, **params)
-                res = backtest_positions(p, pos, self.cost)
+            for (params, _), res in zip(evals, results):
                 sharpe = float(res["sharpe"])
                 dd = float(res["max_drawdown"])
                 fitness = sharpe - self.drawdown_penalty * dd
@@ -312,14 +322,20 @@ class RollingOptimizationBacktester:
             fits = self.optimizer.optimize_series(prices[start:opt_end])
             best = max(fits.values(), key=lambda f: f.fitness)
 
-            trade_prices = prices[opt_end - 1 : trade_end]
+            # generate signals with the optimization window as lookback
+            # context, then trade only the out-of-sample slice (signals on
+            # the bare trade window would stay flat until the lookback fills)
             spec = self.optimizer.strategies[best.strategy]
-            pos = spec["fn"](jnp.asarray(trade_prices), **best.params)
+            hist = prices[start:trade_end]
+            pos_full = np.asarray(spec["fn"](jnp.asarray(hist), **best.params))
+            k = opt_end - 1 - start
+            trade_prices = hist[k:]
+            pos = jnp.asarray(pos_full[k:])
             res = backtest_positions(jnp.asarray(trade_prices), pos, self.cost)
 
-            asset_ret = np.diff(trade_prices) / trade_prices[:-1]
-            pos_np = np.asarray(pos)
-            strat_ret = pos_np[:-1] * asset_ret - self.cost * np.abs(np.diff(pos_np, prepend=0.0))[:-1]
+            from .analysis import _strategy_returns
+
+            strat_ret, _ = _strategy_returns(trade_prices, pos_full[k:], self.cost)
             oos.append(strat_ret)
 
             periods.append(

@@ -157,7 +157,13 @@ class Portfolio:
         self.current_prices[event.symbol] = event.price
         if event.symbol in self.positions:
             self.positions[event.symbol].update_price(event.price)
-        self.equity_curve.append((event.timestamp, self.equity))
+        # one equity point per bar timestamp: multi-symbol backtests emit one
+        # MarketEvent per symbol per bar, and per-event points would inflate
+        # n_bars (and so every annualized metric) by the symbol count
+        if self.equity_curve and self.equity_curve[-1][0] == event.timestamp:
+            self.equity_curve[-1] = (event.timestamp, self.equity)
+        else:
+            self.equity_curve.append((event.timestamp, self.equity))
 
     def update_fill(self, fill: FillEvent) -> None:
         """Average-cost processing (portfolio.py:286-446)."""
@@ -187,7 +193,7 @@ class Portfolio:
             cover = min(qty, -pos.quantity)
             realized = (pos.avg_price - px) * cover
             self._realized_pnl += realized
-            self._close_trades(fill.symbol, px, fill.timestamp, realized)
+            self._close_trades(fill.symbol, px, fill.timestamp, realized, cover)
             pos.quantity += cover
             pos.current_price = px
             leftover = qty - cover
@@ -215,7 +221,7 @@ class Portfolio:
             close = min(qty, pos.quantity)
             realized = (px - pos.avg_price) * close
             self._realized_pnl += realized
-            self._close_trades(fill.symbol, px, fill.timestamp, realized)
+            self._close_trades(fill.symbol, px, fill.timestamp, realized, close)
             pos.quantity -= close
             pos.current_price = px
             leftover = qty - close
@@ -226,13 +232,36 @@ class Portfolio:
             if pos.quantity == 0:
                 del self.positions[fill.symbol]
 
-    def _close_trades(self, symbol: str, price: float, ts, realized: float) -> None:
+    def _close_trades(self, symbol: str, price: float, ts, realized: float,
+                      close_qty: float) -> None:
+        """Attribute a realized close of ``close_qty`` units to trade records.
+
+        Partial closes SPLIT the entry: the open record keeps the remaining
+        quantity and a closed record is appended for the realized chunk, so
+        scaling out of a position books every unit of PnL exactly once.
+        """
+        remaining = close_qty
+        per_unit = realized / close_qty if close_qty else 0.0
+        splits = []
         for trade in reversed(self.trades):
-            if trade.symbol == symbol and not trade.is_closed:
-                trade.exit_price = price
-                trade.exit_time = ts
-                trade.pnl = realized
+            if remaining <= 1e-12:
                 break
+            if trade.symbol == symbol and not trade.is_closed:
+                chunk = min(remaining, trade.quantity)
+                if chunk < trade.quantity - 1e-12:
+                    trade.quantity -= chunk
+                    splits.append(
+                        Trade(symbol, trade.direction, chunk,
+                              trade.entry_price, trade.entry_time,
+                              exit_price=price, exit_time=ts,
+                              pnl=per_unit * chunk)
+                    )
+                else:
+                    trade.exit_price = price
+                    trade.exit_time = ts
+                    trade.pnl = per_unit * chunk
+                remaining -= chunk
+        self.trades.extend(splits)
 
     # -------------------------------------------------------------- orders
 

@@ -110,6 +110,10 @@ class SimulatedBroker(BrokerGateway):
             if order.symbol != symbol or not order.is_active:
                 continue
             if self._is_marketable(order, price):
+                if not self._margin_ok(order, price):
+                    self.open_orders.pop(order.order_id, None)
+                    order.transition(OrderStatus.REJECTED)
+                    continue
                 fills.append(self._fill(order, price))
         return fills
 
@@ -133,6 +137,9 @@ class SimulatedBroker(BrokerGateway):
             self._fill(order, price)
         else:
             if price is not None and self._is_marketable(order, price):
+                if not self._margin_ok(order, price):
+                    order.transition(OrderStatus.REJECTED)
+                    return order.order_id
                 self._fill(order, price)
             else:
                 self.open_orders[order.order_id] = order
@@ -197,8 +204,16 @@ class SimulatedBroker(BrokerGateway):
             self.account.avg_prices.pop(order.symbol, None)
         else:
             self.account.positions[order.symbol] = new
-            if prev == 0 or (prev > 0) != (new > 0) or abs(new) > abs(prev):
+            if prev == 0 or (prev > 0) != (new > 0):
+                # fresh position or flip: basis resets to this fill
                 self.account.avg_prices[order.symbol] = fill_price
+            elif abs(new) > abs(prev):
+                # adding to a position: volume-weighted average cost
+                old_avg = self.account.avg_prices.get(order.symbol, fill_price)
+                added = abs(new) - abs(prev)
+                self.account.avg_prices[order.symbol] = (
+                    old_avg * abs(prev) + fill_price * added
+                ) / abs(new)
         self.account.cash -= pos_delta * fill_price + commission
         self.account.buying_power = self.account.cash * self.margin_ratio
 

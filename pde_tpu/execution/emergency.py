@@ -132,9 +132,11 @@ class TradingHoursController:
         allow_afterhours: bool = False,
         afterhours_close: time = time(20, 0),
         calendar=None,
+        exchange_tz: str = "America/New_York",
     ):
         from ..data.reference import TradingCalendar
 
+        self.exchange_tz = exchange_tz
         self.open_time = open_time
         self.close_time = close_time
         self.allow_premarket = allow_premarket
@@ -143,8 +145,19 @@ class TradingHoursController:
         self.afterhours_close = afterhours_close
         self.calendar = calendar or TradingCalendar()
 
-    def is_market_open(self, now: Optional[datetime] = None) -> bool:
+    def _local(self, now: Optional[datetime]) -> datetime:
+        """Session times are exchange-local; convert the (UTC) clock first
+        — comparing a UTC wall time against 9:30-16:00 ET would block
+        mid-session orders and open the gate overnight."""
+        from zoneinfo import ZoneInfo
+
         now = now or datetime.now(timezone.utc)
+        if now.tzinfo is None:
+            return now  # caller already supplies exchange-local naive times
+        return now.astimezone(ZoneInfo(self.exchange_tz))
+
+    def is_market_open(self, now: Optional[datetime] = None) -> bool:
+        now = self._local(now)
         if not self.calendar.is_trading_day(now.date()):
             return False
         t = now.time()
@@ -153,7 +166,7 @@ class TradingHoursController:
         return lo <= t < hi
 
     def session(self, now: Optional[datetime] = None) -> str:
-        now = now or datetime.now(timezone.utc)
+        now = self._local(now)
         if not self.calendar.is_trading_day(now.date()):
             return "closed"
         t = now.time()

@@ -67,13 +67,15 @@ class FillReconciler:
         matched = 0
         seen_orders = set()
 
+        consumed: set = set()  # id() of matched external rows: one-to-one
         for fill in internal:
             seen_orders.add(fill.order_id)
             candidates = ext_by_order.get(fill.order_id, [])
             match = next(
                 (
                     c for c in candidates
-                    if abs(c["quantity"] - fill.quantity) <= self.quantity_tolerance
+                    if id(c) not in consumed
+                    and abs(c["quantity"] - fill.quantity) <= self.quantity_tolerance
                 ),
                 None,
             )
@@ -87,6 +89,7 @@ class FillReconciler:
                     )
                 )
                 continue
+            consumed.add(id(match))
             matched += 1
             if fill.price > 0 and abs(match["price"] - fill.price) / fill.price > self.price_tolerance_pct:
                 discrepancies.append(
@@ -107,6 +110,17 @@ class FillReconciler:
                         external=rows[0],
                     )
                 )
+                continue
+            for row in rows:
+                if id(row) not in consumed:
+                    discrepancies.append(
+                        Discrepancy(
+                            "extra_external", DiscrepancySeverity.CRITICAL,
+                            f"broker reports an unmatched extra fill for "
+                            f"order {order_id}",
+                            external=row,
+                        )
+                    )
 
         return ReconciliationReport(
             n_internal=len(internal),

@@ -186,6 +186,7 @@ class RiskManager:
     ) -> RiskCheckResult:
         """Pre-trade gate (risk_manager.py:413-532)."""
         breached: List[str] = []
+        breached_types: List[RiskLimitType] = []
         warnings: List[str] = []
         details: Dict[str, Any] = {}
 
@@ -212,6 +213,7 @@ class RiskManager:
                 breached.append(
                     f"{lt.value}: {fmt.format(current)} > {fmt.format(limit.value)}"
                 )
+                breached_types.append(lt)
             elif level == "warning":
                 warnings.append(
                     f"{lt.value} near limit: {fmt.format(current)} / {fmt.format(limit.value)}"
@@ -234,9 +236,12 @@ class RiskManager:
             check(RiskLimitType.VEGA, new_vega, "new_portfolio_vega", fmt="{:.1f}")
 
         if breached:
+            # escalate to halt only when a BREACHED limit demands it — the
+            # graded reduce/halt design must not trip on merely-registered
+            # halt-class limits
             action = "reduce"
-            for limit in self.limits.values():
-                if limit.action_on_breach == "halt":
+            for lt in breached_types:
+                if self.limits[lt].action_on_breach == "halt":
                     action = "halt"
                     break
             return RiskCheckResult(False, breached, warnings, action, details)
@@ -316,6 +321,7 @@ class RiskManager:
         """Post-trade portfolio-wide audit (risk_manager.py:628-749)."""
         risk = self.compute_portfolio_risk()
         breached: List[str] = []
+        breached_types: List[RiskLimitType] = []
         warnings: List[str] = []
         details: Dict[str, Any] = {}
 

@@ -235,16 +235,21 @@ class TestEmergency:
 
     def test_trading_hours(self):
         thc = em.TradingHoursController()
-        # Friday 2026-08-14 15:00 UTC... use naive ET-style times: controller
-        # compares wall-clock time fields directly
-        open_dt = datetime(2026, 8, 14, 10, 30, tzinfo=timezone.utc)
-        closed_dt = datetime(2026, 8, 14, 22, 0, tzinfo=timezone.utc)
-        weekend = datetime(2026, 8, 15, 10, 30, tzinfo=timezone.utc)
+        # session times are EXCHANGE-LOCAL (ET): aware datetimes convert
+        # before comparison.  Friday 2026-08-14, EDT = UTC-4.
+        open_dt = datetime(2026, 8, 14, 18, 30, tzinfo=timezone.utc)   # 14:30 ET
+        early_dt = datetime(2026, 8, 14, 10, 30, tzinfo=timezone.utc)  # 06:30 ET
+        closed_dt = datetime(2026, 8, 14, 22, 0, tzinfo=timezone.utc)  # 18:00 ET
+        weekend = datetime(2026, 8, 15, 18, 30, tzinfo=timezone.utc)
         assert thc.is_market_open(open_dt)
+        assert not thc.is_market_open(early_dt)
         assert not thc.is_market_open(closed_dt)
         assert not thc.is_market_open(weekend)
         assert thc.session(open_dt) == "regular"
         assert thc.session(weekend) == "closed"
+        # naive datetimes are taken as already exchange-local
+        assert thc.is_market_open(datetime(2026, 8, 14, 14, 30))
+        assert not thc.is_market_open(datetime(2026, 8, 14, 6, 30))
 
 
 class TestReconciliation:
