@@ -1,8 +1,9 @@
 """`pde-tpu` command-line interface.
 
-Mirrors the reference CLI (cli.py:1277-1432) and its ten subcommands:
-backtest, calibrate, status, config, demo, portfolio, scan,
-sector-portfolio, rolling-backtest, optimize-sectors.  Market data comes
+Mirrors the reference CLI (cli.py:1277-1432) — its ten subcommands
+(backtest, calibrate, status, config, demo, portfolio, scan,
+sector-portfolio, rolling-backtest, optimize-sectors) plus `price`, which
+exposes the pricing stack directly.  Market data comes
 from the configured provider (the deterministic simulated provider by
 default, since this build targets zero-egress environments; point
 --provider at a REST provider for live data).
@@ -130,7 +131,10 @@ def cmd_price(args) -> int:
 def cmd_status(args) -> int:
     system = TradingSystem(load_config(args.config))
     status = system.initialize()
-    print(json.dumps({"components": status, **system.get_status()}, default=str, indent=2))
+    # init success/failure per component must survive the merge —
+    # get_status() also has a "components" key (a bare name list)
+    print(json.dumps({**system.get_status(), "components": status},
+                     default=str, indent=2))
     return 0
 
 

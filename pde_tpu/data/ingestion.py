@@ -17,7 +17,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from .providers import DataProvider
-from .validation import MarketDataValidator
+from .validation import ValidationLevel, MarketDataValidator
 
 __all__ = ["IngestionStatus", "IngestionResult", "DataIngestionPipeline", "IncrementalIngestion"]
 
@@ -88,7 +88,15 @@ class DataIngestionPipeline:
                 elapsed_s=time.time() - t0,
             )
 
-        flagged = {i for issue in report.issues for i in issue.indices}
+        # only ERROR-severity rows are dropped; WARNING flags (outlier
+        # jumps, volume floors) describe legitimate data — deleting a real
+        # crash day would leave a permanent gap that backfill re-fetches
+        # and re-drops forever
+        flagged = {
+            i for issue in report.issues
+            if issue.level == ValidationLevel.ERROR
+            for i in issue.indices
+        }
         rows = [
             {
                 "time": b.time, "symbol": symbol, "open": b.open, "high": b.high,

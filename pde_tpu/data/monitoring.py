@@ -79,7 +79,11 @@ class DataQualityMonitor:
                       n_validation_errors: int = 0,
                       time: Optional[datetime] = None) -> None:
         h = self.symbols.setdefault(symbol, SymbolHealth(symbol))
-        h.last_update = time or datetime.now(timezone.utc)
+        now = time or datetime.now(timezone.utc)
+        # "today" means today: reset the daily counter at the day boundary
+        if h.last_update is not None and h.last_update.date() != now.date():
+            h.n_records_today = 0
+        h.last_update = now
         h.n_records_today += n_records
         h.n_validation_errors += n_validation_errors
 

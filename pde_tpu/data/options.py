@@ -132,10 +132,26 @@ class VolatilitySurface:
 
         self._smiles: Dict[date, Callable] = {}
         for expiry, pts in by_expiry.items():
-            if len(pts) >= 4:
-                pts = sorted(pts, key=lambda p: p.strike)
-                strikes = [p.strike for p in pts]
-                vols = [p.implied_vol for p in pts]
+            # real chains carry a call AND a put per strike; collapse
+            # duplicate strikes to the OTM quote (puts below spot, calls
+            # above — the liquid side), else the IV average.  CubicSpline
+            # demands strictly increasing x, so duplicates would crash.
+            by_strike: Dict[float, List[VolatilitySurfacePoint]] = {}
+            for p in pts:
+                by_strike.setdefault(round(p.strike, 10), []).append(p)
+            strikes, vols = [], []
+            for k in sorted(by_strike):
+                group = by_strike[k]
+                if len(group) == 1:
+                    iv = group[0].implied_vol
+                else:
+                    want = "put" if k < self.spot_price else "call"
+                    otm = [p for p in group if p.option_type.lower() == want]
+                    iv = (otm[0].implied_vol if otm
+                          else float(np.mean([p.implied_vol for p in group])))
+                strikes.append(k)
+                vols.append(iv)
+            if len(strikes) >= 4:
                 self._smiles[expiry] = interpolate.CubicSpline(strikes, vols, bc_type="natural")
         self._expirations = sorted(by_expiry)
         self._expiry_times = {

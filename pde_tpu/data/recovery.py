@@ -44,7 +44,15 @@ class GapDetector:
         missing = sorted(d for d in expected if d not in have)
         gaps: List[DataGap] = []
         for d in missing:
-            if gaps and (d - gaps[-1].end).days <= 3:  # join across weekends
+            # join only CONSECUTIVE missing trading days (weekends/holidays
+            # between them are fine) — a calendar-window join would fold a
+            # present day into the gap and backfill would overwrite its
+            # good row
+            if gaps and not [
+                t for t in self.calendar.trading_days_between(
+                    gaps[-1].end + timedelta(days=1), d - timedelta(days=1)
+                )
+            ]:
                 gaps[-1] = DataGap(symbol, gaps[-1].start, d)
             else:
                 gaps.append(DataGap(symbol, d, d))

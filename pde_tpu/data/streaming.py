@@ -17,7 +17,7 @@ import threading
 import time
 from collections import deque
 from dataclasses import dataclass, field
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
@@ -222,7 +222,10 @@ class BarAggregator:
         bar = StreamBar(
             symbol=symbol, open=cur["open"], high=cur["high"], low=cur["low"],
             close=cur["close"], volume=cur["volume"], start_time=cur["start"],
-            end_time=datetime.now(timezone.utc),
+            # bucket boundary, NOT the wall clock: a bar finalized by the
+            # first trade after a pause (or during historical replay) must
+            # not inherit the arrival time
+            end_time=cur["start"] + timedelta(seconds=self.bar_seconds),
         )
         if self.on_bar:
             self.on_bar(bar)

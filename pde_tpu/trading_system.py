@@ -157,16 +157,30 @@ class TradingSystem:
         if signal.confidence < self.config.trading.min_signal_confidence:
             return {"status": "skipped", "reason": "confidence below threshold"}
 
-        sizer = self._components["position_sizer"]
-        rets = np.asarray(return_series) if return_series is not None else np.zeros(0)
-        dd = self._components["drawdown_controller"].current_drawdown
-        sizing = sizer.compute_position_size(rets, self.config.trading.initial_capital, dd)
-        quantity = max(sizing.position_size * signal.confidence / current_price, 0.0)
-        if quantity < 1:
-            return {"status": "skipped", "reason": "size below one share"}
-
         direction = str(getattr(signal, "signal_type", "buy")).lower()
-        side = OrderSide.BUY if "buy" in direction or "long" in direction else OrderSide.SELL
+        broker0 = self._components.get("broker")
+        held = (broker0.get_positions().get(signal.asset, 0.0)
+                if broker0 is not None else 0.0)
+
+        if "exit" in direction or "close" in direction:
+            # EXIT closes the open position: side opposite the holding,
+            # quantity = what is actually held (a sizer-sized SELL here
+            # would INCREASE a short exactly when the strategy said close)
+            if abs(held) < 1.0:
+                return {"status": "skipped", "reason": "no position to exit"}
+            side = OrderSide.SELL if held > 0 else OrderSide.BUY
+            quantity = abs(held)
+        else:
+            sizer = self._components["position_sizer"]
+            rets = np.asarray(return_series) if return_series is not None else np.zeros(0)
+            dd = self._components["drawdown_controller"].current_drawdown
+            sizing = sizer.compute_position_size(rets, self.config.trading.initial_capital, dd)
+            quantity = max(sizing.position_size * signal.confidence / current_price, 0.0)
+            if quantity < 1:
+                return {"status": "skipped", "reason": "size below one share"}
+            side = (OrderSide.BUY if "buy" in direction or "long" in direction
+                    else OrderSide.SELL)
+
         order = Order(symbol=signal.asset, side=side, quantity=float(int(quantity)),
                       strategy_id=",".join(getattr(signal, "supporting_strategies", [])) or "system")
 

@@ -203,7 +203,10 @@ class OverfittingDetector:
         return {"pbo": float(pbo), "is_overfit": pbo > 0.5, "n_splits": n_splits}
 
     def is_oos_degradation(self, is_sharpe: float, oos_sharpe: float) -> Dict[str, float]:
-        decay = 1.0 - oos_sharpe / is_sharpe if is_sharpe != 0 else 0.0
+        # degrade relative to |IS|: the naive 1 - oos/is flips sign for a
+        # negative IS metric and would PASS a strategy that collapses OOS
+        denom = max(abs(is_sharpe), 1e-12)
+        decay = (is_sharpe - oos_sharpe) / denom
         return {"sharpe_decay": float(decay), "suspicious": decay > 0.5}
 
 

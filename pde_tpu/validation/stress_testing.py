@@ -42,11 +42,15 @@ class MarketScenario:
     duration_days: int = 21
 
 
-# approximate daily crisis paths (drift + vol regime over the window)
+# approximate daily crisis paths (drift + vol regime over the window).
+# The noisy log path is RE-CENTERED so the realized compound return equals
+# the declared scenario shock exactly — otherwise the named scenario would
+# materially misstate its own severity (measured ~2x on the taper tantrum).
 def _crisis_path(total_return: float, vol: float, days: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    drift = np.log1p(total_return) / days
-    return np.expm1(drift + vol * rng.standard_normal(days))
+    log_ret = vol * rng.standard_normal(days)
+    log_ret += (np.log1p(total_return) - log_ret.sum()) / days
+    return np.expm1(log_ret)
 
 
 BUILTIN_SCENARIOS: List[MarketScenario] = [
@@ -99,6 +103,11 @@ class StressTestEngine:
         """Apply a crisis return path scaled by the strategy's market beta."""
         sc = self.scenarios[scenario_name]
         path = np.asarray(sc.return_path) * beta
+        if base_vol_daily > 0.0:
+            # idiosyncratic (non-market) strategy vol layered on the
+            # beta-scaled crisis path
+            rng = np.random.default_rng(self.random_state)
+            path = path + base_vol_daily * rng.standard_normal(len(path))
         return self._metrics(sc, path)
 
     def run_all_historical_scenarios(self, beta: float = 1.0) -> Dict[str, StressTestResult]:

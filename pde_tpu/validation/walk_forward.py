@@ -190,7 +190,9 @@ class OutOfSampleValidator:
         ins, oos = self.split(np.asarray(data))
         m_is = evaluate(ins)
         m_oos = evaluate(oos)
-        decay = 1.0 - m_oos / m_is if m_is != 0 else 0.0
+        # sign-safe: degradation measured against |IS| so a negative IS
+        # metric cannot flip the gate open for a worse OOS metric
+        decay = (m_is - m_oos) / max(abs(m_is), 1e-12)
         return {
             "in_sample_metric": float(m_is),
             "oos_metric": float(m_oos),
