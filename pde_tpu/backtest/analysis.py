@@ -205,12 +205,15 @@ class MonteCarloSimulator:
             keys = jax.random.split(key, self.n_simulations)
             samples = jax.vmap(lambda k: jax.random.permutation(k, r))(keys)
         elif self.method == "block":
-            n_blocks = -(-n // self.block_size)
+            # a series shorter than the block collapses to one whole-series
+            # block (randint upper bound would be <= 0 otherwise)
+            block = int(min(self.block_size, n))
+            n_blocks = -(-n // block)
             keys = jax.random.split(key, self.n_simulations)
 
             def one(k):
-                starts = jax.random.randint(k, (n_blocks,), 0, n - self.block_size + 1)
-                idx = (starts[:, None] + jnp.arange(self.block_size)[None, :]).reshape(-1)[:n]
+                starts = jax.random.randint(k, (n_blocks,), 0, n - block + 1)
+                idx = (starts[:, None] + jnp.arange(block)[None, :]).reshape(-1)[:n]
                 return r[idx]
 
             samples = jax.vmap(one)(keys)

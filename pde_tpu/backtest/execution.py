@@ -65,8 +65,18 @@ class TieredCommission(CommissionModel):
         self.tiers = tiers or [(300_000, 0.0035), (3_000_000, 0.002), (float("inf"), 0.0015)]
         self.minimum = minimum
         self._monthly_volume = 0.0
+        self._month = None  # (year, month) the running volume belongs to
 
-    def calculate(self, quantity, price):
+    def calculate(self, quantity, price, timestamp=None):
+        from datetime import datetime, timezone
+
+        # "monthly" volume resets at the month boundary; without the reset a
+        # long backtest drifts permanently into the cheapest tier
+        now = timestamp or datetime.now(timezone.utc)
+        month = (now.year, now.month)
+        if self._month != month:
+            self._month = month
+            self._monthly_volume = 0.0
         q = abs(quantity)
         for threshold, rate in self.tiers:
             if self._monthly_volume <= threshold:

@@ -222,7 +222,14 @@ class Order:
             raise ValueError("fill quantity must be positive")
         if fill.quantity > self.remaining_quantity + 1e-9:
             raise ValueError("fill exceeds remaining quantity")
+        # validate the status transition BEFORE mutating fill state, so an
+        # illegal fill (e.g. on a PENDING order) cannot leave the order
+        # half-updated
         total = self.filled_quantity + fill.quantity
+        target = (OrderStatus.FILLED if self.quantity - total <= 1e-9
+                  else OrderStatus.PARTIALLY_FILLED)
+        if target not in _TRANSITIONS.get(self.status, set()) and target != self.status:
+            raise InvalidTransition(f"cannot fill from {self.status}")
         self.avg_fill_price = (
             self.avg_fill_price * self.filled_quantity + fill.price * fill.quantity
         ) / total
