@@ -424,3 +424,92 @@ class TestDataAPI:
                 assert "qt_" in (await r.text())
 
         asyncio.run(scenario())
+
+
+class TestReviewRegressions:
+    def test_surface_builds_from_mixed_call_put_chain(self):
+        """Every real chain carries calls AND puts at the same strikes; the
+        spline build must collapse duplicates instead of crashing."""
+        from pde_tpu.data.options import OptionQuote, OptionsChainProcessor
+        from pde_tpu.data.providers import SimulatedDataProvider
+
+        chain = SimulatedDataProvider().get_options_chain("SPY")
+        quotes = [
+            OptionQuote(strike=r["strike"], expiration=r["expiration"],
+                        option_type=r["option_type"], bid=r["bid"],
+                        ask=r["ask"], volume=r["volume"])
+            for r in chain
+        ]
+        spot = float(np.median([r["strike"] for r in chain]))
+        surf = OptionsChainProcessor().build_surface(quotes, spot_price=spot)
+        assert len(surf._smiles) >= 1
+        vol = surf.get_vol(spot, chain[0]["expiration"])
+        assert vol == pytest.approx(0.22, abs=0.03)  # chain generated at 0.22
+
+    def test_ingestion_keeps_warning_flagged_bars(self):
+        """A legitimate crash day (WARNING outlier) must be stored, not
+        silently deleted into a permanent gap."""
+        from datetime import date
+
+        from pde_tpu.data.ingestion import DataIngestionPipeline
+        from pde_tpu.data.providers import SimulatedDataProvider
+        from pde_tpu.database.db import TimeSeriesDB
+
+        class CrashProvider(SimulatedDataProvider):
+            def get_bars(self, symbol, start, end, interval="1d"):
+                bars = super().get_bars(symbol, start, end, interval)
+                mid = len(bars) // 2
+                for b in bars[mid:]:          # -55% gap down, then continues
+                    for f in ("open", "high", "low", "close"):
+                        setattr(b, f, getattr(b, f) * 0.45)
+                return bars
+
+        db = TimeSeriesDB("sqlite://")
+        pipe = DataIngestionPipeline(CrashProvider(), db)
+        res = pipe.ingest_symbol("CRSH", date(2026, 1, 1), date(2026, 2, 1))
+        rows = db.query_market_prices("CRSH", start="2026-01-01", end="2026-02-03")
+        assert res.n_stored == len(rows) == 31  # nothing dropped
+
+    def test_gap_detector_keeps_present_days_out_of_gaps(self):
+        from datetime import date, datetime
+
+        from pde_tpu.data.recovery import GapDetector
+
+        class FakeDB:
+            def query_market_prices(self, symbol, start=None, end=None):
+                # present: Mon 8/10, Tue 8/11, THU 8/13 — missing Wed + Fri
+                return [{"time": datetime(2026, 8, d).isoformat()}
+                        for d in (10, 11, 13)]
+
+        gaps = GapDetector(FakeDB()).detect("X", date(2026, 8, 10), date(2026, 8, 14))
+        spans = [(g.start, g.end) for g in gaps]
+        assert spans == [(date(2026, 8, 12), date(2026, 8, 12)),
+                         (date(2026, 8, 14), date(2026, 8, 14))]
+
+    def test_bar_end_time_is_bucket_boundary(self):
+        from datetime import datetime, timedelta, timezone
+
+        from pde_tpu.data.streaming import BarAggregator, StreamTrade
+
+        agg = BarAggregator(bar_seconds=60.0)
+        t0 = datetime(2026, 8, 17, 14, 30, tzinfo=timezone.utc)
+        agg.add_trade(StreamTrade(symbol="X", price=10.0, size=1, time=t0))
+        # next trade arrives 17 hours later: the finalized bar must still
+        # end at its own bucket boundary, not the arrival wall-clock
+        bar = agg.add_trade(StreamTrade(symbol="X", price=11.0, size=1,
+                                        time=t0 + timedelta(hours=17)))
+        assert bar is not None
+        assert (bar.end_time - bar.start_time) == timedelta(seconds=60)
+
+    def test_daily_record_counter_resets(self):
+        from datetime import datetime, timezone
+
+        from pde_tpu.data.monitoring import DataQualityMonitor
+
+        mon = DataQualityMonitor()
+        d1 = datetime(2026, 8, 17, 15, 0, tzinfo=timezone.utc)
+        d2 = datetime(2026, 8, 18, 15, 0, tzinfo=timezone.utc)
+        for _ in range(5):
+            mon.record_update("SPY", time=d1)
+        mon.record_update("SPY", time=d2)
+        assert mon.symbols["SPY"].n_records_today == 1

@@ -246,3 +246,45 @@ class TestLiveLoop:
         res = cal.calibrate(data, S0=100.0, r=0.05, q=0.02)
         assert res.fit_quality["rmse"] < 1.0
         assert res.fit_quality["n_options"] == 14
+
+
+class TestExitSemantics:
+    def test_exit_signal_closes_short(self):
+        """EXIT while short must BUY back the held quantity, not add to the
+        short (review regression)."""
+        from types import SimpleNamespace
+
+        from pde_tpu.core.config import Config
+
+        cfg = Config()
+        cfg.database.url = "sqlite://"
+        system = TradingSystem(cfg)
+        system.initialize()
+        broker = system._components["broker"]
+        broker.set_price("SPY", 100.0)
+
+        short = SimpleNamespace(asset="SPY", signal_type="sell", confidence=0.9,
+                                supporting_strategies=["t"])
+        out = system.process_signal(short, 100.0)
+        held = broker.get_positions().get("SPY", 0.0)
+        assert held < 0
+
+        exit_sig = SimpleNamespace(asset="SPY", signal_type="exit",
+                                   confidence=0.9, supporting_strategies=["t"])
+        out = system.process_signal(exit_sig, 100.0)
+        assert out["side"].lower() == "buy"
+        assert broker.get_positions().get("SPY", 0.0) == 0.0
+
+    def test_exit_without_position_skips(self):
+        from types import SimpleNamespace
+
+        from pde_tpu.core.config import Config
+
+        cfg = Config()
+        cfg.database.url = "sqlite://"
+        system = TradingSystem(cfg)
+        system.initialize()
+        sig = SimpleNamespace(asset="QQQ", signal_type="exit", confidence=0.9,
+                              supporting_strategies=[])
+        out = system.process_signal(sig, 300.0)
+        assert out["status"] == "skipped"

@@ -223,3 +223,28 @@ class TestBenchmarks:
         rf = bm.RiskFreeBenchmark(0.05)
         r = rf.calculate_returns(np.zeros(252))
         assert np.allclose(r, 0.05 / 252)
+
+
+class TestReviewRegressions:
+    def test_oos_decay_sign_safe(self):
+        """A negative IS metric must not flip the degradation gate open."""
+        from pde_tpu.validation.statistical_tests import OverfittingDetector
+        from pde_tpu.validation.walk_forward import OutOfSampleValidator
+
+        det = OverfittingDetector()
+        out = det.is_oos_degradation(is_sharpe=-0.1, oos_sharpe=-2.0)
+        assert out["suspicious"]
+
+        v = OutOfSampleValidator(oos_fraction=0.5, max_metric_decay=0.5)
+        data = np.arange(100, dtype=float)
+        # IS metric slightly negative, OOS catastrophic
+        metrics = iter([-0.1, -2.0])
+        res = v.validate(data, evaluate=lambda _x: next(metrics))
+        assert not res["passed"]
+
+    def test_crisis_paths_realize_declared_shock(self):
+        from pde_tpu.validation.stress_testing import BUILTIN_SCENARIOS
+
+        for sc in BUILTIN_SCENARIOS:
+            realized = float(np.prod(1.0 + sc.return_path) - 1.0)
+            assert realized == pytest.approx(sc.equity_shock, abs=1e-10), sc.name
