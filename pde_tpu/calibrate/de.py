@@ -44,12 +44,23 @@ def differential_evolution(
     maxiter: int = 100,
     mutation: tuple = (0.5, 1.0),
     recombination: float = 0.7,
+    tol: float = 0.0,
+    atol: float = 0.0,
 ) -> DEResult:
     """Global minimization of a BATCHED objective over a box.
 
     ``objective`` maps a population (npop, dim) -> (npop,) energies; write it
     so the whole population prices in one tensor op.  ``x0`` (optional warm
     start, reference heston_calibrator.py:411-413) seeds the first member.
+
+    Early termination follows scipy's criterion: iteration stops once
+    ``std(energies) <= atol + tol * |mean(energies)|`` (scipy defaults
+    tol=0.01).  Here it is OFF by default (tol=0, all ``maxiter``
+    generations run): an objective with a large additive floor — e.g. the
+    Heston DE stage's coarse-quadrature mismatch on deep-OTM quotes — makes
+    the energy-spread criterion fire while the population is still diverse
+    in parameter space, degrading the handoff to the local stage.  Enable
+    it only when the objective's minimum is near zero.
     """
     lower = jnp.asarray(lower)
     upper = jnp.asarray(upper)
@@ -98,7 +109,27 @@ def differential_evolution(
         return (pop, energies), None
 
     keys = jax.random.split(key, maxiter)
-    (pop, energies), _ = jax.lax.scan(generation, (pop, energies), keys)
+
+    def converged(energies):
+        # a population sitting entirely on an infeasibility penalty plateau
+        # (std = 0 at some huge constant) must keep searching, not "converge"
+        spread_ok = jnp.std(energies) <= atol + tol * jnp.abs(jnp.mean(energies))
+        return spread_ok & jnp.isfinite(jnp.mean(energies)) & (
+            jnp.min(energies) < 1e9
+        )
+
+    def cond(state):
+        pop, energies, it = state
+        return (it < maxiter) & ~converged(energies)
+
+    def body(state):
+        pop, energies, it = state
+        (pop, energies), _ = generation((pop, energies), keys[it])
+        return (pop, energies, it + 1)
+
+    pop, energies, n_iter = jax.lax.while_loop(
+        cond, body, (pop, energies, jnp.asarray(0))
+    )
 
     ibest = jnp.argmin(energies)
     return DEResult(
@@ -106,5 +137,5 @@ def differential_evolution(
         fun=energies[ibest],
         population=pop,
         population_energies=energies,
-        n_iter=jnp.asarray(maxiter),
+        n_iter=n_iter,
     )

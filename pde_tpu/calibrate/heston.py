@@ -157,7 +157,8 @@ def _calibrate_pipeline(
     )
 
     model_prices = _price_vec(lm.x, strikes, maturities, is_calls, S0, r, q)
-    return de.x, de.fun, lm.x, lm.cost, lm.converged, lm.n_iter, model_prices
+    return (de.x, de.fun, de.n_iter, lm.x, lm.cost, lm.converged, lm.n_iter,
+            model_prices)
 
 
 class HestonCalibrator:
@@ -226,7 +227,8 @@ class HestonCalibrator:
                 use_x0 = jnp.asarray(False)
 
             key = jax.random.PRNGKey(self.seed)
-            (de_x, de_fun, lm_x, lm_cost, lm_conv, lm_iter, model_prices) = (
+            (de_x, de_fun, de_iter, lm_x, lm_cost, lm_conv, lm_iter,
+             model_prices) = (
                 _calibrate_pipeline(
                     jnp.asarray(strikes),
                     jnp.asarray(maturities),
@@ -249,8 +251,10 @@ class HestonCalibrator:
             # ONE batched device->host transfer: on remote-tunnelled TPUs
             # every individual pull pays a full RTT, so float()/np.asarray()
             # per output is ruinous (measured ~30 ms each on axon)
-            de_fun, lm_x, lm_cost, lm_conv, lm_iter, model_prices = jax.device_get(
-                (de_fun, lm_x, lm_cost, lm_conv, lm_iter, model_prices)
+            (de_fun, de_iter, lm_x, lm_cost, lm_conv, lm_iter,
+             model_prices) = jax.device_get(
+                (de_fun, de_iter, lm_x, lm_cost, lm_conv, lm_iter,
+                 model_prices)
             )
             params = HestonParams(*[float(v) for v in lm_x])
             warnings = self._validate_parameters(params)
@@ -263,7 +267,7 @@ class HestonCalibrator:
                 convergence={
                     "global_converged": True,
                     "local_converged": bool(lm_conv),
-                    "global_nit": self.global_maxiter,
+                    "global_nit": int(de_iter),
                     "local_nfev": int(lm_iter),
                     "global_obj": float(de_fun),
                     "local_cost": float(lm_cost),
@@ -324,7 +328,7 @@ class HestonCalibrator:
                 jnp.asarray(S0),
             )
         )
-        de_x, de_fun, lm_x, lm_cost, lm_conv, lm_iter, model_prices = out
+        de_x, de_fun, de_iter, lm_x, lm_cost, lm_conv, lm_iter, model_prices = out
         return {
             "params": lm_x,
             "cost": lm_cost,
