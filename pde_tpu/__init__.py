@@ -36,7 +36,8 @@ _OPTIONAL_SUBMODULES = [
     "database",
     "monitoring",
     "trading_system",
-    "cli",
+    # NOT cli: `python -m pde_tpu.cli` would find it pre-imported by the
+    # package and emit a runpy double-import warning; import it explicitly
 ]
 
 for _name in _OPTIONAL_SUBMODULES:
