@@ -74,7 +74,7 @@ def main():
         out = None
         for _ in range(n):
             out = _calibrate_pipeline(*args, **kwargs)
-        float(out[3])
+        float(out[4])  # lm_cost: scalar pull forces the transfer
         return time.perf_counter() - t0
 
     t_small = run_reps(2)
@@ -82,8 +82,8 @@ def main():
     wall = max((t_large - t_small) / 10.0, 1e-9)
 
     # sanity: parameters recovered
-    lm_x = np.asarray(out[2])
-    rmse_rel = float(np.sqrt(2.0 * float(out[3]) / n_quotes))
+    lm_x = np.asarray(out[3])
+    rmse_rel = float(np.sqrt(2.0 * float(out[4]) / n_quotes))
     ok = abs(lm_x[4] - TRUE["v0"]) < 0.02 and rmse_rel < 0.05
     print(
         f"# device={jax.devices()[0]} n_quotes={n_quotes} "
