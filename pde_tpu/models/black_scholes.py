@@ -177,8 +177,12 @@ def implied_vol(
         vg = vega(spot, strike, rate, dividend, maturity, vol)
         diff = bs - target_price
 
-        newton = jnp.clip(vol - diff / jnp.where(vg < 1e-12, 1.0, vg), 0.001, 5.0)
-        proposal = jnp.where(vg < 1e-12, vol * 1.5, newton)
+        # damped Newton: cap each move at 2x — a barely-nonzero vega on
+        # deep-OTM quotes makes the raw step explode into a 0.005 <-> 5.0
+        # oscillation that never converges (same guard as the native oracle)
+        raw = vol - diff / jnp.where(vg < 1e-12, 1.0, vg)
+        newton = jnp.clip(jnp.clip(raw, 0.5 * vol, 2.0 * vol), 0.001, 5.0)
+        proposal = jnp.where(vg < 1e-12, jnp.minimum(vol * 1.5, 5.0), newton)
 
         new_done = done | (jnp.abs(diff) < tol)
         vol = jnp.where(new_done, vol, proposal)

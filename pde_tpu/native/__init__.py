@@ -30,6 +30,7 @@ __all__ = [
     "heston_adi_solve",
     "hjb_march",
     "simulate_fills",
+    "bs_implied_vol",
 ]
 
 
@@ -136,6 +137,23 @@ def sabr_vols(alpha, beta, rho, nu, forward, maturity, strikes) -> np.ndarray:
     out = np.zeros(len(strikes), dtype=np.float64)
     lib.sabr_vols(alpha, beta, rho, nu, forward, maturity,
                   _c(strikes), len(strikes), _c(out))
+    return out
+
+
+def bs_implied_vol(target, spot, strike, r, q, maturity, is_call, *,
+                   vol0: float = 0.0, max_iter: int = 100,
+                   tol: float = 1e-8) -> np.ndarray:
+    """Float64 Newton implied-vol oracle of models.black_scholes.implied_vol
+    (reference scheme: heston.cpp:311-349).  ``vol0 <= 0`` uses the
+    Brenner-Subrahmanyam initial guess."""
+    lib = load()
+    n = len(np.atleast_1d(strike))
+    arrs = [np.ascontiguousarray(np.broadcast_to(np.asarray(a, dtype=np.float64), (n,)))
+            for a in (target, spot, strike, maturity, is_call)]
+    target, spot, strike, maturity, is_call = arrs
+    out = np.zeros(n, dtype=np.float64)
+    lib.bs_implied_vol(_c(target), _c(spot), _c(strike), r, q, _c(maturity),
+                       _c(is_call), n, vol0, max_iter, tol, _c(out))
     return out
 
 

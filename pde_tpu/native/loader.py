@@ -84,6 +84,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.sabr_vols.argtypes = [dbl] * 6 + [dbl_p, i64, dbl_p]
     lib.sabr_vols.restype = None
 
+    lib.bs_implied_vol.argtypes = [dbl_p, dbl_p, dbl_p, dbl, dbl, dbl_p,
+                                   dbl_p, i64, dbl, i64, dbl, dbl_p]
+    lib.bs_implied_vol.restype = None
+
     lib.simulate_fills.argtypes = [dbl_p, dbl_p, i64,
                                    dbl_p, dbl_p, dbl_p, dbl_p, dbl_p, dbl_p, i64,
                                    dbl, dbl, dbl, dbl_p]

@@ -395,6 +395,50 @@ int64_t simulate_fills(const double* tick_times, const double* tick_prices,
     return n_filled;
 }
 
+// ---------------------------------------------------------------------------
+// Black-Scholes implied volatility: float64 oracle of
+// pde_tpu.models.black_scholes.implied_vol (same scheme as the reference
+// HestonModel::implied_volatility, heston.cpp:311-349: Newton from vol0 with
+// the vega guard, clipped into [0.001, 5], |diff| < tol stop).
+// is_call: 1/0.  vol0 <= 0 uses the Brenner-Subrahmanyam initial guess.
+void bs_implied_vol(const double* target, const double* spot, const double* strike,
+                    double r, double q, const double* maturity,
+                    const double* is_call, int64_t n, double vol0,
+                    int64_t max_iter, double tol, double* out) {
+    const double SQRT2PI = std::sqrt(2.0 * M_PI);
+    for (int64_t k = 0; k < n; ++k) {
+        const double S = spot[k], K = strike[k], T = maturity[k], y = target[k];
+        if (T <= 0.0) { out[k] = 0.0; continue; }
+        double vol = vol0 > 0.0 ? vol0
+                                : std::sqrt(2.0 * M_PI / T) * y / std::max(S, 1e-12);
+        vol = std::min(std::max(vol, 0.001), 5.0);
+        for (int64_t it = 0; it < max_iter; ++it) {
+            const double sq = vol * std::sqrt(T);
+            const double d1 = (std::log(S / K) + (r - q + 0.5 * vol * vol) * T) / sq;
+            const double d2 = d1 - sq;
+            const double nd1 = 0.5 * std::erfc(-d1 / std::sqrt(2.0));
+            const double nd2 = 0.5 * std::erfc(-d2 / std::sqrt(2.0));
+            const double df_q = std::exp(-q * T), df_r = std::exp(-r * T);
+            double price = is_call[k] > 0.5
+                ? S * df_q * nd1 - K * df_r * nd2
+                : K * df_r * (1.0 - nd2) - S * df_q * (1.0 - nd1);
+            const double diff = price - y;
+            if (std::fabs(diff) < tol) break;
+            const double vega =
+                S * df_q * std::sqrt(T) * std::exp(-0.5 * d1 * d1) / SQRT2PI;
+            if (vega < 1e-12) { vol = std::min(vol * 1.5, 5.0); continue; }
+            // damped Newton: a barely-nonzero vega makes the raw step
+            // explode (observed 0.005 <-> 5.0 oscillation on deep-OTM
+            // puts); cap each move at 2x so the iterate homes in
+            // geometrically, preserving quadratic convergence near the root
+            double next = vol - diff / vega;
+            next = std::min(std::max(next, 0.5 * vol), 2.0 * vol);
+            vol = std::min(std::max(next, 0.001), 5.0);
+        }
+        out[k] = vol;
+    }
+}
+
 int32_t pde_host_abi_version() { return 3; }
 
 }  // extern "C"

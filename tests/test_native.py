@@ -354,3 +354,24 @@ class TestFillEngine:
         dt = _time.perf_counter() - t0
         assert n == n_orders
         assert n / dt > 1e5, f"only {n/dt:.0f} fills/s"
+
+
+class TestBSImpliedVolOracle:
+    def test_matches_jax_newton(self):
+        import jax.numpy as jnp
+
+        from pde_tpu.models import black_scholes as bs
+
+        S0, r, q = 100.0, 0.05, 0.02
+        K = np.linspace(80.0, 120.0, 17)
+        T = np.full(17, 0.75)
+        ic = (np.arange(17) % 2).astype(float)
+        true_vol = np.linspace(0.15, 0.35, 17)
+        prices = np.asarray(bs.price(S0, jnp.asarray(K), r, q, jnp.asarray(T),
+                                     jnp.asarray(true_vol), jnp.asarray(ic) > 0.5))
+        native_iv = native.bs_implied_vol(prices, S0, K, r, q, T, ic)
+        np.testing.assert_allclose(native_iv, true_vol, atol=1e-7)
+        jax_iv = np.asarray(bs.implied_vol(jnp.asarray(prices), S0, jnp.asarray(K),
+                                           r, q, jnp.asarray(T),
+                                           jnp.asarray(ic) > 0.5))
+        np.testing.assert_allclose(native_iv, jax_iv, atol=1e-6)
