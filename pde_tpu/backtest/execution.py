@@ -30,13 +30,17 @@ __all__ = [
 
 
 class CommissionModel(abc.ABC):
+    """Commission models accept the fill timestamp so time-dependent models
+    (TieredCommission's monthly reset) follow *simulated* time in backtests
+    rather than the wall clock; stateless models ignore it."""
+
     @abc.abstractmethod
-    def calculate(self, quantity: float, price: float) -> float:
+    def calculate(self, quantity: float, price: float, timestamp=None) -> float:
         ...
 
 
 class ZeroCommission(CommissionModel):
-    def calculate(self, quantity, price):
+    def calculate(self, quantity, price, timestamp=None):
         return 0.0
 
 
@@ -44,7 +48,7 @@ class FixedCommission(CommissionModel):
     def __init__(self, commission: float = 1.0):
         self.commission = commission
 
-    def calculate(self, quantity, price):
+    def calculate(self, quantity, price, timestamp=None):
         return self.commission
 
 
@@ -53,7 +57,7 @@ class PerShareCommission(CommissionModel):
         self.rate = rate
         self.minimum = minimum
 
-    def calculate(self, quantity, price):
+    def calculate(self, quantity, price, timestamp=None):
         return max(self.minimum, abs(quantity) * self.rate)
 
 
@@ -71,8 +75,11 @@ class TieredCommission(CommissionModel):
         from datetime import datetime, timezone
 
         # "monthly" volume resets at the month boundary; without the reset a
-        # long backtest drifts permanently into the cheapest tier
-        now = timestamp or datetime.now(timezone.utc)
+        # long backtest drifts permanently into the cheapest tier.  The
+        # execution handler passes the ORDER timestamp, so simulated runs
+        # reset on simulated month boundaries; wall clock is only a fallback
+        # for direct live use.
+        now = timestamp if timestamp is not None else datetime.now(timezone.utc)
         month = (now.year, now.month)
         if self._month != month:
             self._month = month
@@ -89,7 +96,7 @@ class IBKRCommission(CommissionModel):
     """IBKR-style: $0.005/share, min $1, max 1% of trade value
     (execution.py:158-199)."""
 
-    def calculate(self, quantity, price):
+    def calculate(self, quantity, price, timestamp=None):
         q = abs(quantity)
         raw = q * 0.005
         return float(np.clip(raw, 1.0, 0.01 * q * price))
@@ -157,7 +164,9 @@ class SimulatedExecutionHandler(ExecutionHandler):
                 return None
 
         fill_price, slippage = self._fill_price(order, price)
-        commission = self.commission_model.calculate(order.quantity, fill_price)
+        commission = self.commission_model.calculate(
+            order.quantity, fill_price, timestamp=order.timestamp
+        )
         fill = FillEvent(
             event_type=None,
             timestamp=order.timestamp,

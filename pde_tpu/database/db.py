@@ -126,7 +126,8 @@ class TimeSeriesDB:
     """
 
     def __init__(self, path: str = ":memory:"):
-        self.path = path
+        self.path = self._normalize_path(path)
+        path = self.path
         self._local = threading.local()
         # for :memory:, every connection is a separate database; share one
         self._shared = sqlite3.connect(path, check_same_thread=False) if path == ":memory:" else None
@@ -135,6 +136,24 @@ class TimeSeriesDB:
             con.executescript(_SCHEMA)
             if path != ":memory:":
                 con.execute("PRAGMA journal_mode=WAL")
+
+    @staticmethod
+    def _normalize_path(path: str) -> str:
+        """Accept a filesystem path or a sqlite URL (reference db.py:82-146
+        takes SQLAlchemy URLs).  ``sqlite:`` / ``sqlite://`` map to
+        ``:memory:``; ``sqlite:///rel`` and ``sqlite:////abs`` strip to the
+        file path.  Any other URL scheme is rejected instead of silently
+        creating a file literally named after the URL."""
+        if path.startswith("sqlite:"):
+            rest = path[len("sqlite:"):].lstrip("/") if path not in ("sqlite:", "sqlite://") else ""
+            if path.startswith("sqlite:////"):
+                rest = "/" + rest
+            return rest or ":memory:"
+        if "://" in path:
+            raise ValueError(
+                f"TimeSeriesDB takes a sqlite path or sqlite:// URL, got {path!r}"
+            )
+        return path
 
     def _conn(self) -> sqlite3.Connection:
         if self._shared is not None:

@@ -28,9 +28,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(42)
+@pytest.fixture()
+def rng(request):
+    """Per-test, order-independent RNG.
+
+    A session-scoped generator makes every statistical test's sample depend
+    on which tests ran before it — a 95%-confidence test then flakes on ~5%
+    of orderings (this bit test_kupiec_backtest in round 1).  Seeding from
+    the test's node id gives each test the SAME draws on every run and
+    every ordering.
+    """
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))
 
 
 @pytest.fixture(scope="session")

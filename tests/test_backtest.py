@@ -127,6 +127,30 @@ class TestExecution:
         assert IBKRCommission().calculate(100, 100.0) == pytest.approx(1.0)
         assert IBKRCommission().calculate(100000, 0.10) == pytest.approx(100.0)
 
+    def test_tiered_commission_resets_on_simulated_month_boundary(self):
+        from datetime import datetime
+
+        from pde_tpu.backtest.execution import TieredCommission
+
+        tiers = [(1000, 0.01), (float("inf"), 0.001)]
+        tc = TieredCommission(tiers=tiers, minimum=0.0)
+        h = SimulatedExecutionHandler(tc, slippage_pct=0.0, market_impact_coeff=0.0)
+        h.current_prices["X"] = 100.0
+
+        def fill(ts, qty=800):
+            return h.execute_order(OrderEvent(event_type=None, timestamp=ts, symbol="X",
+                                              direction=Direction.BUY, quantity=qty))
+
+        jan1 = fill(datetime(2026, 1, 5))
+        assert jan1.commission == pytest.approx(800 * 0.01)   # tier 1 (vol 0)
+        fill(datetime(2026, 1, 12))                            # vol 800 -> still tier 1
+        jan3 = fill(datetime(2026, 1, 20))
+        assert jan3.commission == pytest.approx(800 * 0.001)  # vol 1600: tier 2
+        # SIMULATED month boundary (order timestamp, not wall clock) resets
+        # the running volume back to tier 1
+        feb = fill(datetime(2026, 2, 2))
+        assert feb.commission == pytest.approx(800 * 0.01)
+
     def test_slippage_direction(self):
         h = SimulatedExecutionHandler(ZeroCommission(), slippage_pct=0.001, market_impact_coeff=0.0)
         h.current_prices["X"] = 100.0

@@ -210,6 +210,19 @@ class TestDatabase:
     def db(self):
         return TimeSeriesDB(":memory:")
 
+    def test_url_normalization(self, tmp_path):
+        # sqlite URLs map to paths instead of creating files named after the
+        # URL (the round-1 stray-file bug: a db literally called 'sqlite:')
+        assert TimeSeriesDB._normalize_path("sqlite:") == ":memory:"
+        assert TimeSeriesDB._normalize_path("sqlite://") == ":memory:"
+        assert TimeSeriesDB._normalize_path("sqlite:///rel.db") == "rel.db"
+        assert TimeSeriesDB._normalize_path("sqlite:////abs/x.db") == "/abs/x.db"
+        assert TimeSeriesDB._normalize_path(":memory:") == ":memory:"
+        with pytest.raises(ValueError):
+            TimeSeriesDB("postgresql://host/db")
+        db = TimeSeriesDB("sqlite:///" + str(tmp_path / "u.db"))
+        assert db.path == str(tmp_path / "u.db")
+
     def test_market_prices_round_trip(self, db):
         rows = [
             {"time": f"2026-01-0{i}T00:00:00", "symbol": "SPY", "close": 100.0 + i, "volume": 1e6}
