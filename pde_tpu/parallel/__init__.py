@@ -1,5 +1,9 @@
-"""Device mesh, shardings, and multi-chip calibration steps."""
+"""Device mesh, shardings, and multi-chip calibration/PDE paths."""
 
 from . import mesh  # noqa: F401
 from .mesh import initialize_distributed, make_mesh, sharded_calibration_step  # noqa: F401
 from . import halo  # noqa: F401
+from . import dist_tridiag  # noqa: F401
+from .dist_tridiag import dist_tridiagonal_solve, partitioned_thomas_spmd  # noqa: F401
+from . import adi_sharded  # noqa: F401
+from .adi_sharded import sharded_bs_solve, sharded_heston_solve  # noqa: F401

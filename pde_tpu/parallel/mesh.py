@@ -103,7 +103,9 @@ def _price_population(x, strikes, maturities, S0, r, q, is_call=True,
 
     Defaults to the reference-parity quadrature (1024 x 0.01) — the LM
     refinement must optimize the same objective as the single-device stage.
-    Pass ``n_points=256, du=0.04`` for DE-grade basin search only.
+    (For DE-grade basin search use the Gauss-Legendre pricer,
+    models.heston.price_gauss_legendre — a coarsened trapezoid inverts the
+    calibration landscape; see calibrate/heston.py.)
     """
     p = HestonParams(x[..., 0], x[..., 1], x[..., 2], x[..., 3], x[..., 4])
     return heston_model.price_carr_madan(
