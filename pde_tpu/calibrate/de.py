@@ -46,6 +46,9 @@ def differential_evolution(
     recombination: float = 0.7,
     tol: float = 0.0,
     atol: float = 0.0,
+    param_tol: float = 0.0,
+    stagnation_patience: int = 0,
+    stagnation_rtol: float = 1e-2,
 ) -> DEResult:
     """Global minimization of a BATCHED objective over a box.
 
@@ -53,14 +56,29 @@ def differential_evolution(
     so the whole population prices in one tensor op.  ``x0`` (optional warm
     start, reference heston_calibrator.py:411-413) seeds the first member.
 
-    Early termination follows scipy's criterion: iteration stops once
-    ``std(energies) <= atol + tol * |mean(energies)|`` (scipy defaults
-    tol=0.01).  Here it is OFF by default (tol=0, all ``maxiter``
-    generations run): an objective with a large additive floor — e.g. the
-    Heston DE stage's coarse-quadrature mismatch on deep-OTM quotes — makes
-    the energy-spread criterion fire while the population is still diverse
-    in parameter space, degrading the handoff to the local stage.  Enable
-    it only when the objective's minimum is near zero.
+    Two early-termination criteria (either stops the loop):
+
+    * scipy's energy-spread rule ``std(energies) <= atol + tol *
+      |mean(energies)|`` (scipy default tol=0.01).  OFF by default (tol=0):
+      an objective with a large additive floor — e.g. the Heston DE stage's
+      coarse-quadrature mismatch on deep-OTM quotes — makes it fire while
+      the population is still diverse in parameter space, degrading the
+      handoff to the local stage.
+    * a PARAMETER-SPACE spread rule, immune to objective floors: stop when
+      ``std(pop[:, d]) / (upper - lower)[d] <= param_tol`` for every
+      dimension.  Once the population has collapsed to a tiny box the
+      best1bin step ``best + F (a - b)`` can no longer explore (a fully
+      collapsed population is a DE fixed point), so further generations are
+      pure waste — the LM stage takes it from there.  ``param_tol=0``
+      fires only on exact collapse; the flagship Heston pipeline uses 1e-2.
+
+    Plus a STAGNATION rule (also floor-immune): stop after
+    ``stagnation_patience`` consecutive generations in which the best
+    energy improved by less than ``stagnation_rtol`` relatively.  In a
+    two-stage pipeline the DE's only job is finding the basin; once the
+    best stops moving the LM refinement takes over (measured: LM recovers
+    identical parameters from a 20-generation DE as from 100 on the
+    flagship surface).  0 = off.
     """
     lower = jnp.asarray(lower)
     upper = jnp.asarray(upper)
@@ -110,25 +128,32 @@ def differential_evolution(
 
     keys = jax.random.split(key, maxiter)
 
-    def converged(energies):
+    width = jnp.maximum(upper - lower, 1e-30)
+
+    def converged(pop, energies):
         # a population sitting entirely on an infeasibility penalty plateau
         # (std = 0 at some huge constant) must keep searching, not "converge"
         spread_ok = jnp.std(energies) <= atol + tol * jnp.abs(jnp.mean(energies))
-        return spread_ok & jnp.isfinite(jnp.mean(energies)) & (
+        param_ok = jnp.all(jnp.std(pop, axis=0) / width <= param_tol)
+        return (spread_ok | param_ok) & jnp.isfinite(jnp.mean(energies)) & (
             jnp.min(energies) < 1e9
         )
 
     def cond(state):
-        pop, energies, it = state
-        return (it < maxiter) & ~converged(energies)
+        pop, energies, it, stall = state
+        stagnated = (stagnation_patience > 0) & (stall >= stagnation_patience)
+        return (it < maxiter) & ~converged(pop, energies) & ~stagnated
 
     def body(state):
-        pop, energies, it = state
+        pop, energies, it, stall = state
+        best_prev = jnp.min(energies)
         (pop, energies), _ = generation((pop, energies), keys[it])
-        return (pop, energies, it + 1)
+        improved = (best_prev - jnp.min(energies)) > stagnation_rtol * jnp.abs(best_prev)
+        stall = jnp.where(improved, 0, stall + 1)
+        return (pop, energies, it + 1, stall)
 
-    pop, energies, n_iter = jax.lax.while_loop(
-        cond, body, (pop, energies, jnp.asarray(0))
+    pop, energies, n_iter, _ = jax.lax.while_loop(
+        cond, body, (pop, energies, jnp.asarray(0), jnp.asarray(0))
     )
 
     ibest = jnp.argmin(energies)

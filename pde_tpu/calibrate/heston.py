@@ -86,24 +86,60 @@ def _price_vec(params_array, strikes, maturities, is_calls, S0, r, q,
     )
 
 
-# coarse quadrature for the global stage: same [0, 10.24] truncation as the
-# reference grid but 4x fewer points — the DE only needs basin-level accuracy
-# (~1e-3 relative), and it dominates the calibration wall-clock
-_DE_N_POINTS = 256
-_DE_DU = 0.04
+# Gauss-Legendre quadrature for the global stage: same [0, 10.24] truncation
+# as the reference grid at 1/16 the nodes.  (Round 1 coarsened the trapezoid
+# to 256 x 0.04 instead — that INVERTED the landscape: on the flagship
+# surface the true parameters scored 60x worse than a spurious
+# sigma-at-bound basin, so the DE searched the wrong objective.  GL-64
+# matches the full quadrature's ranking to ~1e-3 relative.)
+_DE_GL_POINTS = 64
+
+
+def _price_vec_gl(params_array, strikes, maturities, is_calls, S0, r, q,
+                  n_points=_DE_GL_POINTS):
+    """Quote-vector pricing on the Gauss-Legendre grid (DE-stage pricer)."""
+    p = HestonParams(*[params_array[i] for i in range(5)])
+    return heston_model.price_gauss_legendre(
+        p, strikes, maturities, S0, r, q, is_calls, n_points=n_points
+    )
+
+
+def _objective_population_gl(pop, strikes, maturities, is_calls, market_prices,
+                             S0, r, q, n_points=_DE_GL_POINTS):
+    """DE-stage objective on the GL grid — same clamp semantics as
+    :func:`_objective_population`."""
+    prices = jax.vmap(
+        lambda x: _price_vec_gl(x, strikes, maturities, is_calls, S0, r, q, n_points)
+    )(pop)
+    nan_bad = jnp.any(jnp.isnan(prices), axis=-1)
+    prices = jnp.maximum(prices, 1e-10)
+    errors = (prices - market_prices) / market_prices
+    obj = jnp.sum(errors * errors, axis=-1)
+    return jnp.where(nan_bad, 1e10, obj)
 
 
 def _objective_population(pop, strikes, maturities, is_calls, market_prices, S0, r, q,
                           n_points=heston_model.N_QUADRATURE, du=heston_model.DU):
-    """Sum of squared relative errors per population member; 1e10 on bad
-    prices (reference heston_calibrator.py:486-513)."""
+    """Sum of squared relative errors per population member
+    (reference heston_calibrator.py:486-513).
+
+    DEVIATION: the reference returns a flat 1e10 whenever ANY model price is
+    non-positive (:507-508).  Its f64 1024-point quadrature rarely produces
+    one; this build's f32 coarse-quadrature DE stage routinely does on
+    deep-OTM short-dated quotes — even at the TRUE parameters — and the
+    flat flag then turns the whole objective into a 1e10 plateau with zero
+    search signal.  Instead non-positive prices are clamped to 1e-10
+    (exactly what the reference's OWN local-stage residuals do, :533),
+    which charges ~1.0 squared relative error per bad quote and keeps the
+    landscape informative.  NaN still gets the hard penalty."""
     prices = jax.vmap(
         lambda x: _price_vec(x, strikes, maturities, is_calls, S0, r, q, n_points, du)
     )(pop)
+    nan_bad = jnp.any(jnp.isnan(prices), axis=-1)
+    prices = jnp.maximum(prices, 1e-10)
     errors = (prices - market_prices) / market_prices
     obj = jnp.sum(errors * errors, axis=-1)
-    bad = jnp.any(jnp.isnan(prices) | (prices <= 0.0), axis=-1)
-    return jnp.where(bad, 1e10, obj)
+    return jnp.where(nan_bad, 1e10, obj)
 
 
 @partial(
@@ -130,9 +166,8 @@ def _calibrate_pipeline(
     """The full two-stage calibration as one jitted program."""
 
     def objective(pop):
-        return _objective_population(
+        return _objective_population_gl(
             pop, strikes, maturities, is_calls, market_prices, S0, r, q,
-            _DE_N_POINTS, _DE_DU,
         )
 
     # warm start seeds the DE population (heston_calibrator.py:411-413)
@@ -145,6 +180,13 @@ def _calibrate_pipeline(
         x0=seed,
         popsize=global_popsize,
         maxiter=global_maxiter,
+        # floor-immune early termination (see calibrate/de.py): stop when
+        # the population collapses below 1% of the box per dimension, OR
+        # when the best energy stalls for 12 generations — the LM stage
+        # recovers identical parameters either way (regression-tested in
+        # tests/test_calibrate.py) at measurably lower median wall-clock.
+        param_tol=1e-2,
+        stagnation_patience=12,
     )
 
     def residuals(x):
@@ -296,10 +338,21 @@ class HestonCalibrator:
         r: float,
         q: float,
         is_calls: Optional[np.ndarray] = None,
+        mesh=None,
     ):
         """Calibrate MANY surfaces at once: all inputs carry a leading
         underlyings axis (U, n_options) / (U,).  Returns batched parameter
-        arrays.  This is the multi-device path: shard the U axis.
+        arrays.
+
+        This is the multi-device path (reference scale-out analog:
+        calibration service replicas, SURVEY.md §2.3).  Pass a 2D
+        ``jax.sharding.Mesh`` with axes ("dp", "quotes") and the FULL
+        two-stage pipeline — DE generations, LM trust-region loop,
+        convergence logic — runs under explicit NamedShardings: U over
+        ``dp`` (embarrassingly parallel), the quote axis over ``quotes``
+        (objective sums and J^T J / J^T r contractions become XLA
+        all-reduces riding ICI).  U must divide by the dp size and
+        n_options by the quotes size.
         """
         U = strikes.shape[0]
         if is_calls is None:
@@ -318,16 +371,26 @@ class HestonCalibrator:
                 local_max_iter=self.local_max_iter,
             )
 
-        out = jax.vmap(one)(
-            (
-                keys,
-                jnp.asarray(strikes),
-                jnp.asarray(maturities),
-                jnp.asarray(is_calls),
-                jnp.asarray(market_prices),
-                jnp.asarray(S0),
-            )
+        batched = jax.vmap(one)
+        args = (
+            keys,
+            jnp.asarray(strikes),
+            jnp.asarray(maturities),
+            jnp.asarray(is_calls),
+            jnp.asarray(market_prices),
+            jnp.asarray(S0),
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dq = NamedSharding(mesh, P("dp", "quotes"))
+            d1 = NamedSharding(mesh, P("dp"))
+            batched = jax.jit(
+                batched,
+                in_shardings=((d1, dq, dq, dq, dq, d1),),
+            )
+            args = jax.device_put(args, (d1, dq, dq, dq, dq, d1))
+        out = batched(args)
         de_x, de_fun, de_iter, lm_x, lm_cost, lm_conv, lm_iter, model_prices = out
         return {
             "params": lm_x,

@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.precision import complex_dtype_for, result_dtype
 from . import black_scholes as bs
@@ -237,6 +238,54 @@ def price_carr_madan(
     put = jnp.maximum(call - spot * jnp.exp(-dividend * maturity) + strike * discount, 0.0)
     price = jnp.where(is_call, call, put)
 
+    intrinsic = jnp.where(
+        is_call, jnp.maximum(spot - strike, 0.0), jnp.maximum(strike - spot, 0.0)
+    )
+    return jnp.where(maturity <= 0.0, intrinsic, price)
+
+
+@functools.partial(jax.jit, static_argnames=("n_points", "u_max", "alpha"))
+def price_gauss_legendre(
+    params: HestonParams,
+    strike,
+    maturity,
+    spot,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_points: int = 64,
+    u_max: float = N_QUADRATURE * DU,
+    alpha: float = INTEGRATION_ALPHA,
+):
+    """European price via Gauss-Legendre quadrature on [0, u_max].
+
+    The cheap-but-faithful pricer for the DE global stage.  The smooth
+    damped integrand makes GL-64 match the reference's 1024-point trapezoid
+    truncation (same u_max = 10.24) to ~1e-3 relative at 1/16 the nodes —
+    whereas a trapezoid COARSENED to 256 x 0.04 inverts the calibration
+    landscape outright (truth scored 60x WORSE than a spurious
+    sigma-at-bound basin on the flagship surface; the round-1 DE stage was
+    optimizing the wrong objective).  Node/weight tables are compile-time
+    constants.
+    """
+    rdt = result_dtype(strike, maturity, spot)
+    strike, maturity = jnp.broadcast_arrays(
+        jnp.asarray(strike, dtype=rdt), jnp.asarray(maturity, dtype=rdt)
+    )
+    spot = jnp.asarray(spot, dtype=rdt)
+
+    nodes, wts = np.polynomial.legendre.leggauss(n_points)
+    v = jnp.asarray(0.5 * u_max * (nodes + 1.0), dtype=rdt)
+    w = jnp.asarray(0.5 * u_max * wts, dtype=rdt)
+    integral = _carr_madan_integrand_sum(
+        params, strike, maturity, spot, rate, dividend, v, w, 1.0, alpha
+    )
+    discount = jnp.exp(-rate * maturity)
+    forward = spot * jnp.exp((rate - dividend) * maturity)
+    prefactor = strike * (forward / strike) ** (alpha + 1.0)
+    call = jnp.maximum((prefactor / jnp.pi) * discount * integral, 0.0)
+    put = jnp.maximum(call - spot * jnp.exp(-dividend * maturity) + strike * discount, 0.0)
+    price = jnp.where(is_call, call, put)
     intrinsic = jnp.where(
         is_call, jnp.maximum(spot - strike, 0.0), jnp.maximum(strike - spot, 0.0)
     )
