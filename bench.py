@@ -91,7 +91,23 @@ def main():
         file=sys.stderr,
     )
 
-    baseline_s = 30.0  # reference design target for a 50-option calibration
+    # baseline: the MEASURED reference two-stage calibration on the same
+    # 108-quote surface (scipy DE + least_squares over the compiled
+    # reference C++ pricer; benchmarks/run_reference_bench.py regenerates
+    # benchmarks/REFERENCE_MEASURED.json).  Falls back to the published
+    # <30 s design target if no measurement snapshot exists.
+    import os
+
+    baseline_s, baseline_src = 30.0, "published_target_30s"
+    ref_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "REFERENCE_MEASURED.json")
+    try:
+        with open(ref_json) as f:
+            measured = json.load(f)
+        baseline_s = float(measured["calibration_108"]["wall_s"])
+        baseline_src = "reference_measured"
+    except (OSError, KeyError, ValueError):
+        pass
     print(
         json.dumps(
             {
@@ -99,6 +115,9 @@ def main():
                 "value": round(wall, 4),
                 "unit": "s",
                 "vs_baseline": round(baseline_s / wall, 1),
+                "baseline": baseline_src,
+                "reference_measured_s": round(baseline_s, 3)
+                if baseline_src == "reference_measured" else None,
             }
         )
     )

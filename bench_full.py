@@ -14,14 +14,53 @@ line per metric:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
+def _load_measured_baselines():
+    """Measured reference numbers (benchmarks/run_reference_bench.py) keyed
+    by OUR metric names.  Preferred over published design targets."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "REFERENCE_MEASURED.json")
+    try:
+        with open(path) as f:
+            m = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    micro = m.get("micro", {})
+    out = {}
+    if "heston_vec512_options_per_sec" in micro:
+        out["heston_pricing_options_per_sec"] = micro["heston_vec512_options_per_sec"]
+    if "sabr_vols_per_sec" in micro:
+        out["sabr_vols_per_sec"] = micro["sabr_vols_per_sec"]
+    if "ou_simulate252_ms" in micro:
+        out["ou_sim252_paths_per_sec"] = 1000.0 / micro["ou_simulate252_ms"]
+    if "ou_fit252_ms" in micro:
+        out["ou_mle252_fits_per_sec"] = 1000.0 / micro["ou_fit252_ms"]
+    if "calibration_108" in m:
+        out["heston_surface_calibration_wall_s"] = m["calibration_108"]["wall_s"]
+        # the reference calibrates surfaces serially
+        out["heston_batched_calibration_surfaces_per_sec"] = (
+            1.0 / m["calibration_108"]["wall_s"]
+        )
+    return out
+
+
+_MEASURED = _load_measured_baselines()
+
+
 def emit(metric, value, unit, baseline=None):
     row = {"metric": metric, "value": round(value, 6), "unit": unit}
+    if metric in _MEASURED:
+        baseline = _MEASURED[metric]
+        row["baseline"] = "reference_measured"
+        row["reference_measured"] = round(baseline, 6)
+    elif baseline:
+        row["baseline"] = "published_target"
     if baseline:
         row["vs_baseline"] = round(baseline / value if unit.endswith("_s") else value / baseline, 1)
     print(json.dumps(row))
@@ -109,12 +148,12 @@ def main():
     from pde_tpu.solvers import heston_adi
 
     hp = heston_adi.HestonPDEParams(q=0.02)
-    adi_fn = jax.jit(lambda: heston_adi._solve_impl(hp, 100.0).price)
+    adi_fn = jax.jit(lambda: heston_adi.solve(hp, 100.0).price)
     per = timeit(adi_fn, n=30)
     emit("heston_adi_100x50_steps_per_sec", hp.n_time / per, "steps/s")
 
     spots = jnp.asarray(np.linspace(80, 120, 16), f32)
-    vm_fn = jax.jit(lambda: jax.vmap(lambda s: heston_adi._solve_impl(hp, s).price)(spots))
+    vm_fn = jax.jit(lambda: jax.vmap(lambda s: heston_adi.solve(hp, s).price)(spots))
     per = timeit(vm_fn, n=10)
     emit("heston_adi_vmapped16_steps_per_sec", 16 * hp.n_time / per, "steps/s")
 
@@ -150,13 +189,31 @@ def main():
 
     # 5. American LCP --------------------------------------------------------
     am = hp._replace(is_call=False, american=True, american_method="it_lcp", r=0.08, q=0.0)
-    am_fn = jax.jit(lambda: heston_adi._solve_impl(am, 90.0).price)
+    am_fn = jax.jit(lambda: heston_adi.solve(am, 90.0).price)
     per = timeit(am_fn, n=30)
     emit("heston_american_lcp_solve_s", per, "solve_s")
 
     am_fused = jax.jit(lambda: heston_adi._solve_fused_impl(am, 90.0, False).price)
     per = timeit(am_fused, n=100)
     emit("heston_american_lcp_fused_solve_s", per, "solve_s")
+
+    # 5b. OU free-boundary PSOR entry/exit with transaction costs
+    # (Leung-Li; BASELINE.json config #3, reference design-doc.md:913
+    # boundary-optimization target <5 s) --------------------------------------
+    from pde_tpu.solvers import hjb
+
+    hjb_p = hjb.HJBParams(
+        theta=0.0, mu=5.0, sigma=0.1, r=0.05, c_entry=0.002, c_exit=0.002,
+        T=1.0, n_space=256, n_time=128, method="psor", psor_iterations=60,
+    )
+    hjb.solve_all_boundaries(hjb_p)  # warm: compile
+    t0 = time.perf_counter()
+    n_reps = 5
+    for _ in range(n_reps):
+        bounds = hjb.solve_all_boundaries(hjb_p)
+    per = (time.perf_counter() - t0) / n_reps
+    assert bounds.entry_long < bounds.exit_long  # sane boundary ordering
+    emit("ou_freeboundary_psor_solve_s", per, "solve_s", baseline=5.0)
 
     # 6/7. calibration headline + batched ------------------------------------
     from pde_tpu.calibrate.heston import HestonCalibrator
@@ -179,6 +236,41 @@ def main():
     sync(out["params"])
     per = time.perf_counter() - t0
     emit("heston_batched_calibration_surfaces_per_sec", U / per, "surfaces/s")
+
+    # 7b. BASELINE config #5 tail: calibration -> vol-arb signal -> vol-managed
+    # position sizing, end to end (reference critical-path target <5 s,
+    # design-doc.md:357; position sizer risk/position_sizer.py:351) ----------
+    from pde_tpu.models import black_scholes as bs_mod
+    from pde_tpu.risk.position_sizer import VolatilityScaledPositionSizer
+    from pde_tpu.signals.vol_arbitrage import VolSurfaceArbitrageSignal
+
+    market_iv = np.asarray(jax.jit(bs_mod.implied_vol)(
+        jnp.asarray(data["mid_price"], f32), 100.0,
+        jnp.asarray(data["strike"], f32), 0.05, 0.02,
+        jnp.asarray(data["maturity"], f32),
+    ))
+    chain = {
+        "strike": np.asarray(data["strike"]),
+        "T": np.asarray(data["maturity"]),
+        "implied_vol": market_iv,
+    }
+    gen = VolSurfaceArbitrageSignal(use_sabr=False)
+    sizer = VolatilityScaledPositionSizer()
+    rets = np.random.default_rng(7).normal(0.0005, 0.012, 252)
+
+    def pipeline():
+        res = cal.calibrate(data, S0=100.0, r=0.05, q=0.02)
+        sigs = gen.generate_signals(chain, 100.0, 0.05, 0.02, heston_result=res)
+        return sizer.compute_position_size(rets, 1_000_000.0)
+
+    pipeline()  # warm: compile
+    t0 = time.perf_counter()
+    n_reps = 3
+    for _ in range(n_reps):
+        sized = pipeline()
+    per = (time.perf_counter() - t0) / n_reps
+    assert sized.position_size > 0
+    emit("calibration_to_sizing_pipeline_s", per, "pipeline_s", baseline=5.0)
 
     # 8. native host runtime: order-stream fill engine ------------------------
     from pde_tpu import native

@@ -1,0 +1,170 @@
+#!/usr/bin/env python3
+"""Measure the REFERENCE implementation on this box -> REFERENCE_MEASURED.json.
+
+Round-1 VERDICT: every vs_baseline in the bench compared against the
+reference's *published design targets*; this script replaces those with
+measured-vs-measured numbers.
+
+Two measurement families:
+
+1. Engine micro-benchmarks: compiles benchmarks/reference_bench.cpp against
+   the read-only reference C++ sources (-O3 -march=native, the reference's
+   own CMake flags) and reproduces /root/reference/benchmarks/
+   python_vs_cpp.py's configs without pybind11 overhead.
+
+2. Two-stage surface calibration, the reference's north-star path
+   (heston_calibrator.py:416-477): scipy differential_evolution
+   (maxiter=100, popsize=15, seed=42, polish=False, updating="immediate")
+   then least_squares TRF, with the objective/residual semantics of
+   _compute_objective/_compute_residuals (:486-536), pricing through the
+   compiled reference engine via ctypes.  Measured for the 50-option design
+   surface (design-doc.md:493 target <30 s) and the 108-quote flagship
+   surface bench.py uses.
+
+Usage: python benchmarks/run_reference_bench.py [--skip-calibration]
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+import platform
+import subprocess
+import sys
+import time
+from datetime import datetime, timezone
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+SRC = os.path.join(REPO, "benchmarks", "reference_bench.cpp")
+OUT_JSON = os.path.join(REPO, "benchmarks", "REFERENCE_MEASURED.json")
+
+CXX_FLAGS = [
+    "-O3", "-march=native", "-std=c++17", "-fopenmp", "-include", "tuple",
+    f"-I{REF}/src/cpp",
+]
+REF_SOURCES = [
+    f"{REF}/src/cpp/models/heston.cpp",
+    f"{REF}/src/cpp/models/sabr.cpp",
+    f"{REF}/src/cpp/models/ou_process.cpp",
+]
+
+BOUNDS = [(0.1, 10.0), (0.01, 1.0), (0.01, 2.0), (-0.99, 0.99), (0.01, 1.0)]
+TRUTH = np.array([2.0, 0.04, 0.3, -0.7, 0.04])
+
+
+def build(tmp: str = "/tmp") -> tuple[str, str]:
+    exe = os.path.join(tmp, "reference_bench")
+    lib = os.path.join(tmp, "libreference_bench.so")
+    subprocess.run(["g++", *CXX_FLAGS, SRC, *REF_SOURCES, "-o", exe], check=True)
+    subprocess.run(
+        ["g++", *CXX_FLAGS, "-shared", "-fPIC", SRC, *REF_SOURCES, "-o", lib],
+        check=True,
+    )
+    return exe, lib
+
+
+def load_pricer(lib_path: str):
+    lib = ctypes.CDLL(lib_path)
+    fn = lib.ref_heston_price_options
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+
+    def price(x, strikes, maturities, S0, r, q, is_call=True):
+        x = np.ascontiguousarray(x, dtype=np.float64)
+        k = np.ascontiguousarray(strikes, dtype=np.float64)
+        t = np.ascontiguousarray(maturities, dtype=np.float64)
+        out = np.empty(len(k))
+        fn(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            k.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(k), S0, r, q, 1 if is_call else 0,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out
+
+    return price
+
+
+def measure_calibration(price, strikes, maturities, S0=100.0, r=0.05, q=0.02):
+    """Reference two-stage calibration semantics, measured."""
+    from scipy.optimize import differential_evolution, least_squares
+
+    market = np.maximum(price(TRUTH, strikes, maturities, S0, r, q), 0.01)
+
+    def objective(x):
+        m = price(x, strikes, maturities, S0, r, q)
+        if np.any(np.isnan(m)) or np.any(m <= 0):  # heston_calibrator.py:507
+            return 1e10
+        e = (m - market) / market
+        return float(np.sum(e * e))
+
+    def residuals(x):
+        m = np.maximum(price(x, strikes, maturities, S0, r, q), 1e-10)  # :533
+        return (m - market) / market
+
+    t0 = time.perf_counter()
+    de = differential_evolution(
+        objective, bounds=BOUNDS, maxiter=100, popsize=15, seed=42,
+        workers=1, updating="immediate", polish=False,
+    )
+    lm = least_squares(
+        residuals, x0=de.x,
+        bounds=(np.array([b[0] for b in BOUNDS]), np.array([b[1] for b in BOUNDS])),
+        method="trf", ftol=1e-8, xtol=1e-8,
+    )
+    wall = time.perf_counter() - t0
+    model = np.maximum(price(lm.x, strikes, maturities, S0, r, q), 1e-10)
+    rmse = float(np.sqrt(np.mean((model - market) ** 2)))
+    return {
+        "wall_s": wall,
+        "n_options": int(len(strikes)),
+        "de_nit": int(de.nit),
+        "de_nfev": int(de.nfev),
+        "lm_nfev": int(lm.nfev),
+        "rmse": rmse,
+        "params": [float(v) for v in lm.x],
+        "recovered": bool(np.allclose(lm.x, TRUTH, atol=0.05)),
+    }
+
+
+def main():
+    exe, lib_path = build()
+    micro = json.loads(subprocess.run([exe], capture_output=True, text=True, check=True).stdout)
+
+    result = {
+        "measured_at": datetime.now(timezone.utc).isoformat(),
+        "host": {
+            "machine": platform.machine(),
+            "processor": platform.processor(),
+            "n_cpus": os.cpu_count(),
+            "python": sys.version.split()[0],
+        },
+        "compile_flags": " ".join(CXX_FLAGS),
+        "micro": micro,
+    }
+
+    if "--skip-calibration" not in sys.argv:
+        price = load_pricer(lib_path)
+        # 50-option design surface (design-doc.md:493: target <30 s)
+        K50, T50 = np.meshgrid(np.linspace(85.0, 115.0, 10), np.linspace(0.25, 1.5, 5))
+        result["calibration_50"] = measure_calibration(price, K50.ravel(), T50.ravel())
+        # 108-quote flagship surface (bench.py's configuration)
+        K108, T108 = np.meshgrid(np.linspace(85.0, 115.0, 12), np.linspace(0.25, 1.5, 9))
+        result["calibration_108"] = measure_calibration(price, K108.ravel(), T108.ravel())
+
+    with open(OUT_JSON, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
