@@ -194,8 +194,37 @@ def _calibrate_pipeline(
         prices = jnp.maximum(prices, 1e-10)  # heston_calibrator.py:533
         return (prices - market_prices) / market_prices
 
-    lm = levenberg_marquardt(
-        residuals, de.x, lower, upper, max_iter=local_max_iter, ftol=1e-8
+    # MULTISTART local stage (deviation from the reference's single
+    # least_squares from the DE best, :469-477): polish the top-k DE members
+    # in one vmapped LM and keep the lowest-cost fit.  The DE best under the
+    # basin-level objective is sometimes a spurious local minimum of the
+    # full objective; k independent descents cost ~k extra LM runs (cheap
+    # next to the DE stage) and measurably de-flake parameter recovery.
+    k_starts = min(4, global_popsize * 5)
+    order = jnp.argsort(de.population_energies)
+    starts = de.population[order[:k_starts]]
+
+    def polish(x0):
+        # two chained LM passes with a FRESH damping state: long descents
+        # through ill-conditioned territory (the kappa-sigma ridge) inflate
+        # lambda via rejected steps, strangling progress; restarting from
+        # the first pass's iterate with lam reset to lam0 reaches the
+        # optimum in a handful of further iterations (measured: stuck at
+        # cost 2.6e-4 after 60 iters -> 1.4e-26 thirteen iterations after
+        # the restart).
+        first = levenberg_marquardt(
+            residuals, x0, lower, upper, max_iter=local_max_iter, ftol=1e-8
+        )
+        return levenberg_marquardt(
+            residuals, first.x, lower, upper, max_iter=local_max_iter, ftol=1e-8
+        )
+
+    lm_all = jax.vmap(polish)(starts)
+    best = jnp.argmin(lm_all.cost)
+    lm_x = lm_all.x[best]
+    lm = type(lm_all)(
+        x=lm_x, cost=lm_all.cost[best], n_iter=lm_all.n_iter[best],
+        converged=lm_all.converged[best], grad_norm=lm_all.grad_norm[best],
     )
 
     model_prices = _price_vec(lm.x, strikes, maturities, is_calls, S0, r, q)
@@ -554,9 +583,17 @@ class HestonCalibrator:
             params, jnp.asarray(K), jnp.asarray(T), S0, r, q
         )
         prices = np.asarray(priced)
-        # floor at 0.01 so deep-OTM short-dated quotes stay valid inputs
-        # (the reference applies the same floor on its noise branch)
-        prices = np.maximum(prices, 0.01)
+        # DROP sub-penny quotes instead of flooring them.  The reference
+        # passes raw f64 model prices (heston_calibrator.py:790-797) so its
+        # round-trip is self-consistent; this build's f32 pricing can go
+        # epsilon-negative on deep-OTM short-dated quotes, and a 0.01 FLOOR
+        # (the round-1 behavior) fabricates ~4000%-IV quotes that a
+        # fat-tailed parameter set fits BETTER than the truth — the
+        # objective then legitimately prefers a spurious basin.  No real
+        # chain quotes those mids; drop them, as the reference's own
+        # orchestrator liquidity filter would.
+        keep = prices >= 0.01
+        K, T, prices = K[keep], T[keep], prices[keep]
         if noise_std > 0:
             rng = np.random.default_rng(seed)
             prices = np.maximum(prices * (1 + rng.normal(0, noise_std, len(prices))), 0.01)

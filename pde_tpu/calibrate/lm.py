@@ -110,7 +110,14 @@ def levenberg_marquardt(
         accept = cost_new < carry.cost
 
         rel_impr = (carry.cost - cost_new) / jnp.maximum(carry.cost, 1e-300)
-        conv = accept & (rel_impr < ftol)
+        # ftol fires only when the damping is back at (or below) trust level:
+        # with lam inflated by earlier rejected steps, an accepted step is
+        # lam-strangled — its improvement is small because the STEP is small,
+        # not because the optimum is near, and stopping there strands the
+        # solve on curved ridges (seen on the Heston kappa-sigma ridge: cost
+        # 2.6e-4 "converged" vs 1e-26 after a fresh-lambda restart).
+        trusted = carry.lam <= lam0
+        conv = accept & (rel_impr < ftol) & trusted
         conv = conv | (jnp.max(jnp.abs(carry.JTr)) < gtol)
         # xtol (scipy TRF semantics): the actual step has shrunk to working
         # precision relative to x — fires also on REJECTED steps, which is

@@ -193,6 +193,8 @@ def sharded_heston_solve(mesh: Mesh, params: HestonPDEParams, S0) -> HestonPDERe
         raise ValueError(f"n_spot={nS} not divisible by mesh size {ndev}")
     if params.american and params.american_method not in ("projection", "it_lcp"):
         raise ValueError("american_method must be 'projection' or 'it_lcp'")
+    if params.scheme != "douglas":
+        raise ValueError("sharded march implements the Douglas scheme")
 
     kappa, theta_p, sigma, rho = params.kappa, params.theta, params.sigma, params.rho
     v0, r, q, T, K = params.v0, params.r, params.q, params.T, params.K

@@ -81,6 +81,13 @@ class HestonPDEParams(NamedTuple):
     # Toivanen operator splitting with an explicit exercise-premium
     # multiplier — the rigorous LCP treatment for ADI schemes
     american_method: str = "projection"
+    # ADI splitting family: "douglas" (default; this build's scheme) or
+    # "craig_sneyd" — the reference's family (explicit mixed step + second
+    # corrector pass, heston_pde.hpp:245-248), offered for scheme-level
+    # comparison experiments.  Identical stable limits for these
+    # coefficients; CS costs one extra pair of implicit sweeps per step for
+    # formally better time accuracy on the mixed term.
+    scheme: str = "douglas"
 
 
 class HestonPDEResult(NamedTuple):
@@ -179,6 +186,7 @@ def _solve_core(
     s_max_mult: float,
     v_max: float,
     remat: bool = False,
+    scheme: str = "douglas",
 ):
     """The march with every model/contract input TRACED (only grid sizes and
     the American mode are static) — the vmap/shard-able core."""
@@ -218,23 +226,31 @@ def _solve_core(
         V = V.at[:, -1].set(jnp.where(is_call, s_grid * df_q, K * df_r))
         return V
 
+    def _sweeps(Y0, a1V, a2V):
+        rhs1 = Y0 - th * dt * a1V
+        Y1 = thomas(i1_lower, i1_diag, i1_upper, rhs1.T).T
+        rhs2 = Y1 - th * dt * a2V
+        return thomas(i2_lower, i2_diag, i2_upper, rhs2)
+
     def adi_step(V, source):
-        """Douglas splitting: explicit full step, then implicit x and v sweeps.
+        """Douglas splitting: explicit full step, then implicit x and v
+        sweeps; Craig-Sneyd adds a mixed-term corrector + second sweep pair
+        (the reference's family, heston_pde.hpp:245-248).
 
         ``source`` carries the Ikonen-Toivanen exercise-premium multiplier
         (zero for European / projection mode)."""
-        F = (
-            _apply_a0(V, v_grid, dx, dv, rho, sigma)
-            + _apply_a1(V, a1_lower, a1_diag, a1_upper)
-            + _apply_a2(V, a2_lower, a2_diag, a2_upper)
-        )
-        Y0 = V + dt * (F + source)
+        a0V = _apply_a0(V, v_grid, dx, dv, rho, sigma)
+        a1V = _apply_a1(V, a1_lower, a1_diag, a1_upper)
+        a2V = _apply_a2(V, a2_lower, a2_diag, a2_upper)
+        Y0 = V + dt * (a0V + a1V + a2V + source)
 
-        rhs1 = Y0 - th * dt * _apply_a1(V, a1_lower, a1_diag, a1_upper)
-        Y1 = thomas(i1_lower, i1_diag, i1_upper, rhs1.T).T
-
-        rhs2 = Y1 - th * dt * _apply_a2(V, a2_lower, a2_diag, a2_upper)
-        Y2 = thomas(i2_lower, i2_diag, i2_upper, rhs2)
+        Y2 = _sweeps(Y0, a1V, a2V)
+        if scheme == "craig_sneyd":
+            # corrector: re-evaluate the EXPLICIT (mixed) operator at the
+            # predictor and redo both implicit sweeps (lambda = 1/2)
+            a0Y = _apply_a0(Y2, v_grid, dx, dv, rho, sigma)
+            Y0_tilde = Y0 + 0.5 * dt * (a0Y - a0V)
+            Y2 = _sweeps(Y0_tilde, a1V, a2V)
         return Y2
 
     use_it = american and american_method == "it_lcp"
@@ -294,12 +310,12 @@ def _solve_core(
     jax.jit,
     static_argnames=(
         "american", "american_method", "n_spot", "n_vol", "n_time",
-        "s_min_mult", "s_max_mult", "v_max",
+        "s_min_mult", "s_max_mult", "v_max", "scheme",
     ),
 )
 def _solve_impl(kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0, *,
                 american, american_method, n_spot, n_vol, n_time,
-                s_min_mult, s_max_mult, v_max):
+                s_min_mult, s_max_mult, v_max, scheme="douglas"):
     # every model/contract input is TRACED (only grid sizes and the American
     # mode are static) — repricing with new parameters reuses the compiled
     # march instead of paying a multi-second XLA compile per quote
@@ -308,6 +324,7 @@ def _solve_impl(kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0, *,
         american=american, american_method=american_method,
         n_spot=n_spot, n_vol=n_vol, n_time=n_time,
         s_min_mult=s_min_mult, s_max_mult=s_max_mult, v_max=v_max,
+        scheme=scheme,
     )
 
 
@@ -318,6 +335,8 @@ def _validate_params(params: HestonPDEParams) -> None:
         raise ValueError("|rho| must be < 1")
     if params.v0 <= 0 or params.T <= 0 or params.K <= 0:
         raise ValueError("v0, T, K must be positive")
+    if params.scheme not in ("douglas", "craig_sneyd"):
+        raise ValueError(f"unknown ADI scheme {params.scheme!r}")
 
 
 def solve(params: HestonPDEParams, S0) -> HestonPDEResult:
@@ -334,7 +353,7 @@ def solve(params: HestonPDEParams, S0) -> HestonPDEResult:
         american=params.american, american_method=params.american_method,
         n_spot=params.n_spot, n_vol=params.n_vol, n_time=params.n_time,
         s_min_mult=params.s_min_mult, s_max_mult=params.s_max_mult,
-        v_max=params.v_max,
+        v_max=params.v_max, scheme=params.scheme,
     )
 
 
@@ -357,6 +376,9 @@ def solve_fused(params: HestonPDEParams, S0, interpret: bool = False) -> HestonP
         raise ValueError(
             "solve_fused supports american_method 'projection' or 'it_lcp'"
         )
+    if params.scheme != "douglas":
+        raise ValueError("the fused kernel implements the Douglas scheme; "
+                         "use solve() for craig_sneyd")
     _validate_params(params)
     return _solve_fused_impl(params, S0, interpret)
 

