@@ -30,6 +30,7 @@ def main():
     import jax.numpy as jnp
 
     from pde_tpu.calibrate.heston import HestonCalibrator, _calibrate_pipeline
+    from pde_tpu.models.heston import group_maturities
 
     S0, r, q = 100.0, 0.05, 0.02
     TRUE = dict(kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7, v0=0.04)
@@ -46,9 +47,11 @@ def main():
     upper = jnp.array([cal.bounds[k][1] for k in ("kappa", "theta", "sigma", "rho", "v0")])
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    unique_T, t_idx = group_maturities(data["maturity"])
     args = (
         jnp.asarray(data["strike"], dtype=dtype),
-        jnp.asarray(data["maturity"], dtype=dtype),
+        jnp.asarray(t_idx),
+        jnp.asarray(unique_T, dtype=dtype),
         jnp.asarray(data["is_call"]),
         jnp.asarray(data["mid_price"], dtype=dtype),
         S0,

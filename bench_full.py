@@ -20,6 +20,17 @@ import time
 
 import numpy as np
 
+# BENCH_SMOKE=1 shrinks every section to trace-and-run-once scale so the
+# test suite can drive the whole file end-to-end on CPU: each section calls
+# the same library entry points with the same call expressions, so a
+# signature change that would crash the real bench crashes the smoke test
+# first.  Numbers printed under smoke are meaningless on purpose.
+SMOKE = bool(os.environ.get("BENCH_SMOKE"))
+
+
+def _n(full, smoke):
+    return smoke if SMOKE else full
+
 
 def _load_measured_baselines():
     """Measured reference numbers (benchmarks/run_reference_bench.py) keyed
@@ -86,6 +97,8 @@ def _pull(x):
 def timeit(fn, n=20):
     """Transfer-forced differencing: time 2 and n+2 reps, each batch ending
     with one scalar pull, and difference so the pull's RTT cancels."""
+    if SMOKE:
+        n = 1
     sync(fn())
 
     def run(reps):
@@ -103,6 +116,11 @@ def timeit(fn, n=20):
 
 def main():
     import jax
+
+    if SMOKE:
+        # smoke exists to catch bench/library signature drift in CI, which
+        # runs on CPU; Pallas sections switch to interpret mode below
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     print(f"# device={jax.devices()[0]}", file=sys.stderr)
@@ -112,18 +130,27 @@ def main():
     from pde_tpu.models import heston
 
     params = heston.HestonParams(2.0, 0.04, 0.3, -0.7, 0.04)
-    n_opts = 8192
+    n_opts = _n(8192, 64)
     strikes = jnp.asarray(np.linspace(60, 140, n_opts), f32)
     mats = jnp.asarray(np.tile(np.linspace(0.1, 2.0, 8), n_opts // 8), f32)
     price_fn = jax.jit(lambda: heston.price_carr_madan(params, strikes, mats, 100.0, 0.05, 0.02))
     per = timeit(price_fn, n=200)
     emit("heston_pricing_options_per_sec", n_opts / per, "options/s", baseline=10_000)
 
+    # 1b. grouped-CF surface pricing: CF shared across strikes per unique
+    # maturity (8 maturities here), the calibration hot-loop pricer
+    uTb, idxb = heston.group_maturities(np.asarray(mats))
+    idxb_j, uTb_j = jnp.asarray(idxb), jnp.asarray(uTb, f32)
+    gp_fn = jax.jit(lambda: heston.price_carr_madan_grouped(
+        params, strikes, idxb_j, uTb_j, 100.0, 0.05, 0.02))
+    per = timeit(gp_fn, n=200)
+    emit("heston_pricing_grouped_options_per_sec", n_opts / per, "options/s")
+
     # 2. SABR throughput -----------------------------------------------------
     from pde_tpu.models import sabr
 
     sp = sabr.SABRParams(0.2, 0.5, -0.3, 0.4)
-    n_v = 65536
+    n_v = _n(65536, 256)
     ks = jnp.asarray(np.linspace(60, 140, n_v), f32)
     sabr_fn = jax.jit(lambda: sabr.implied_volatilities(ks, 100.0, 1.0, sp))
     per = timeit(sabr_fn, n=400)
@@ -133,7 +160,7 @@ def main():
     from pde_tpu.models import ou
 
     op = ou.OUParams(100.0, 5.0, 2.0)
-    n_paths = 1024
+    n_paths = _n(1024, 8)
     keys = jax.random.split(jax.random.PRNGKey(0), n_paths)
     sim_fn = jax.jit(lambda: jax.vmap(lambda k: ou.simulate(op, 100.0, 1.0, 252, k))(keys))
     per = timeit(sim_fn, n=100)
@@ -147,42 +174,47 @@ def main():
     # 4. Heston ADI ----------------------------------------------------------
     from pde_tpu.solvers import heston_adi
 
-    hp = heston_adi.HestonPDEParams(q=0.02)
+    hp = heston_adi.HestonPDEParams(q=0.02, n_time=_n(100, 8))
     adi_fn = jax.jit(lambda: heston_adi.solve(hp, 100.0).price)
     per = timeit(adi_fn, n=30)
     emit("heston_adi_100x50_steps_per_sec", hp.n_time / per, "steps/s")
 
-    spots = jnp.asarray(np.linspace(80, 120, 16), f32)
+    n_sp = _n(16, 4)
+    spots = jnp.asarray(np.linspace(80, 120, n_sp), f32)
     vm_fn = jax.jit(lambda: jax.vmap(lambda s: heston_adi.solve(hp, s).price)(spots))
     per = timeit(vm_fn, n=10)
-    emit("heston_adi_vmapped16_steps_per_sec", 16 * hp.n_time / per, "steps/s")
+    emit("heston_adi_vmapped16_steps_per_sec", n_sp * hp.n_time / per, "steps/s")
 
     # 4a. fully-fused Pallas march (whole time loop in one kernel) ------------
-    fused_fn = jax.jit(lambda: heston_adi._solve_fused_impl(hp, 100.0, False).price)
+    fused_fn = jax.jit(lambda: heston_adi._solve_fused_impl(hp, 100.0, SMOKE).price)
     per = timeit(fused_fn, n=100)
     emit("heston_adi_fused_solve_s", per, "solve_s")
 
     # 4b. whole-surface PDE pricing (solve_batch: traced strikes/maturities/
     # call-put flags, one compiled march) -------------------------------------
-    Kb = jnp.asarray(np.tile(np.linspace(85.0, 115.0, 12), 9), f32)
-    Tb = jnp.asarray(np.repeat(np.linspace(0.25, 1.5, 9), 12), f32)
-    cb = jnp.asarray(np.arange(108) % 2 == 0)
+    nKb, nTb = _n(12, 4), _n(9, 2)
+    Bq = nKb * nTb
+    Kb = jnp.asarray(np.tile(np.linspace(85.0, 115.0, nKb), nTb), f32)
+    Tb = jnp.asarray(np.repeat(np.linspace(0.25, 1.5, nTb), nKb), f32)
+    cb = jnp.asarray(np.arange(Bq) % 2 == 0)
     batch_fn = jax.jit(
         lambda: heston_adi.solve_batch(
-            2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, Tb, Kb, cb, 100.0
+            2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, Tb, Kb, cb, 100.0,
+            n_time=hp.n_time,
         ).price
     )
     per = timeit(batch_fn, n=10)
-    emit("heston_adi_batch108_options_per_sec", 108 / per, "options/s")
+    emit("heston_adi_batch108_options_per_sec", Bq / per, "options/s")
 
     # 4c. lane-batched fused march: the whole desk inside ONE Pallas kernel,
     # options riding the 128 VPU lanes (512 = four 128-lane grid blocks) ------
-    B = 512
+    B = _n(512, 128)
     Kf = jnp.asarray(np.linspace(85.0, 115.0, B), f32)
     Tf = jnp.asarray(np.linspace(0.25, 1.5, B), f32)
     cf = jnp.asarray((np.arange(B) % 2).astype(np.float32))
     fb_fn = lambda: heston_adi.solve_fused_batch(
-        2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, Tf, Kf, cf, 100.0
+        2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, Tf, Kf, cf, 100.0,
+        n_time=hp.n_time, interpret=SMOKE,
     ).price
     per = timeit(fb_fn, n=10)
     emit("heston_adi_fused_batch512_options_per_sec", B / per, "options/s")
@@ -193,7 +225,7 @@ def main():
     per = timeit(am_fn, n=30)
     emit("heston_american_lcp_solve_s", per, "solve_s")
 
-    am_fused = jax.jit(lambda: heston_adi._solve_fused_impl(am, 90.0, False).price)
+    am_fused = jax.jit(lambda: heston_adi._solve_fused_impl(am, 90.0, SMOKE).price)
     per = timeit(am_fused, n=100)
     emit("heston_american_lcp_fused_solve_s", per, "solve_s")
 
@@ -204,11 +236,12 @@ def main():
 
     hjb_p = hjb.HJBParams(
         theta=0.0, mu=5.0, sigma=0.1, r=0.05, c_entry=0.002, c_exit=0.002,
-        T=1.0, n_space=256, n_time=128, method="psor", psor_iterations=60,
+        T=1.0, n_space=_n(256, 64), n_time=_n(128, 16), method="psor",
+        psor_iterations=_n(60, 8),
     )
     hjb.solve_all_boundaries(hjb_p)  # warm: compile
     t0 = time.perf_counter()
-    n_reps = 5
+    n_reps = _n(5, 1)
     for _ in range(n_reps):
         bounds = hjb.solve_all_boundaries(hjb_p)
     per = (time.perf_counter() - t0) / n_reps
@@ -222,8 +255,8 @@ def main():
         S0=100.0, r=0.05, q=0.02,
         strikes=np.linspace(85.0, 115.0, 12), maturities=np.linspace(0.25, 1.5, 9),
     )
-    cal = HestonCalibrator(global_maxiter=100, global_popsize=15)
-    U = 16
+    cal = HestonCalibrator(global_maxiter=_n(100, 6), global_popsize=_n(15, 4))
+    U = _n(16, 2)
     Ks = np.tile(np.asarray(data["strike"]), (U, 1))
     Ts = np.tile(np.asarray(data["maturity"]), (U, 1))
     Ps = np.tile(np.asarray(data["mid_price"]), (U, 1))
@@ -265,7 +298,7 @@ def main():
 
     pipeline()  # warm: compile
     t0 = time.perf_counter()
-    n_reps = 3
+    n_reps = _n(3, 1)
     for _ in range(n_reps):
         sized = pipeline()
     per = (time.perf_counter() - t0) / n_reps
@@ -277,7 +310,7 @@ def main():
 
     if native.is_available():
         rng = np.random.default_rng(1)
-        n_ticks, n_orders = 2_000_000, 1_000_000
+        n_ticks, n_orders = _n(2_000_000, 20_000), _n(1_000_000, 2_000)
         times = np.arange(n_ticks, dtype=float)
         prices = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.001, n_ticks)))
         submit = np.sort(rng.uniform(0, n_ticks - 1.0, n_orders))

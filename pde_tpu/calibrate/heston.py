@@ -104,6 +104,47 @@ def _price_vec_gl(params_array, strikes, maturities, is_calls, S0, r, q,
     )
 
 
+# Grouped-CF twins: the pipeline prices through these.  The characteristic
+# function depends on (params, u, T) only, so a surface with M maturities
+# and N >> M quotes pays M x n_u CF evaluations instead of N x n_u — the
+# CF is ~10x the flops of the per-strike phase, so this is a several-fold
+# cut in the DE/LM hot loop (models/heston.py: price_*_grouped).
+
+def _price_vec_grouped(params_array, strikes, t_idx, unique_T, is_calls,
+                       S0, r, q, n_points=heston_model.N_QUADRATURE,
+                       du=heston_model.DU):
+    p = HestonParams(*[params_array[i] for i in range(5)])
+    return heston_model.price_carr_madan_grouped(
+        p, strikes, t_idx, unique_T, S0, r, q, is_calls,
+        n_points=n_points, du=du,
+    )
+
+
+def _price_vec_gl_grouped(params_array, strikes, t_idx, unique_T, is_calls,
+                          S0, r, q, n_points=_DE_GL_POINTS):
+    p = HestonParams(*[params_array[i] for i in range(5)])
+    return heston_model.price_gauss_legendre_grouped(
+        p, strikes, t_idx, unique_T, S0, r, q, is_calls, n_points=n_points
+    )
+
+
+def _objective_population_gl_grouped(pop, strikes, t_idx, unique_T, is_calls,
+                                     market_prices, S0, r, q,
+                                     n_points=_DE_GL_POINTS):
+    """Grouped-CF DE-stage objective — same clamp semantics as
+    :func:`_objective_population`."""
+    prices = jax.vmap(
+        lambda x: _price_vec_gl_grouped(
+            x, strikes, t_idx, unique_T, is_calls, S0, r, q, n_points
+        )
+    )(pop)
+    nan_bad = jnp.any(jnp.isnan(prices), axis=-1)
+    prices = jnp.maximum(prices, 1e-10)
+    errors = (prices - market_prices) / market_prices
+    obj = jnp.sum(errors * errors, axis=-1)
+    return jnp.where(nan_bad, 1e10, obj)
+
+
 def _objective_population_gl(pop, strikes, maturities, is_calls, market_prices,
                              S0, r, q, n_points=_DE_GL_POINTS):
     """DE-stage objective on the GL grid — same clamp semantics as
@@ -148,7 +189,8 @@ def _objective_population(pop, strikes, maturities, is_calls, market_prices, S0,
 )
 def _calibrate_pipeline(
     strikes,
-    maturities,
+    t_idx,
+    unique_T,
     is_calls,
     market_prices,
     S0,
@@ -163,11 +205,15 @@ def _calibrate_pipeline(
     global_popsize: int = 15,
     local_max_iter: int = 60,
 ):
-    """The full two-stage calibration as one jitted program."""
+    """The full two-stage calibration as one jitted program.
+
+    Maturities arrive pre-grouped as ``(t_idx, unique_T)`` from
+    :func:`pde_tpu.models.heston.group_maturities` so every pricing call
+    shares CF evaluations across the strikes of each maturity."""
 
     def objective(pop):
-        return _objective_population_gl(
-            pop, strikes, maturities, is_calls, market_prices, S0, r, q,
+        return _objective_population_gl_grouped(
+            pop, strikes, t_idx, unique_T, is_calls, market_prices, S0, r, q,
         )
 
     # warm start seeds the DE population (heston_calibrator.py:411-413)
@@ -190,7 +236,7 @@ def _calibrate_pipeline(
     )
 
     def residuals(x):
-        prices = _price_vec(x, strikes, maturities, is_calls, S0, r, q)
+        prices = _price_vec_grouped(x, strikes, t_idx, unique_T, is_calls, S0, r, q)
         prices = jnp.maximum(prices, 1e-10)  # heston_calibrator.py:533
         return (prices - market_prices) / market_prices
 
@@ -227,7 +273,7 @@ def _calibrate_pipeline(
         converged=lm_all.converged[best], grad_norm=lm_all.grad_norm[best],
     )
 
-    model_prices = _price_vec(lm.x, strikes, maturities, is_calls, S0, r, q)
+    model_prices = _price_vec_grouped(lm.x, strikes, t_idx, unique_T, is_calls, S0, r, q)
     return (de.x, de.fun, de.n_iter, lm.x, lm.cost, lm.converged, lm.n_iter,
             model_prices)
 
@@ -298,11 +344,13 @@ class HestonCalibrator:
                 use_x0 = jnp.asarray(False)
 
             key = jax.random.PRNGKey(self.seed)
+            unique_T, t_idx = heston_model.group_maturities(maturities)
             (de_x, de_fun, de_iter, lm_x, lm_cost, lm_conv, lm_iter,
              model_prices) = (
                 _calibrate_pipeline(
                     jnp.asarray(strikes),
-                    jnp.asarray(maturities),
+                    jnp.asarray(t_idx),
+                    jnp.asarray(unique_T),
                     jnp.asarray(is_calls),
                     jnp.asarray(prices),
                     S0,
@@ -390,10 +438,20 @@ class HestonCalibrator:
         upper = jnp.array([self.bounds[k][1] for k in PARAM_ORDER])
         keys = jax.random.split(jax.random.PRNGKey(self.seed), U)
 
+        # per-surface maturity grouping, padded to a common static M so the
+        # batch vmaps (padded CF rows are priced by no option)
+        grouped = [heston_model.group_maturities(m) for m in np.asarray(maturities)]
+        max_m = max(len(uT) for uT, _ in grouped)
+        unique_T = np.stack([
+            np.concatenate([uT, np.full(max_m - len(uT), uT[-1])])
+            for uT, _ in grouped
+        ])
+        t_idx = np.stack([idx for _, idx in grouped])
+
         def one(args):
-            k_, s_, m_, c_, p_, spot_ = args
+            k_, s_, ti_, ut_, c_, p_, spot_ = args
             return _calibrate_pipeline(
-                s_, m_, c_, p_, spot_, r, q, lower, upper, k_,
+                s_, ti_, ut_, c_, p_, spot_, r, q, lower, upper, k_,
                 jnp.zeros(5), jnp.asarray(False),
                 global_maxiter=self.global_maxiter,
                 global_popsize=self.global_popsize,
@@ -404,7 +462,8 @@ class HestonCalibrator:
         args = (
             keys,
             jnp.asarray(strikes),
-            jnp.asarray(maturities),
+            jnp.asarray(t_idx),
+            jnp.asarray(unique_T),
             jnp.asarray(is_calls),
             jnp.asarray(market_prices),
             jnp.asarray(S0),
@@ -416,9 +475,9 @@ class HestonCalibrator:
             d1 = NamedSharding(mesh, P("dp"))
             batched = jax.jit(
                 batched,
-                in_shardings=((d1, dq, dq, dq, dq, d1),),
+                in_shardings=((d1, dq, dq, d1, dq, dq, d1),),
             )
-            args = jax.device_put(args, (d1, dq, dq, dq, dq, d1))
+            args = jax.device_put(args, (d1, dq, dq, d1, dq, dq, d1))
         out = batched(args)
         de_x, de_fun, de_iter, lm_x, lm_cost, lm_conv, lm_iter, model_prices = out
         return {

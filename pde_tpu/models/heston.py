@@ -35,6 +35,9 @@ __all__ = [
     "HestonParams",
     "characteristic_function",
     "price_carr_madan",
+    "price_carr_madan_grouped",
+    "price_gauss_legendre_grouped",
+    "group_maturities",
     "price_options",
     "price_with_greeks",
     "price_accurate",
@@ -292,6 +295,162 @@ def price_gauss_legendre(
     return jnp.where(maturity <= 0.0, intrinsic, price)
 
 
+def group_maturities(maturities, pad_to=None):
+    """Host-side uniquing for the ``*_grouped`` pricers.
+
+    Returns ``(unique_T, t_idx)`` with ``unique_T[t_idx] == maturities``.
+    ``pad_to`` right-pads ``unique_T`` (repeating the last value) so batched
+    surfaces with different unique-maturity counts share one static shape;
+    the padded rows cost extra CF rows but price nothing.
+    """
+    uT, inv = np.unique(np.asarray(maturities, dtype=np.float64), return_inverse=True)
+    if pad_to is not None:
+        if len(uT) > pad_to:
+            raise ValueError(f"{len(uT)} unique maturities > pad_to={pad_to}")
+        uT = np.concatenate([uT, np.full(pad_to - len(uT), uT[-1])])
+    return uT, inv.reshape(np.shape(maturities)).astype(np.int32)
+
+
+def _carr_madan_grouped_sum(
+    params, strikes, t_idx, unique_T, spot, rate, dividend, v, weights, du, alpha
+):
+    """Weighted Carr-Madan sums with the characteristic function SHARED
+    across strikes per unique maturity.
+
+    The CF (complex sqrt/log/exp chains — ~10x the flops of the strike
+    phase) depends on (params, u, T) only; computing it once per unique
+    maturity and gathering rows per option turns an N-option surface with M
+    maturities from N x n_u CF evaluations into M x n_u (the reference pays
+    N x n_u through its per-option loop, heston.cpp:236-244).  Identical
+    math to :func:`_carr_madan_integrand_sum` — the per-u weight and
+    Carr-Madan denominator are folded into the CF rows before the gather.
+    """
+    rdt = result_dtype(strikes, unique_T, spot)
+    cdt = complex_dtype_for(rdt)
+    strikes = jnp.asarray(strikes, dtype=rdt)
+    uT = jnp.asarray(unique_T, dtype=rdt)
+    u = v.astype(cdt) - 1j * (alpha + 1.0)
+
+    Tm = uT[:, None]  # (M, 1)
+    cf = _cf_reduced(params, u, Tm, rdt, cdt)  # (M, n_u)
+    cf = jnp.where(Tm <= 0.0, jnp.asarray(1.0 + 0.0j, dtype=cdt), cf)
+    denom = (alpha * alpha + alpha - v * v) + 1j * ((2.0 * alpha + 1.0) * v)
+    cfw = cf * (weights.astype(cdt) / denom.astype(cdt))  # (M, n_u)
+
+    cfw_g = cfw[t_idx]  # (..., n_u) row gather per option
+    T = uT[t_idx]
+    log_fk = (jnp.log(jnp.asarray(spot, dtype=rdt) / strikes) + (rate - dividend) * T)
+    vl = v * log_fk[..., None]  # (..., n_u)
+    # Re(cfw * e^{i v L}) = Re(cfw) cos(vL) - Im(cfw) sin(vL)
+    integrand = cfw_g.real * jnp.cos(vl) - cfw_g.imag * jnp.sin(vl)
+    return du * jnp.sum(integrand, axis=-1), T
+
+
+def _grouped_price_from_integral(
+    integral, strikes, T, spot, rate, dividend, is_call, alpha, rdt
+):
+    strikes = jnp.asarray(strikes, dtype=rdt)
+    spot = jnp.asarray(spot, dtype=rdt)
+    discount = jnp.exp(-rate * T)
+    forward = spot * jnp.exp((rate - dividend) * T)
+    prefactor = strikes * (forward / strikes) ** (alpha + 1.0)
+    call = jnp.maximum((prefactor / jnp.pi) * discount * integral, 0.0)
+    put = jnp.maximum(call - spot * jnp.exp(-dividend * T) + strikes * discount, 0.0)
+    price = jnp.where(is_call, call, put)
+    intrinsic = jnp.where(
+        is_call, jnp.maximum(spot - strikes, 0.0), jnp.maximum(strikes - spot, 0.0)
+    )
+    return jnp.where(T <= 0.0, intrinsic, price)
+
+
+@functools.partial(jax.jit, static_argnames=("n_points", "du", "alpha"))
+def price_carr_madan_grouped(
+    params: HestonParams,
+    strikes,
+    t_idx,
+    unique_T,
+    spot,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_points: int = N_QUADRATURE,
+    du: float = DU,
+    alpha: float = INTEGRATION_ALPHA,
+):
+    """:func:`price_carr_madan` with CF evaluations shared per unique maturity.
+
+    ``unique_T``/``t_idx`` come from :func:`group_maturities` (host-side);
+    semantics match :func:`price_carr_madan` exactly — this is the fast path
+    for surfaces where many strikes share each maturity (the calibration hot
+    loop: reference heston_calibrator.py:538-586 prices N options paying the
+    CF N times; here it is paid once per maturity).
+    """
+    rdt = result_dtype(strikes, unique_T, spot)
+    v = jnp.arange(1, n_points, dtype=rdt) * jnp.asarray(du, dtype=rdt)
+    weights = jnp.ones((n_points - 1,), dtype=rdt)
+    integral, T = _carr_madan_grouped_sum(
+        params, strikes, t_idx, unique_T, spot, rate, dividend, v, weights, du, alpha
+    )
+    return _grouped_price_from_integral(
+        integral, strikes, T, spot, rate, dividend, is_call, alpha, rdt
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_points", "u_max", "alpha"))
+def price_gauss_legendre_grouped(
+    params: HestonParams,
+    strikes,
+    t_idx,
+    unique_T,
+    spot,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_points: int = 64,
+    u_max: float = N_QUADRATURE * DU,
+    alpha: float = INTEGRATION_ALPHA,
+):
+    """:func:`price_gauss_legendre` with CF shared per unique maturity
+    (the DE-stage pricer's grouped twin)."""
+    rdt = result_dtype(strikes, unique_T, spot)
+    nodes, wts = np.polynomial.legendre.leggauss(n_points)
+    v = jnp.asarray(0.5 * u_max * (nodes + 1.0), dtype=rdt)
+    w = jnp.asarray(0.5 * u_max * wts, dtype=rdt)
+    integral, T = _carr_madan_grouped_sum(
+        params, strikes, t_idx, unique_T, spot, rate, dividend, v, w, 1.0, alpha
+    )
+    return _grouped_price_from_integral(
+        integral, strikes, T, spot, rate, dividend, is_call, alpha, rdt
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_points", "du", "alpha"))
+def price_accurate_grouped(
+    params: HestonParams,
+    strikes,
+    t_idx,
+    unique_T,
+    spot,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_points: int = 8192,
+    du: float = 0.025,
+    alpha: float = 1.25,
+):
+    """:func:`price_accurate` with CF shared per unique maturity — the fast
+    path for flat chain vectors (IV signal scans over a quote list)."""
+    rdt = result_dtype(strikes, unique_T, spot)
+    v = jnp.arange(n_points, dtype=rdt) * jnp.asarray(du, dtype=rdt)
+    weights = jnp.full((n_points,), 1.0, dtype=rdt).at[0].set(0.5).at[-1].set(0.5)
+    integral, T = _carr_madan_grouped_sum(
+        params, strikes, t_idx, unique_T, spot, rate, dividend, v, weights, du, alpha
+    )
+    return _grouped_price_from_integral(
+        integral, strikes, T, spot, rate, dividend, is_call, alpha, rdt
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("n_points", "du", "alpha"))
 def price_accurate(
     params: HestonParams,
@@ -369,6 +528,23 @@ def implied_volatility(
         dividend,
         maturity,
         is_call,
+        init_vol=jnp.sqrt(params.v0),
+    )
+
+
+def implied_volatility_grouped(
+    params, strikes, t_idx, unique_T, spot, rate=0.0, dividend=0.0,
+    is_call=True, accurate=False,
+):
+    """:func:`implied_volatility` for flat chain vectors with CF shared per
+    unique maturity (``group_maturities`` host-side first).  The grid-shaped
+    surface path already shares CF through broadcasting; this is the
+    equivalent for a flat (chain-ordered) quote list."""
+    pricer = price_accurate_grouped if accurate else price_carr_madan_grouped
+    target = pricer(params, strikes, t_idx, unique_T, spot, rate, dividend, is_call)
+    T = jnp.asarray(unique_T)[t_idx]
+    return bs.implied_vol(
+        target, spot, strikes, rate, dividend, T, is_call,
         init_vol=jnp.sqrt(params.v0),
     )
 

@@ -79,6 +79,12 @@ def _garch_neg_ll(params_vec, returns):
     return -jnp.sum(lls)
 
 
+# jitted once per returns-length: un-jitted, every optimizer call re-traces
+# the scan AND its reverse-mode transpose op-by-op (measured 157 s for one
+# 252-obs fit on CPU; ~0.5 s jitted)
+_garch_value_and_grad = jax.jit(jax.value_and_grad(_garch_neg_ll))
+
+
 class VolatilityEstimator:
     """Annualized volatility estimation (API parity with the reference)."""
 
@@ -150,14 +156,15 @@ class VolatilityEstimator:
         from scipy import optimize
 
         r = jnp.asarray(returns * 100.0)  # scale for conditioning
-        grad = jax.grad(_garch_neg_ll)
         x0 = np.array([np.log(0.1 * float(np.var(returns * 100))), 0.0, 2.0])
+
+        def fun_and_jac(v):
+            val, g = _garch_value_and_grad(jnp.asarray(v), r)
+            return float(val), np.asarray(g, dtype=np.float64)
+
         try:
             res = optimize.minimize(
-                lambda v: float(_garch_neg_ll(jnp.asarray(v), r)),
-                x0,
-                jac=lambda v: np.asarray(grad(jnp.asarray(v), r)),
-                method="L-BFGS-B",
+                fun_and_jac, x0, jac=True, method="L-BFGS-B"
             )
             omega = np.exp(res.x[0])
             a = float(jax.nn.sigmoid(res.x[1]))

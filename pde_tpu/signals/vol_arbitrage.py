@@ -248,8 +248,13 @@ class VolSurfaceArbitrageSignal:
 
         if self.use_heston and heston_result is not None:
             params = heston_result.params
-            iv = heston_mod.implied_volatility(
-                params, jnp.asarray(strikes), jnp.asarray(T), S0, r, q,
+            # grouped CF: a chain has few unique maturities and many strikes,
+            # so the converged 8192-point quadrature's CF is paid per
+            # maturity, not per quote (models/heston.py group_maturities)
+            unique_T, t_idx = heston_mod.group_maturities(T)
+            iv = heston_mod.implied_volatility_grouped(
+                params, jnp.asarray(strikes), jnp.asarray(t_idx),
+                jnp.asarray(unique_T), S0, r, q,
                 jnp.asarray(is_call), accurate=True,
             )
             return np.asarray(iv)

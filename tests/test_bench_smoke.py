@@ -1,0 +1,57 @@
+"""Smoke-drive the bench harnesses so bench/library signature drift fails in
+CI instead of at bench time (the round-1 advisor found bench_full calling a
+re-signatured solver entry point; this test makes that class of break loud).
+
+Each bench file runs in a subprocess: bench_full configures its own platform
+under BENCH_SMOKE, and a fresh process keeps its jax config (f32, CPU) from
+fighting this suite's x64 setup.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_bench_full_smoke_traces_every_section():
+    env = dict(os.environ, BENCH_SMOKE="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench_full.py")],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, f"bench_full smoke failed:\n{proc.stderr[-4000:]}"
+    rows = [json.loads(line) for line in proc.stdout.splitlines() if line.strip()]
+    metrics = {r["metric"] for r in rows}
+    # one row per section of the real bench — a section that stops emitting
+    # (or crashes before emitting) fails here
+    expected = {
+        "heston_pricing_options_per_sec",
+        "heston_pricing_grouped_options_per_sec",
+        "sabr_vols_per_sec",
+        "ou_sim252_paths_per_sec",
+        "ou_mle252_fits_per_sec",
+        "heston_adi_100x50_steps_per_sec",
+        "heston_adi_vmapped16_steps_per_sec",
+        "heston_adi_fused_solve_s",
+        "heston_adi_batch108_options_per_sec",
+        "heston_adi_fused_batch512_options_per_sec",
+        "heston_american_lcp_solve_s",
+        "heston_american_lcp_fused_solve_s",
+        "ou_freeboundary_psor_solve_s",
+        "heston_batched_calibration_surfaces_per_sec",
+        "calibration_to_sizing_pipeline_s",
+        "fill_engine_orders_per_sec",
+    }
+    missing = expected - metrics
+    assert not missing, f"bench_full sections missing under smoke: {missing}"
+    for r in rows:
+        # sub-microsecond smoke timings can round to 0.0; throughputs must
+        # stay strictly positive, and nothing may be NaN/negative
+        assert r["value"] >= 0 and r["value"] == r["value"], r
+        if not r["unit"].endswith("_s"):
+            assert r["value"] > 0, r

@@ -247,3 +247,70 @@ class TestADGreeks:
         # is the accurate value, so only loose agreement is expected
         fd = heston.price_with_greeks(params, 100.0, 1.0, **MKT)
         assert abs(float(g["delta"]) - float(fd["delta"])) < 0.05
+
+
+class TestGroupedPricers:
+    """Grouped-CF pricers (CF shared across strikes per unique maturity)
+    must match their per-option twins bit-for-bit in semantics: same
+    quadrature, same parity/intrinsic handling, padding rows inert."""
+
+    def _surface(self):
+        K = np.tile(np.linspace(85.0, 115.0, 12), 9)
+        T = np.repeat(np.linspace(0.25, 1.5, 9), 12)
+        calls = np.arange(108) % 2 == 0
+        return K, T, calls
+
+    def test_carr_madan_grouped_matches(self, params):
+        K, T, calls = self._surface()
+        ref = heston.price_carr_madan(params, K, T, 100.0, 0.05, 0.02, calls)
+        uT, idx = heston.group_maturities(T)
+        got = heston.price_carr_madan_grouped(
+            params, K, idx, uT, 100.0, 0.05, 0.02, calls
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=1e-10)
+
+    def test_gauss_legendre_grouped_matches(self, params):
+        K, T, calls = self._surface()
+        ref = heston.price_gauss_legendre(params, K, T, 100.0, 0.05, 0.02, calls)
+        uT, idx = heston.group_maturities(T)
+        got = heston.price_gauss_legendre_grouped(
+            params, K, idx, uT, 100.0, 0.05, 0.02, calls
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=1e-10)
+
+    def test_accurate_grouped_and_iv(self, params):
+        K, T, calls = self._surface()
+        ref = heston.price_accurate(params, K, T, 100.0, 0.05, 0.02, calls)
+        uT, idx = heston.group_maturities(T)
+        got = heston.price_accurate_grouped(
+            params, K, idx, uT, 100.0, 0.05, 0.02, calls
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=1e-10)
+        iv_ref = heston.implied_volatility(
+            params, K, T, 100.0, 0.05, 0.02, calls, accurate=True
+        )
+        iv_got = heston.implied_volatility_grouped(
+            params, K, idx, uT, 100.0, 0.05, 0.02, calls, accurate=True
+        )
+        np.testing.assert_allclose(np.asarray(iv_got), np.asarray(iv_ref), atol=1e-10)
+
+    def test_padding_rows_inert(self, params):
+        K, T, calls = self._surface()
+        ref = heston.price_carr_madan(params, K, T, 100.0, 0.05, 0.02, calls)
+        uT, idx = heston.group_maturities(T, pad_to=16)
+        assert len(uT) == 16
+        got = heston.price_carr_madan_grouped(
+            params, K, idx, uT, 100.0, 0.05, 0.02, calls
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=1e-10)
+
+    def test_pad_to_too_small_raises(self):
+        with pytest.raises(ValueError):
+            heston.group_maturities(np.array([0.25, 0.5, 1.0]), pad_to=2)
+
+    def test_zero_maturity_intrinsic(self, params):
+        uT, idx = heston.group_maturities(np.array([0.0, 0.5]))
+        p = heston.price_carr_madan_grouped(
+            params, np.array([90.0, 90.0]), idx, uT, 100.0, 0.05, 0.02, True
+        )
+        assert float(p[0]) == pytest.approx(10.0)
