@@ -5,8 +5,8 @@
 test:            ## full suite (CPU, float64 parity mode, 8 virtual devices)
 	python -m pytest tests/ -q
 
-test-fast:       ## everything except the slow calibration round-trips
-	python -m pytest tests/ -q --ignore=tests/test_calibrate.py
+test-fast:       ## fast tier: skips the slow-marked multi-device / bench-smoke tests (~4.5 min on 1 CPU core vs ~8 min full)
+	python -m pytest tests/ -q -m "not slow"
 
 test-native:     ## native C++ host runtime only
 	python -m pytest tests/test_native.py -q

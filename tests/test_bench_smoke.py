@@ -19,7 +19,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.slow
 def test_bench_full_smoke_traces_every_section():
-    env = dict(os.environ, BENCH_SMOKE="1")
+    env = dict(
+        os.environ,
+        BENCH_SMOKE="1",
+        # share the suite's persistent XLA cache: the smoke is compile-bound
+        # (the two calibration-pipeline programs dominate), and warm repeat
+        # runs drop from ~5 min to well under a minute on a 1-core box
+        JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, "tests", ".jax_cache"),
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
+        JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="-1",
+    )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench_full.py")],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=900,

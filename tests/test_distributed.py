@@ -74,6 +74,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_initialize_and_psum(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)

@@ -129,6 +129,7 @@ class TestMigrations:
         assert con.execute("SELECT COUNT(*) FROM equity_curve").fetchone()[0] == 1
 
 
+@pytest.mark.slow
 class TestGraftEntry:
     def test_entry_jits(self):
         import jax

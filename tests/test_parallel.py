@@ -320,6 +320,7 @@ class TestPartitionedThomas:
             )
 
 
+@pytest.mark.slow
 class TestShardedImplicitMarches:
     """The round-2 headline: implicit CN / ADI marches with the spot grid
     axis sharded — must match the single-device solvers at f64 tolerance."""
@@ -390,6 +391,7 @@ class TestShardedImplicitMarches:
         np.testing.assert_allclose(prices[1:], prices[0], rtol=1e-11)
 
 
+@pytest.mark.slow
 class TestShardedCalibrateBatch:
     def test_full_pipeline_on_mesh_matches_unsharded(self):
         """The FULL two-stage calibration (DE + LM, convergence logic and
