@@ -66,8 +66,21 @@ def initialize_distributed(
     return len(jax.devices())
 
 
-def best_factorization(n: int) -> tuple[int, int]:
-    """Factor n into (dp, quotes) as square as possible (dp >= quotes)."""
+def best_factorization(n: int, n_underlyings: Optional[int] = None) -> tuple[int, int]:
+    """Factor n devices into (dp, quotes) mesh axes.
+
+    With ``n_underlyings`` given, the choice follows communication counting
+    rather than squareness: the dp axis carries NO collective traffic
+    (surfaces are independent) while the quotes axis all-reduces every
+    J^T J / J^T r / objective contraction — so dp should be as large as the
+    workload can fill.  ``dp = `` the largest divisor of n that is <= U
+    (perfect balance, minimum quote-axis size); when U >= n that is pure dp
+    with zero collectives.  Without a workload hint, fall back to the most
+    even split (dp >= quotes) — a neutral default for unknown U.
+    """
+    if n_underlyings is not None and n_underlyings > 0:
+        dp = max(d for d in range(1, n + 1) if n % d == 0 and d <= n_underlyings)
+        return (dp, n // dp)
     best = (n, 1)
     for q in range(1, int(np.sqrt(n)) + 1):
         if n % q == 0:
@@ -79,20 +92,23 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("dp", "quotes"),
     shape: Optional[Sequence[int]] = None,
+    n_underlyings: Optional[int] = None,
 ) -> Mesh:
     """Build a 2D mesh over the available devices.
 
     On real hardware the ICI topology orders ``jax.devices()``; the default
     factorization puts the larger axis on ``dp`` (independent surfaces, no
     communication) and the smaller on ``quotes`` (all-reduce traffic stays on
-    the short axis).
+    the short axis).  Pass ``n_underlyings`` to size dp to the workload
+    (see :func:`best_factorization`) — with U >= devices this yields a pure
+    dp mesh with zero collective traffic.
     """
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = devices[:n_devices]
     if shape is None:
-        shape = best_factorization(n_devices)
+        shape = best_factorization(n_devices, n_underlyings)
     mesh_devices = np.asarray(devices).reshape(tuple(shape))
     return Mesh(mesh_devices, tuple(axis_names))
 

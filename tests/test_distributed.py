@@ -101,3 +101,111 @@ def test_two_process_initialize_and_psum(tmp_path):
     for pid, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"worker {pid} failed:\n{err[-2000:]}"
         assert f"WORKER_{pid}_OK" in out
+
+
+_STEP_WORKER = textwrap.dedent(
+    """
+    import sys
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)  # two devices per process
+
+    coordinator, pid = sys.argv[1], int(sys.argv[2])
+
+    from pde_tpu.parallel.mesh import initialize_distributed
+
+    n_global = initialize_distributed(
+        coordinator_address=coordinator, num_processes=2, process_id=pid
+    )
+    assert n_global == 4, f"global view has {n_global} devices"
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pde_tpu.parallel.mesh import make_mesh, sharded_calibration_step
+    from pde_tpu.parallel.mesh import _price_population
+
+    # 2x2 mesh: dp spans the two PROCESSES (DCN analog), quotes the two
+    # devices within each process (ICI analog)
+    mesh = make_mesh(4, shape=(2, 2))
+    U, Q = 2, 8
+
+    # identical deterministic data in every process; each process's devices
+    # materialize their own global-array shards from it
+    true_x = np.tile([2.0, 0.04, 0.3, -0.7, 0.04], (U, 1)).astype(np.float32)
+    strikes = np.tile(np.linspace(90.0, 110.0, Q), (U, 1)).astype(np.float32)
+    mats = np.full((U, Q), 0.5, dtype=np.float32)
+    x0 = np.tile([1.0, 0.09, 0.5, -0.2, 0.09], (U, 1)).astype(np.float32)
+    lam = np.full((U,), 1e-3, dtype=np.float32)
+
+    target = np.asarray(
+        jax.vmap(lambda x, k, t: _price_population(x, k, t, 100.0, 0.05, 0.0))(
+            jnp.asarray(true_x), jnp.asarray(strikes), jnp.asarray(mats)
+        )
+    )
+    target = np.maximum(target, 1e-3)
+
+    def garr(np_val, spec):
+        return jax.make_array_from_callback(
+            np_val.shape, NamedSharding(mesh, spec),
+            lambda idx: jnp.asarray(np_val[idx]),
+        )
+
+    lower = jnp.asarray([0.1, 0.01, 0.01, -0.99, 0.01], jnp.float32)
+    upper = jnp.asarray([10.0, 1.0, 2.0, 0.99, 1.0], jnp.float32)
+    step = sharded_calibration_step(mesh, lower, upper)
+
+    x_g = garr(x0, P("dp", None))
+    k_g = garr(strikes, P("dp", "quotes"))
+    t_g = garr(mats, P("dp", "quotes"))
+    y_g = garr(target, P("dp", "quotes"))
+    l_g = garr(lam, P("dp"))
+
+    cost_prev = None
+    for _ in range(6):
+        x_g, cost, l_g = step(x_g, k_g, t_g, y_g, l_g, 100.0, 0.05, 0.0)
+    from jax.experimental import multihost_utils
+
+    cost_h = multihost_utils.process_allgather(cost, tiled=True)
+    x_h = multihost_utils.process_allgather(x_g, tiled=True)
+    assert np.all(np.isfinite(cost_h)), cost_h
+    # every process sees the same global result
+    assert x_h.shape == (U, 5), x_h.shape
+
+    print(f"STEP_WORKER_{pid}_OK cost={float(np.ravel(cost_h)[0]):.3e}")
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_calibration_step(tmp_path):
+    """The FULL sharded LM calibration step SPMD across two processes: dp
+    axis over DCN (process boundary), quotes axis over each process's local
+    devices — the multi-host analog of the single-process mesh tests."""
+    worker = tmp_path / "step_worker.py"
+    worker.write_text(_STEP_WORKER)
+    coordinator = f"127.0.0.1:{_free_port()}"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coordinator, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=ROOT,
+            env=_env(),
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"step worker {pid} timed out")
+        outs.append((p.returncode, out, err))
+
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"step worker {pid} failed:\n{err[-2000:]}"
+        assert f"STEP_WORKER_{pid}_OK" in out

@@ -17,9 +17,23 @@ class TestMesh:
         assert best_factorization(16) == (4, 4)
         assert best_factorization(1) == (1, 1)
 
+    def test_factorization_workload_aware(self):
+        # U >= devices: pure dp, zero collective traffic
+        assert best_factorization(8, n_underlyings=16) == (8, 1)
+        assert best_factorization(8, n_underlyings=8) == (8, 1)
+        # U < devices: dp = largest divisor <= U, quotes fill the rest
+        assert best_factorization(8, n_underlyings=2) == (2, 4)
+        assert best_factorization(8, n_underlyings=3) == (2, 4)
+        assert best_factorization(8, n_underlyings=1) == (1, 8)
+        assert best_factorization(6, n_underlyings=3) == (3, 2)
+
     def test_make_mesh_8(self):
         mesh = make_mesh(8)
         assert mesh.shape == {"dp": 4, "quotes": 2}
+
+    def test_make_mesh_workload_aware(self):
+        mesh = make_mesh(8, n_underlyings=32)
+        assert mesh.shape == {"dp": 8, "quotes": 1}
 
     def test_make_mesh_custom_shape(self):
         mesh = make_mesh(8, shape=(2, 4))
