@@ -54,6 +54,7 @@ def main():
         jnp.asarray(unique_T, dtype=dtype),
         jnp.asarray(data["is_call"]),
         jnp.asarray(data["mid_price"], dtype=dtype),
+        jnp.ones(len(data["strike"]), dtype=dtype),
         S0,
         r,
         q,

@@ -129,18 +129,19 @@ def _price_vec_gl_grouped(params_array, strikes, t_idx, unique_T, is_calls,
 
 
 def _objective_population_gl_grouped(pop, strikes, t_idx, unique_T, is_calls,
-                                     market_prices, S0, r, q,
+                                     market_prices, mask, S0, r, q,
                                      n_points=_DE_GL_POINTS):
     """Grouped-CF DE-stage objective — same clamp semantics as
-    :func:`_objective_population`."""
+    :func:`_objective_population`.  ``mask`` zeroes the residuals of padded
+    quote slots (shape-stable calibration, see _calibrate_pipeline)."""
     prices = jax.vmap(
         lambda x: _price_vec_gl_grouped(
             x, strikes, t_idx, unique_T, is_calls, S0, r, q, n_points
         )
     )(pop)
-    nan_bad = jnp.any(jnp.isnan(prices), axis=-1)
+    nan_bad = jnp.any(jnp.isnan(prices * mask), axis=-1)
     prices = jnp.maximum(prices, 1e-10)
-    errors = (prices - market_prices) / market_prices
+    errors = mask * (prices - market_prices) / market_prices
     obj = jnp.sum(errors * errors, axis=-1)
     return jnp.where(nan_bad, 1e10, obj)
 
@@ -193,6 +194,7 @@ def _calibrate_pipeline(
     unique_T,
     is_calls,
     market_prices,
+    mask,
     S0,
     r,
     q,
@@ -209,11 +211,19 @@ def _calibrate_pipeline(
 
     Maturities arrive pre-grouped as ``(t_idx, unique_T)`` from
     :func:`pde_tpu.models.heston.group_maturities` so every pricing call
-    shares CF evaluations across the strikes of each maturity."""
+    shares CF evaluations across the strikes of each maturity.
+
+    ``mask`` (same shape as ``strikes``, 1.0 = real quote, 0.0 = padding)
+    weights every residual, which makes the compiled program reusable
+    across chains of different sizes: the caller pads the quote axis to a
+    shape bucket and masks the tail.  Padded slots contribute zero to the
+    DE objective, zero rows to the LM Jacobian, and nothing to
+    convergence."""
 
     def objective(pop):
         return _objective_population_gl_grouped(
-            pop, strikes, t_idx, unique_T, is_calls, market_prices, S0, r, q,
+            pop, strikes, t_idx, unique_T, is_calls, market_prices, mask,
+            S0, r, q,
         )
 
     # warm start seeds the DE population (heston_calibrator.py:411-413)
@@ -238,7 +248,7 @@ def _calibrate_pipeline(
     def residuals(x):
         prices = _price_vec_grouped(x, strikes, t_idx, unique_T, is_calls, S0, r, q)
         prices = jnp.maximum(prices, 1e-10)  # heston_calibrator.py:533
-        return (prices - market_prices) / market_prices
+        return mask * (prices - market_prices) / market_prices
 
     # MULTISTART local stage (deviation from the reference's single
     # least_squares from the DE best, :469-477): polish the top-k DE members
@@ -302,6 +312,7 @@ class HestonCalibrator:
         global_popsize: int = 15,
         local_max_iter: int = 60,
         seed: int = 42,
+        pad_shapes: bool = True,
     ):
         self.db = db
         self.bounds = bounds or dict(self.DEFAULT_BOUNDS)
@@ -309,6 +320,11 @@ class HestonCalibrator:
         self.global_popsize = global_popsize
         self.local_max_iter = local_max_iter
         self.seed = seed
+        # pad the quote/maturity axes up to shape buckets so day-to-day
+        # chain-size changes reuse one compiled pipeline (each new
+        # (n_quotes, n_maturities) shape otherwise pays a multi-second XLA
+        # compile - a TPU-production concern the CPU reference never had)
+        self.pad_shapes = pad_shapes
 
     # ------------------------------------------------------------------ API
 
@@ -344,15 +360,35 @@ class HestonCalibrator:
                 use_x0 = jnp.asarray(False)
 
             key = jax.random.PRNGKey(self.seed)
-            unique_T, t_idx = heston_model.group_maturities(maturities)
+            n_real = len(strikes)
+            if self.pad_shapes:
+                n_pad = max(32, -(-n_real // 32) * 32)  # next multiple of 32
+                # maturity buckets of 2: the CF cost scales with M, so keep
+                # padding tight (quote counts move day to day far more than
+                # maturity counts)
+                unique_T, t_idx = heston_model.group_maturities(
+                    maturities,
+                    pad_to=-(-len(np.unique(maturities)) // 2) * 2,
+                )
+                pad = n_pad - n_real
+                strikes_p = np.concatenate([strikes, np.full(pad, float(S0))])
+                t_idx = np.concatenate([t_idx, np.zeros(pad, t_idx.dtype)])
+                is_calls_p = np.concatenate([is_calls, np.ones(pad, bool)])
+                prices_p = np.concatenate([prices, np.ones(pad)])
+                mask = np.concatenate([np.ones(n_real), np.zeros(pad)])
+            else:
+                unique_T, t_idx = heston_model.group_maturities(maturities)
+                strikes_p, is_calls_p, prices_p = strikes, is_calls, prices
+                mask = np.ones(n_real)
             (de_x, de_fun, de_iter, lm_x, lm_cost, lm_conv, lm_iter,
              model_prices) = (
                 _calibrate_pipeline(
-                    jnp.asarray(strikes),
+                    jnp.asarray(strikes_p),
                     jnp.asarray(t_idx),
                     jnp.asarray(unique_T),
-                    jnp.asarray(is_calls),
-                    jnp.asarray(prices),
+                    jnp.asarray(is_calls_p),
+                    jnp.asarray(prices_p),
+                    jnp.asarray(mask),
                     S0,
                     r,
                     q,
@@ -377,6 +413,7 @@ class HestonCalibrator:
             )
             params = HestonParams(*[float(v) for v in lm_x])
             warnings = self._validate_parameters(params)
+            model_prices = np.asarray(model_prices)[:n_real]
             fit_quality = self._fit_quality(model_prices, prices, params)
             elapsed_ms = int((time.time() - start) * 1000)
 
@@ -449,9 +486,9 @@ class HestonCalibrator:
         t_idx = np.stack([idx for _, idx in grouped])
 
         def one(args):
-            k_, s_, ti_, ut_, c_, p_, spot_ = args
+            k_, s_, ti_, ut_, c_, p_, w_, spot_ = args
             return _calibrate_pipeline(
-                s_, ti_, ut_, c_, p_, spot_, r, q, lower, upper, k_,
+                s_, ti_, ut_, c_, p_, w_, spot_, r, q, lower, upper, k_,
                 jnp.zeros(5), jnp.asarray(False),
                 global_maxiter=self.global_maxiter,
                 global_popsize=self.global_popsize,
@@ -466,6 +503,7 @@ class HestonCalibrator:
             jnp.asarray(unique_T),
             jnp.asarray(is_calls),
             jnp.asarray(market_prices),
+            jnp.ones_like(jnp.asarray(strikes)),
             jnp.asarray(S0),
         )
         if mesh is not None:
@@ -475,9 +513,9 @@ class HestonCalibrator:
             d1 = NamedSharding(mesh, P("dp"))
             batched = jax.jit(
                 batched,
-                in_shardings=((d1, dq, dq, d1, dq, dq, d1),),
+                in_shardings=((d1, dq, dq, d1, dq, dq, dq, d1),),
             )
-            args = jax.device_put(args, (d1, dq, dq, d1, dq, dq, d1))
+            args = jax.device_put(args, (d1, dq, dq, d1, dq, dq, dq, d1))
         out = batched(args)
         de_x, de_fun, de_iter, lm_x, lm_cost, lm_conv, lm_iter, model_prices = out
         return {

@@ -409,3 +409,46 @@ class TestReviewRegressions:
         )
         assert res.success
         assert res.converged_by_maturity and all(res.converged_by_maturity.values())
+
+
+class TestShapePadding:
+    """pad_shapes: different chain sizes reuse ONE compiled pipeline (the
+    padded tail is mask-weighted to zero residual), and padding does not
+    change the recovered parameters."""
+
+    def test_chain_size_change_reuses_compile(self):
+        from pde_tpu.calibrate.heston import HestonCalibrator, _calibrate_pipeline
+
+        base = HestonCalibrator.generate_synthetic_data(
+            n_strikes=9, n_maturities=2
+        )
+        cal = HestonCalibrator(global_maxiter=25, global_popsize=8)
+
+        r1 = cal.calibrate(base, S0=100.0, r=0.05, q=0.02)
+        after_first = _calibrate_pipeline._cache_size()
+
+        # drop two quotes: a different raw chain size, same shape bucket —
+        # must NOT trace/compile a new pipeline variant
+        smaller = {k: np.asarray(v)[:-2] for k, v in base.items()}
+        r2 = cal.calibrate(smaller, S0=100.0, r=0.05, q=0.02)
+        after_second = _calibrate_pipeline._cache_size()
+
+        assert after_second == after_first  # no recompile
+        assert r1.rmse < 1e-2 and r2.rmse < 1e-2
+
+    def test_padded_matches_unpadded_params(self):
+        from pde_tpu.calibrate.heston import HestonCalibrator
+
+        data = HestonCalibrator.generate_synthetic_data(
+            n_strikes=7, n_maturities=2
+        )
+        padded = HestonCalibrator(
+            global_maxiter=15, global_popsize=6, pad_shapes=True
+        ).calibrate(data, S0=100.0, r=0.05, q=0.02)
+        exact = HestonCalibrator(
+            global_maxiter=15, global_popsize=6, pad_shapes=False
+        ).calibrate(data, S0=100.0, r=0.05, q=0.02)
+        for k in ("kappa", "theta", "sigma", "rho", "v0"):
+            a, b = float(getattr(padded.params, k)), float(getattr(exact.params, k))
+            assert a == pytest.approx(b, rel=1e-2, abs=1e-3), k
+        assert padded.fit_quality["n_options"] == exact.fit_quality["n_options"]
