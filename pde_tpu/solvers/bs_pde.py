@@ -45,6 +45,12 @@ class BSPDEParams(NamedTuple):
     # the rigorous LCP via red-black projected SOR (solvers/lcp.py)
     american_method: str = "projection"
     psor_iterations: int = 60
+    # Reproduce the reference solver bit-for-bit (black_scholes_pde.hpp:116-147):
+    # boundary discount over CALENDAR time (its non-converging defect — see
+    # apply_bc), no dividend discount on the S-leg, and the reference's
+    # solve -> American-max -> BC step ordering.  For parity testing against
+    # tests/golden/reference_pde_values.json only; leave False for pricing.
+    reference_compat: bool = False
 
 
 class BSPDEResult(NamedTuple):
@@ -77,12 +83,12 @@ def _operator_coeffs(p: BSPDEParams, dx):
     jax.jit,
     static_argnames=(
         "n_space", "n_time", "is_call", "american", "scheme", "american_method",
-        "psor_iterations",
+        "psor_iterations", "reference_compat",
     ),
 )
 def _solve_impl(
     S0, sigma, r, q, T, K, s_min_mult, s_max_mult, n_space, n_time, is_call, american, scheme,
-    american_method="projection", psor_iterations=60,
+    american_method="projection", psor_iterations=60, reference_compat=False,
 ):
     p = BSPDEParams(
         sigma=sigma, r=r, q=q, T=T, K=K, is_call=is_call, american=american,
@@ -110,6 +116,12 @@ def _solve_impl(
     diag = jnp.where(is_interior, 1.0 - w * dt * L_c, 1.0)
     lower = jnp.where(is_interior[1:], -w * dt * L_m, 0.0)
     upper = jnp.where(is_interior[:-1], -w * dt * L_p, 0.0)
+    if reference_compat:
+        # the reference zeroes A[1,0] and A[n-2,n-1] after assembly
+        # (black_scholes_pde.hpp:250-254 guards + the post-loop zeroing), so
+        # rows 1 and n-2 lose their implicit coupling to the Dirichlet rows
+        lower = lower.at[0].set(0.0)
+        upper = upper.at[-1].set(0.0)
 
     def explicit_rhs(V):
         """(I + (1-w) dt L) V on interior points."""
@@ -127,9 +139,19 @@ def _solve_impl(
         K - S_min — a non-converging O(K(1-e^{-rT})) error in the deep
         ITM/OTM wings (~0.16 on the canonical put).  Discount over tau, and
         carry the dividend discount on the S leg (In 't Hout-Foulon
-        convention, as in solvers/heston_adi.py)."""
-        df_r = jnp.exp(-r * tau)
-        df_q = jnp.exp(-q * tau)
+        convention, as in solvers/heston_adi.py).
+
+        ``reference_compat`` reinstates the reference behaviour exactly —
+        discount over calendar time T - tau and no dividend discount on the
+        S-leg — so the golden fixtures in
+        tests/golden/reference_pde_values.json reproduce to solver
+        round-off."""
+        if reference_compat:
+            df_r = jnp.exp(-r * (T - tau))
+            df_q = jnp.ones_like(df_r)
+        else:
+            df_r = jnp.exp(-r * tau)
+            df_q = jnp.exp(-q * tau)
         if is_call:
             V = V.at[0].set(0.0)
             V = V.at[-1].set(s_grid[-1] * df_q - K * df_r)
@@ -148,18 +170,42 @@ def _solve_impl(
             )
         else:
             V = thomas(lower, diag, upper, rhs)
-        V = apply_bc(V, tau)
-        if american:
-            # after the Dirichlet overwrite so the boundary rows are floored
-            # at intrinsic too (an American value can never sit below payoff)
-            V = jnp.maximum(V, payoff)
+        if reference_compat:
+            # reference step ordering (black_scholes_pde.hpp:117-127):
+            # American projection first, Dirichlet overwrite last (unfloored)
+            if american:
+                V = jnp.maximum(V, payoff)
+            V = apply_bc(V, tau)
+        else:
+            V = apply_bc(V, tau)
+            if american:
+                # after the Dirichlet overwrite so the boundary rows are
+                # floored at intrinsic too (an American value can never sit
+                # below payoff)
+                V = jnp.maximum(V, payoff)
         return V, None
 
     # backward march; after step k the grid sits at time-to-expiry k*dt
     taus = (T / n_time) * jnp.arange(1, n_time + 1, dtype=s_grid.dtype)
     V, _ = jax.lax.scan(step, payoff, taus)
 
-    price = grids.interp_linear(s_grid, V, S0)
+    if reference_compat:
+        # Reference readout defect (pde_core.hpp:101-133): find_index returns
+        # the NEAREST grid point and interpolate always uses the segment
+        # [i-1, i] — when the nearest point lies left of S0 this EXTRAPOLATES
+        # from the wrong segment (t > 1), biasing convex payoffs low by
+        # O(gamma * dS^2) at every off-grid spot.  interp_linear (the default
+        # path) brackets correctly.
+        i_lo = jnp.searchsorted(s_grid, S0, side="right") - 1
+        i_lo = jnp.clip(i_lo, 0, n_space - 2)
+        nearest = jnp.where(
+            S0 - s_grid[i_lo] < s_grid[i_lo + 1] - S0, i_lo, i_lo + 1
+        )
+        i = jnp.clip(nearest, 1, n_space - 2)
+        t = (S0 - s_grid[i - 1]) / (s_grid[i] - s_grid[i - 1])
+        price = (1.0 - t) * V[i - 1] + t * V[i]
+    else:
+        price = grids.interp_linear(s_grid, V, S0)
 
     # Greeks from the grid (black_scholes_pde.hpp:292-312)
     i = jnp.clip(grids.find_index(s_grid, S0), 1, n_space - 2)
@@ -213,4 +259,5 @@ def solve(params: BSPDEParams, S0) -> BSPDEResult:
         params.scheme,
         params.american_method,
         params.psor_iterations,
+        bool(params.reference_compat),
     )

@@ -63,6 +63,12 @@ class HJBParams(NamedTuple):
     # LCP via red-black projected SOR (Leung-Li 2015 formulation)
     method: str = "projection"
     psor_iterations: int = 60
+    # Replicate the reference matrix assembly exactly (hjb_solver.hpp:354-358
+    # zeroes lower[0] and upper[n-2] AFTER the fill loop, so rows 1 and n-2
+    # lose their implicit coupling to the extrapolated boundary rows).  On
+    # this tight grid that shifts detected boundaries by up to one cell; used
+    # by the golden parity tests (tests/golden/reference_pde_values.json).
+    reference_compat: bool = False
 
 
 class HJBResult(NamedTuple):
@@ -115,9 +121,10 @@ def _exercise_value(x, p: HJBParams, problem: StoppingProblem):
     return -x - p.c_exit
 
 
-@functools.partial(jax.jit, static_argnames=("n_space", "n_time", "method", "psor_iterations"))
+@functools.partial(jax.jit, static_argnames=(
+    "n_space", "n_time", "method", "psor_iterations", "reference_compat"))
 def _march(exercise, theta, mu, sigma, r, T, x_min, x_max, n_space, n_time,
-           method="projection", psor_iterations=60):
+           method="projection", psor_iterations=60, reference_compat=False):
     """Implicit time march with obstacle projection; batched over a leading
     problems axis of ``exercise``.  (hjb_solver.hpp:150-190)."""
     x = jnp.linspace(x_min, x_max, n_space)
@@ -150,6 +157,11 @@ def _march(exercise, theta, mu, sigma, r, T, x_min, x_max, n_space, n_time,
     # boundary coupling rows are identity (hjb_solver.hpp:354-358)
     lower = lower.at[-1].set(0.0)
     upper = upper.at[0].set(0.0)
+    if reference_compat:
+        # the reference additionally zeroes A[1,0] and A[n-2,n-1]
+        # (lower[0] / upper[n-2] in its band layout)
+        lower = lower.at[0].set(0.0)
+        upper = upper.at[-1].set(0.0)
 
     def step(V, _):
         if method == "psor":
@@ -200,6 +212,7 @@ def solve(params: HJBParams) -> HJBResult:
         g, params.theta, params.mu, params.sigma, params.r, params.T,
         params.x_min, params.x_max, params.n_space, params.n_time,
         method=params.method, psor_iterations=params.psor_iterations,
+        reference_compat=bool(params.reference_compat),
     )
     x_np, V_np, g_np = jax.device_get((x_out, V, g))  # one batched pull
     lo, hi = _find_boundaries(V_np, x_np, g_np)
@@ -220,6 +233,7 @@ def solve_all_boundaries(params: HJBParams) -> OptimalTradingBoundaries:
         g_all, params.theta, params.mu, params.sigma, params.r, params.T,
         params.x_min, params.x_max, params.n_space, params.n_time,
         method=params.method, psor_iterations=params.psor_iterations,
+        reference_compat=bool(params.reference_compat),
     )
     x_np, V_np, g_np = jax.device_get((x_out, V_all, g_all))  # one batched pull
     sigma_stat = params.sigma / np.sqrt(2.0 * params.mu)
