@@ -52,6 +52,20 @@ def _load_measured_baselines():
         out["ou_sim252_paths_per_sec"] = 1000.0 / micro["ou_simulate252_ms"]
     if "ou_fit252_ms" in micro:
         out["ou_mle252_fits_per_sec"] = 1000.0 / micro["ou_fit252_ms"]
+    if "heston_pde_solve_ms" in micro:
+        # the reference prices PDE books by looping one solve per option
+        pde_s = micro["heston_pde_solve_ms"] / 1000.0
+        out["heston_adi_100x50_steps_per_sec"] = 100.0 / pde_s
+        out["heston_adi_vmapped16_steps_per_sec"] = 100.0 / pde_s
+        out["heston_adi_fused_solve_s"] = pde_s
+        out["heston_adi_batch108_options_per_sec"] = 1.0 / pde_s
+        out["heston_adi_fused_batch512_options_per_sec"] = 1.0 / pde_s
+    if "heston_pde_amer_solve_ms" in micro:
+        out["heston_american_lcp_solve_s"] = micro["heston_pde_amer_solve_ms"] / 1000.0
+        out["heston_american_lcp_fused_solve_s"] = (
+            micro["heston_pde_amer_solve_ms"] / 1000.0)
+    if "hjb_all_boundaries_ms" in micro:
+        out["ou_freeboundary_psor_solve_s"] = micro["hjb_all_boundaries_ms"] / 1000.0
     if "calibration_108" in m:
         out["heston_surface_calibration_wall_s"] = m["calibration_108"]["wall_s"]
         # the reference calibrates surfaces serially

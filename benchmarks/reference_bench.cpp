@@ -28,6 +28,14 @@
 #include "models/sabr.hpp"
 #include "models/ou_process.hpp"
 
+// PDE solvers need Eigen (bundled with the image's tensorflow wheel);
+// run_reference_bench.py adds -DREF_BENCH_WITH_PDE -I<eigen> when found.
+#ifdef REF_BENCH_WITH_PDE
+#include "solvers/black_scholes_pde.hpp"
+#include "solvers/heston_pde.hpp"
+#include "solvers/hjb_solver.hpp"
+#endif
+
 using namespace quant::models;
 
 static volatile double g_sink = 0.0;  // defeat dead-code elimination
@@ -95,6 +103,32 @@ int main() {
     double ou_ll_us = 1000.0 * time_per_call_ms(
         [&] { g_sink = OUProcess::log_likelihood(path, op, 1.0 / 252.0); }, 10000);
 
+#ifdef REF_BENCH_WITH_PDE
+    // BS 1D PDE, default 200x100 CN grid (black_scholes_pde.hpp:58-62)
+    quant::solvers::BlackScholesPDEParams bsp;
+    bsp.q = 0.02;
+    double bs_pde_ms = time_per_call_ms(
+        [&] { g_sink = quant::solvers::BlackScholesPDESolver(bsp).solve(100.0).price; }, 50);
+
+    // Heston 2D ADI, default 100x50x100 grid (heston_pde.hpp:56-61) —
+    // the reference prices books by looping this solve per option
+    quant::solvers::HestonPDEParams hpde;  // canonical params, q=0
+    double heston_pde_ms = time_per_call_ms(
+        [&] { g_sink = quant::solvers::HestonPDESolver(hpde).solve(100.0).price; }, 10);
+
+    quant::solvers::HestonPDEParams hpde_am;
+    hpde_am.option_type = quant::solvers::OptionType::Put;
+    hpde_am.exercise = quant::solvers::ExerciseStyle::American;
+    double heston_pde_am_ms = time_per_call_ms(
+        [&] { g_sink = quant::solvers::HestonPDESolver(hpde_am).solve(100.0).price; }, 10);
+
+    // HJB all-boundaries at bench_full.py's config (256x128, costs 0.002)
+    quant::solvers::HJBParams jp;
+    jp.c_entry = 0.002; jp.c_exit = 0.002; jp.n_space = 256; jp.n_time = 128;
+    double hjb_ms = time_per_call_ms(
+        [&] { g_sink = quant::solvers::HJBSolver(jp).solve_all_boundaries().entry_long; }, 20);
+#endif
+
     std::printf("{\n");
     std::printf("  \"heston_single_price_ms\": %.6f,\n", single_ms);
     std::printf("  \"heston_vec100_ms\": %.6f,\n", vec100_ms);
@@ -109,6 +143,12 @@ int main() {
     std::printf("  \"ou_simulate252_ms\": %.6f,\n", ou_sim_ms);
     std::printf("  \"ou_fit252_ms\": %.6f,\n", ou_fit_ms);
     std::printf("  \"ou_loglik252_us\": %.4f,\n", ou_ll_us);
+#ifdef REF_BENCH_WITH_PDE
+    std::printf("  \"bs_pde_solve_ms\": %.6f,\n", bs_pde_ms);
+    std::printf("  \"heston_pde_solve_ms\": %.6f,\n", heston_pde_ms);
+    std::printf("  \"heston_pde_amer_solve_ms\": %.6f,\n", heston_pde_am_ms);
+    std::printf("  \"hjb_all_boundaries_ms\": %.6f,\n", hjb_ms);
+#endif
     std::printf("  \"openmp_threads\": %d\n",
 #ifdef _OPENMP
                  []{ int n = 0;

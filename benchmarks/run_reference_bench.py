@@ -46,6 +46,30 @@ CXX_FLAGS = [
     "-O3", "-march=native", "-std=c++17", "-fopenmp", "-include", "tuple",
     f"-I{REF}/src/cpp",
 ]
+
+
+def _find_eigen() -> str | None:
+    """Eigen ships inside the image's tensorflow wheel (no system install)."""
+    import glob
+    import sysconfig
+    candidates = ["/usr/include/eigen3"]
+    site = sysconfig.get_paths().get("purelib", "")
+    if site:
+        candidates.append(os.path.join(site, "tensorflow", "include"))
+    candidates.extend(glob.glob("/opt/venv/lib/python3*/site-packages/tensorflow/include"))
+    for c in candidates:
+        if os.path.isdir(os.path.join(c, "Eigen")):
+            return c
+    return None
+
+
+_EIGEN = _find_eigen()
+if _EIGEN:
+    # unlocks the reference PDE solver timings (REF_BENCH_WITH_PDE section).
+    # -mno-avx512fp16: the tensorflow-bundled Eigen miscompiles its AVX512FP16
+    # packet specializations under -march=native on this toolchain; the PDE
+    # solvers are float64 so the flag costs nothing.
+    CXX_FLAGS += ["-DREF_BENCH_WITH_PDE", f"-I{_EIGEN}", "-mno-avx512fp16"]
 REF_SOURCES = [
     f"{REF}/src/cpp/models/heston.cpp",
     f"{REF}/src/cpp/models/sabr.cpp",
@@ -138,7 +162,18 @@ def measure_calibration(price, strikes, maturities, S0=100.0, r=0.05, q=0.02):
 
 def main():
     exe, lib_path = build()
-    micro = json.loads(subprocess.run([exe], capture_output=True, text=True, check=True).stdout)
+    # best-of-3 exe runs: the box is shared, so take the fastest observation
+    # per metric (most favourable to the reference)
+    runs = [
+        json.loads(subprocess.run([exe], capture_output=True, text=True, check=True).stdout)
+        for _ in range(3)
+    ]
+    micro = {
+        k: (min(r[k] for r in runs) if k.endswith(("_ms", "_us", "_s"))
+            else max(r[k] for r in runs) if k.endswith("_per_sec")
+            else runs[0][k])
+        for k in runs[0]
+    }
 
     result = {
         "measured_at": datetime.now(timezone.utc).isoformat(),
@@ -160,6 +195,16 @@ def main():
         # 108-quote flagship surface (bench.py's configuration)
         K108, T108 = np.meshgrid(np.linspace(85.0, 115.0, 12), np.linspace(0.25, 1.5, 9))
         result["calibration_108"] = measure_calibration(price, K108.ravel(), T108.ravel())
+    else:
+        # keep the previously-measured calibration results (they take ~10 min)
+        try:
+            with open(OUT_JSON) as f:
+                prev = json.load(f)
+            for key in ("calibration_50", "calibration_108"):
+                if key in prev:
+                    result[key] = prev[key]
+        except (OSError, ValueError):
+            pass
 
     with open(OUT_JSON, "w") as f:
         json.dump(result, f, indent=2)
