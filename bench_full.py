@@ -248,10 +248,13 @@ def main():
     # boundary-optimization target <5 s) --------------------------------------
     from pde_tpu.solvers import hjb
 
+    # rigorous LCP via Brennan-Schwartz: the EXACT free-boundary solution in
+    # one projected tridiagonal pass per step (validated == PSOR-200 to 1e-15,
+    # tests/test_lcp.py), ~60x fewer serial ops than the PSOR iteration
     hjb_p = hjb.HJBParams(
         theta=0.0, mu=5.0, sigma=0.1, r=0.05, c_entry=0.002, c_exit=0.002,
-        T=1.0, n_space=_n(256, 64), n_time=_n(128, 16), method="psor",
-        psor_iterations=_n(60, 8),
+        T=1.0, n_space=_n(256, 64), n_time=_n(128, 16),
+        method="brennan_schwartz",
     )
     hjb.solve_all_boundaries(hjb_p)  # warm: compile
     t0 = time.perf_counter()
@@ -261,6 +264,21 @@ def main():
     per = (time.perf_counter() - t0) / n_reps
     assert bounds.entry_long < bounds.exit_long  # sane boundary ordering
     emit("ou_freeboundary_psor_solve_s", per, "solve_s", baseline=5.0)
+
+    # the TPU design point: a BOOK of pair configs in one vmapped launch —
+    # the serial time chain amortizes across the batch (the reference loops
+    # its 2.6 ms solve per pair)
+    B_hjb = _n(64, 4)
+    per = timeit(
+        jax.jit(lambda: hjb.boundaries_batch(
+            theta=jnp.zeros(B_hjb), mu=jnp.linspace(2.0, 8.0, B_hjb),
+            sigma=jnp.linspace(0.05, 0.2, B_hjb), r=0.05,
+            c_entry=0.002, c_exit=0.002, T=1.0,
+            n_space=_n(256, 64), n_time=_n(128, 16),
+        )[1]),
+        n=_n(5, 1),
+    )
+    emit("ou_freeboundary_batch64_books_per_sec", 1.0 / per, "books/s")
 
     # 6/7. calibration headline + batched ------------------------------------
     from pde_tpu.calibrate.heston import HestonCalibrator

@@ -29,6 +29,7 @@ __all__ = [
     "bs_pde_solve",
     "heston_adi_solve",
     "hjb_march",
+    "hjb_march_bs",
     "simulate_fills",
     "bs_implied_vol",
 ]
@@ -235,4 +236,18 @@ def hjb_march(theta, mu, sigma, r, T, x_min, x_max, exercise,
     out = np.zeros(n, dtype=np.float64)
     lib.hjb_march(theta, mu, sigma, r, T, x_min, x_max, n, n_time,
                   _c(exercise), _c(out))
+    return out
+
+
+def hjb_march_bs(theta, mu, sigma, r, T, x_min, x_max, exercise,
+                 reverse: bool, n_time: int = 200) -> np.ndarray:
+    """Rigorous-LCP (Brennan-Schwartz) implicit march: host twin of
+    solvers.hjb._march(method="brennan_schwartz").  The latency backend for
+    single tiny stopping problems (the serial chain is CPU-shaped)."""
+    lib = load()
+    exercise = np.ascontiguousarray(exercise, dtype=np.float64)
+    n = len(exercise)
+    out = np.zeros(n, dtype=np.float64)
+    lib.hjb_march_bs(theta, mu, sigma, r, T, x_min, x_max, n, n_time,
+                     _c(exercise), int(bool(reverse)), _c(out))
     return out

@@ -106,6 +106,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.hjb_march.argtypes = [dbl] * 7 + [i64, i64, dbl_p, dbl_p]
     lib.hjb_march.restype = None
 
+    lib.hjb_march_bs.argtypes = [dbl] * 7 + [i64, i64, dbl_p,
+                                             ctypes.c_int32, dbl_p]
+    lib.hjb_march_bs.restype = None
+
     lib.pde_host_abi_version.restype = ctypes.c_int32
     return lib
 

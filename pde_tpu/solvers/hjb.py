@@ -33,6 +33,8 @@ __all__ = [
     "OptimalTradingBoundaries",
     "solve",
     "solve_all_boundaries",
+    "boundaries_batch",
+    "extract_boundaries_batch",
 ]
 
 
@@ -60,7 +62,10 @@ class HJBParams(NamedTuple):
     x_max: float = 0.5
     # obstacle handling: "projection" = implicit-then-max (the reference's
     # splitting, hjb_solver.hpp:163-178); "psor" = rigorous free-boundary
-    # LCP via red-black projected SOR (Leung-Li 2015 formulation)
+    # LCP via red-black projected SOR (Leung-Li 2015 formulation);
+    # "brennan_schwartz" = the SAME rigorous LCP solved EXACTLY in one
+    # projected tridiagonal pass (valid here because every stopping region
+    # is anchored at one grid end) — ~60x fewer serial ops than PSOR
     method: str = "projection"
     psor_iterations: int = 60
     # Replicate the reference matrix assembly exactly (hjb_solver.hpp:354-358
@@ -69,6 +74,14 @@ class HJBParams(NamedTuple):
     # this tight grid that shifts detected boundaries by up to one cell; used
     # by the golden parity tests (tests/golden/reference_pde_values.json).
     reference_compat: bool = False
+    # Execution backend for SINGLE solves.  A lone 256-point march is a pure
+    # serial dependency chain — CPU-shaped work — so "auto" routes it to the
+    # native C++ twin (src/cpp/pde_solvers.cpp hjb_march/hjb_march_bs) when
+    # the library is built, and falls back to the device march otherwise.
+    # Books of pair configs should use :func:`boundaries_batch`, which stays
+    # on the device where the batch amortizes the chain.  "device"/"native"
+    # force a side; parity paths (reference_compat) always run on device.
+    backend: str = "auto"
 
 
 class HJBResult(NamedTuple):
@@ -124,7 +137,8 @@ def _exercise_value(x, p: HJBParams, problem: StoppingProblem):
 @functools.partial(jax.jit, static_argnames=(
     "n_space", "n_time", "method", "psor_iterations", "reference_compat"))
 def _march(exercise, theta, mu, sigma, r, T, x_min, x_max, n_space, n_time,
-           method="projection", psor_iterations=60, reference_compat=False):
+           method="projection", psor_iterations=60, reference_compat=False,
+           bs_reverse=False):
     """Implicit time march with obstacle projection; batched over a leading
     problems axis of ``exercise``.  (hjb_solver.hpp:150-190)."""
     x = jnp.linspace(x_min, x_max, n_space)
@@ -138,7 +152,7 @@ def _march(exercise, theta, mu, sigma, r, T, x_min, x_max, n_space, n_time,
     diff = 0.5 * sigma * sigma
     a = diff / (dx * dx)
     drift = mu * (theta - x[1:-1])
-    if method == "psor":
+    if method in ("psor", "brennan_schwartz"):
         L_m = a + jnp.maximum(-drift, 0.0) / dx
         L_p = a + jnp.maximum(drift, 0.0) / dx
         L_c = -2.0 * a - jnp.abs(drift) / dx - r
@@ -170,6 +184,12 @@ def _march(exercise, theta, mu, sigma, r, T, x_min, x_max, n_space, n_time,
             V, _resid = projected_sor(
                 lower, diag, upper, V, exercise, x0=V, n_iter=psor_iterations
             )
+        elif method == "brennan_schwartz":
+            from .lcp import brennan_schwartz
+
+            V, _resid = brennan_schwartz(
+                lower, diag, upper, V, exercise, reverse=bs_reverse
+            )
         else:
             V = thomas(lower, diag, upper, V)
             V = jnp.maximum(V, exercise)
@@ -180,6 +200,16 @@ def _march(exercise, theta, mu, sigma, r, T, x_min, x_max, n_space, n_time,
 
     V, _ = jax.lax.scan(step, exercise, None, length=n_time)
     return x, V
+
+
+# Brennan-Schwartz sweep direction per stopping problem: the contact
+# (stopping) region is anchored at the LEFT grid end (False) or RIGHT (True).
+_BS_REVERSE = {
+    StoppingProblem.ENTRY_LONG: False,   # enter long when x is low
+    StoppingProblem.ENTRY_SHORT: True,   # enter short when x is high
+    StoppingProblem.EXIT_LONG: True,     # exit long when x has risen
+    StoppingProblem.EXIT_SHORT: False,   # exit short when x has fallen
+}
 
 
 def _find_boundaries(V: np.ndarray, x: np.ndarray, g: np.ndarray):
@@ -197,6 +227,30 @@ def _find_boundaries(V: np.ndarray, x: np.ndarray, g: np.ndarray):
     return lower_bd, upper_bd
 
 
+def _native_march(params: HJBParams, g_np: np.ndarray, problem) -> Optional[np.ndarray]:
+    """Route one march to the C++ host twin; None if unavailable/ineligible."""
+    if params.reference_compat or params.backend == "device":
+        return None
+    if params.method not in ("projection", "brennan_schwartz"):
+        return None
+    try:
+        from .. import native
+
+        if not native.is_available():
+            raise RuntimeError
+    except Exception:
+        if params.backend == "native":
+            raise
+        return None
+    args = (float(params.theta), float(params.mu), float(params.sigma),
+            float(params.r), float(params.T), float(params.x_min),
+            float(params.x_max), g_np)
+    if params.method == "projection":
+        return native.hjb_march(*args, n_time=params.n_time)
+    return native.hjb_march_bs(*args, bool(_BS_REVERSE[problem]),
+                               n_time=params.n_time)
+
+
 def solve(params: HJBParams) -> HJBResult:
     """Solve one stopping problem; boundaries extracted host-side."""
     if params.mu <= 0 or params.sigma <= 0:
@@ -208,11 +262,20 @@ def solve(params: HJBParams) -> HJBResult:
 
     x = jnp.linspace(params.x_min, params.x_max, params.n_space)
     g = _exercise_value(x, params, params.problem)
+
+    native_V = _native_march(params, np.asarray(jax.device_get(g), np.float64),
+                             params.problem)
+    if native_V is not None:
+        x_np = np.asarray(jax.device_get(x), np.float64)
+        g_np = np.asarray(jax.device_get(g), np.float64)
+        lo, hi = _find_boundaries(native_V, x_np, g_np)
+        return HJBResult(native_V, x_np, lo, hi, None)
     x_out, V = _march(
         g, params.theta, params.mu, params.sigma, params.r, params.T,
         params.x_min, params.x_max, params.n_space, params.n_time,
         method=params.method, psor_iterations=params.psor_iterations,
         reference_compat=bool(params.reference_compat),
+        bs_reverse=jnp.asarray(_BS_REVERSE[params.problem]),
     )
     x_np, V_np, g_np = jax.device_get((x_out, V, g))  # one batched pull
     lo, hi = _find_boundaries(V_np, x_np, g_np)
@@ -229,13 +292,33 @@ def solve_all_boundaries(params: HJBParams) -> OptimalTradingBoundaries:
     """
     x = jnp.linspace(params.x_min, params.x_max, params.n_space)
     g_all = jnp.stack([_exercise_value(x, params, pr) for pr in StoppingProblem])
+
+    g_np_all = np.asarray(jax.device_get(g_all), np.float64)
+    native_first = _native_march(params, g_np_all[0], StoppingProblem.ENTRY_LONG)
+    if native_first is not None:
+        V_np = np.stack(
+            [native_first]
+            + [_native_march(params, g_np_all[pr], pr)
+               for pr in list(StoppingProblem)[1:]]
+        )
+        x_np = np.asarray(jax.device_get(x), np.float64)
+        return _assemble_boundaries(params, x_np, V_np, g_np_all)
+
     x_out, V_all = _march(
         g_all, params.theta, params.mu, params.sigma, params.r, params.T,
         params.x_min, params.x_max, params.n_space, params.n_time,
         method=params.method, psor_iterations=params.psor_iterations,
         reference_compat=bool(params.reference_compat),
+        bs_reverse=jnp.asarray([_BS_REVERSE[pr] for pr in StoppingProblem]),
     )
     x_np, V_np, g_np = jax.device_get((x_out, V_all, g_all))  # one batched pull
+    return _assemble_boundaries(params, np.asarray(x_np), np.asarray(V_np),
+                                np.asarray(g_np))
+
+
+def _assemble_boundaries(params: HJBParams, x_np, V_np, g_np):
+    """Boundary detection + reference fallback/stop-loss semantics
+    (hjb_solver.hpp:205-232) from the four final value functions."""
     sigma_stat = params.sigma / np.sqrt(2.0 * params.mu)
 
     bounds = {}
@@ -264,3 +347,67 @@ def solve_all_boundaries(params: HJBParams) -> OptimalTradingBoundaries:
         stop_loss_long=entry_long - 2.0 * sigma_stat,
         stop_loss_short=entry_short + 2.0 * sigma_stat,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("n_space", "n_time", "method"))
+def boundaries_batch(theta, mu, sigma, r, c_entry, c_exit, T,
+                     n_space=200, n_time=200, x_min=None, x_max=None,
+                     method="brennan_schwartz"):
+    """All four stopping problems for a BOOK of pair configs in ONE launch.
+
+    The reference computes boundaries per pair with four sequential C++
+    solves (hjb_solver.hpp:199-234); here ``(theta, mu, sigma)`` are (B,)
+    vectors, the (B, 4) problem/config plane is one batch axis, and the
+    implicit marches broadcast over it — the serial time chain amortizes
+    across the whole book.  Per-config grids default to
+    theta +- 15.8 sigma/sqrt(2 mu) (the single-config default's span).
+
+    Returns device arrays ``(x_grids (B, n), V (B, 4, n), g (B, 4, n))``;
+    feed to :func:`extract_boundaries_batch` for host-side boundary lists.
+    """
+    theta, mu, sigma = map(jnp.asarray, (theta, mu, sigma))
+    sigma_stat = sigma / jnp.sqrt(2.0 * mu)
+    if x_min is None:
+        x_min = theta - 15.8 * sigma_stat
+    if x_max is None:
+        x_max = theta + 15.8 * sigma_stat
+    rev = jnp.asarray([_BS_REVERSE[pr] for pr in StoppingProblem])
+
+    def one(th, m, s, xmin, xmax):
+        pp = HJBParams(theta=th, mu=m, sigma=s, r=r, c_entry=c_entry,
+                       c_exit=c_exit, T=T, n_space=n_space, n_time=n_time)
+        x = jnp.linspace(xmin, xmax, n_space)
+        g_all = jnp.stack([_exercise_value(x, pp, pr) for pr in StoppingProblem])
+        _, V = _march(g_all, th, m, s, r, T, xmin, xmax, n_space, n_time,
+                      method=method, bs_reverse=rev)
+        return x, V, g_all
+
+    return jax.vmap(one)(theta, mu, sigma,
+                         jnp.broadcast_to(x_min, theta.shape),
+                         jnp.broadcast_to(x_max, theta.shape))
+
+
+def extract_boundaries_batch(x_grids, V, g, mu, sigma, theta):
+    """Host-side boundary extraction for :func:`boundaries_batch` output."""
+    x_np, V_np, g_np = jax.device_get((x_grids, V, g))
+    mu = np.asarray(mu); sigma = np.asarray(sigma); theta = np.asarray(theta)
+    out = []
+    for b in range(V_np.shape[0]):
+        sigma_stat = sigma[b] / np.sqrt(2.0 * mu[b])
+        bd = {}
+        for pr in StoppingProblem:
+            bd[pr] = _find_boundaries(V_np[b, pr], x_np[b], g_np[b, pr])
+        el = bd[StoppingProblem.ENTRY_LONG][0]
+        el = theta[b] - 2.0 * sigma_stat if el is None else el
+        es = bd[StoppingProblem.ENTRY_SHORT][1]
+        es = theta[b] + 2.0 * sigma_stat if es is None else es
+        xl = bd[StoppingProblem.EXIT_LONG][1]
+        xl = theta[b] if xl is None else xl
+        xs = bd[StoppingProblem.EXIT_SHORT][0]
+        xs = theta[b] if xs is None else xs
+        out.append(OptimalTradingBoundaries(
+            entry_long=el, entry_short=es, exit_long=xl, exit_short=xs,
+            stop_loss_long=el - 2.0 * sigma_stat,
+            stop_loss_short=es + 2.0 * sigma_stat,
+        ))
+    return out

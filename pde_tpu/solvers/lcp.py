@@ -22,7 +22,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["projected_sor", "projected_sor_pallas", "psor_step"]
+__all__ = ["brennan_schwartz", "projected_sor", "projected_sor_pallas",
+           "psor_step"]
 
 
 def _apply_tridiag(lower, diag, upper, x):
@@ -92,6 +93,100 @@ def projected_sor(
     x, _ = jax.lax.scan(body, x, None, length=n_iter)
 
     resid = jnp.max(jnp.abs(jnp.minimum(_apply_tridiag(lower, diag, upper, x) - b, x - g)))
+    return x, resid
+
+
+def brennan_schwartz(lower, diag, upper, b, g, reverse=False):
+    """EXACT tridiagonal LCP solve in one projected pass (Brennan-Schwartz).
+
+    When the contact region {x = g} is connected and anchored at ONE end of
+    the grid — true for every one-sided optimal-stopping problem here
+    (American exercise regions, the four OU entry/exit problems) — the LCP
+
+        A x >= b,  x >= g,  (x - g)^T (A x - b) = 0
+
+    is solved exactly by eliminating *away* from the contact end and back-
+    substituting *into* it with a per-row projection (Brennan & Schwartz
+    1977; Jaillet-Lamberton-Lapeyre 1990 prove correctness for M-matrices
+    with one-sided contact).  Cost: two scans over the system axis — the
+    same as an ordinary Thomas solve and ~``n_iter``x cheaper than PSOR,
+    with zero iteration error.
+
+    ``reverse=False`` assumes contact at the LEFT end (low index; e.g.
+    entry-long, American put in S); ``reverse=True`` the right end.
+    ``reverse`` may be a bool array over leading batch dims to mix
+    directions in one batched call (solve_all_boundaries solves all four
+    stopping problems, two of each direction, in one launch).
+
+    Shapes as :func:`projected_sor`.  Returns (x, residual).
+    """
+    lower = jnp.asarray(lower)
+    diag = jnp.asarray(diag)
+    upper = jnp.asarray(upper)
+    b = jnp.asarray(b)
+    g = jnp.asarray(g)
+    n = diag.shape[-1]
+    batch = jnp.broadcast_shapes(lower.shape[:-1], diag.shape[:-1],
+                                 b.shape[:-1], g.shape[:-1],
+                                 jnp.shape(reverse))
+    rev = jnp.broadcast_to(jnp.asarray(reverse), batch)[..., None]
+
+    def orient(a, band=False):
+        a = jnp.broadcast_to(a, batch + a.shape[-1:])
+        return jnp.where(rev, jnp.flip(a, axis=-1), a)
+
+    # reversing index order swaps the roles of the two off-diagonal bands
+    lo = jnp.where(rev, jnp.flip(jnp.broadcast_to(upper, batch + (n - 1,)), -1),
+                   jnp.broadcast_to(lower, batch + (n - 1,)))
+    up = jnp.where(rev, jnp.flip(jnp.broadcast_to(lower, batch + (n - 1,)), -1),
+                   jnp.broadcast_to(upper, batch + (n - 1,)))
+    di = orient(diag)
+    bb = orient(b)
+    gg = orient(g)
+
+    def front(a):
+        return jnp.moveaxis(a, -1, 0)
+
+    # backward sweep: eliminate the super-diagonal (from i=n-1 down to 0)
+    def elim(carry, inp):
+        d_next, b_next = carry
+        d_i, b_i, u_i, l_i = inp
+        m = u_i / d_next
+        d_new = d_i - m * l_i
+        b_new = b_i - m * b_next
+        return (d_new, b_new), (d_new, b_new)
+
+    # row i couples to row i+1 through u[i]; l[i] = A[i+1, i]
+    inputs = (front(di[..., :-1])[::-1], front(bb[..., :-1])[::-1],
+              front(up)[::-1], front(lo)[::-1])
+    (_, _), (d_rev, b_rev) = jax.lax.scan(
+        elim, (di[..., -1], bb[..., -1]), inputs)
+    d_tilde = jnp.concatenate(
+        [jnp.moveaxis(d_rev[::-1], 0, -1), di[..., -1:]], axis=-1)
+    b_tilde = jnp.concatenate(
+        [jnp.moveaxis(b_rev[::-1], 0, -1), bb[..., -1:]], axis=-1)
+
+    # forward substitution INTO the contact end, projecting each row
+    x0 = jnp.maximum(b_tilde[..., 0] / d_tilde[..., 0], gg[..., 0])
+
+    def sub(x_prev, inp):
+        b_i, d_i, l_im1, g_i = inp
+        x_i = jnp.maximum((b_i - l_im1 * x_prev) / d_i, g_i)
+        return x_i, x_i
+
+    _, xs = jax.lax.scan(
+        sub, x0,
+        (front(b_tilde[..., 1:]), front(d_tilde[..., 1:]), front(lo),
+         front(gg[..., 1:])))
+    x = jnp.concatenate([x0[..., None], jnp.moveaxis(xs, 0, -1)], axis=-1)
+    x = jnp.where(rev, jnp.flip(x, axis=-1), x)
+
+    resid = jnp.max(jnp.abs(jnp.minimum(
+        _apply_tridiag(jnp.broadcast_to(lower, batch + (n - 1,)),
+                       jnp.broadcast_to(diag, batch + (n,)),
+                       jnp.broadcast_to(upper, batch + (n - 1,)), x) -
+        jnp.broadcast_to(b, batch + (n,)),
+        x - jnp.broadcast_to(g, batch + (n,)))))
     return x, resid
 
 

@@ -312,4 +312,75 @@ void hjb_march(double theta, double mu, double sigma, double r, double T,
     std::memcpy(out_V, V.data(), size_t(n) * sizeof(double));
 }
 
+// Brennan-Schwartz variant: the rigorous LCP at each implicit step solved
+// EXACTLY in one projected tridiagonal pass (valid because every stopping
+// region here is anchored at one grid end; see solvers/lcp.py
+// brennan_schwartz).  reverse=0: contact at the LEFT end (entry-long /
+// exit-short); reverse=1: contact at the RIGHT end.  Host twin of
+// pde_tpu.solvers.hjb._march(method="brennan_schwartz") — the latency
+// backend for tiny single-pair solves (the serial chain is CPU-shaped;
+// books of pairs go to the device via hjb.boundaries_batch).
+void hjb_march_bs(double theta, double mu, double sigma, double r, double T,
+                  double x_min, double x_max, int64_t n_space, int64_t n_time,
+                  const double* exercise, int32_t reverse, double* out_V) {
+    const int64_t n = n_space;
+    const double dx = (x_max - x_min) / double(n - 1);
+    const double dt = T / double(n_time);
+    const double a = 0.5 * sigma * sigma / (dx * dx);
+
+    std::vector<double> lower(n - 1, 0.0), diag(n, 1.0), upper(n - 1, 0.0);
+    for (int64_t i = 1; i < n - 1; ++i) {
+        const double xi = x_min + dx * double(i);
+        const double drift = mu * (theta - xi);
+        const double b = drift / (2.0 * dx);
+        const double L_m = a - b, L_c = -2.0 * a - r, L_p = a + b;
+        diag[i] = 1.0 - dt * L_c;
+        lower[i - 1] = -dt * L_m;
+        upper[i] = -dt * L_p;
+    }
+    lower[n - 2] = 0.0;
+    upper[0] = 0.0;
+
+    // orient so the contact end is at index 0
+    std::vector<double> lo(n - 1), up(n - 1), di(n), gg(n);
+    for (int64_t i = 0; i < n; ++i) {
+        di[i] = reverse ? diag[n - 1 - i] : diag[i];
+        gg[i] = reverse ? exercise[n - 1 - i] : exercise[i];
+    }
+    for (int64_t i = 0; i < n - 1; ++i) {
+        lo[i] = reverse ? upper[n - 2 - i] : lower[i];
+        up[i] = reverse ? lower[n - 2 - i] : upper[i];
+    }
+
+    std::vector<double> V(gg), dt_(n), bt(n);
+    for (int64_t stepk = 0; stepk < n_time; ++stepk) {
+        // eliminate the super-diagonal from the far end
+        dt_[n - 1] = di[n - 1];
+        bt[n - 1] = V[n - 1];
+        for (int64_t i = n - 2; i >= 0; --i) {
+            const double m = up[i] / dt_[i + 1];
+            dt_[i] = di[i] - m * lo[i];
+            bt[i] = V[i] - m * bt[i + 1];
+        }
+        // projected forward substitution into the contact end
+        V[0] = std::max(bt[0] / dt_[0], gg[0]);
+        for (int64_t i = 1; i < n; ++i) {
+            V[i] = std::max((bt[i] - lo[i - 1] * V[i - 1]) / dt_[i], gg[i]);
+        }
+        // linear-extrapolation boundary rows (grid order!)
+        if (reverse) {
+            V[n - 1] = 2.0 * V[n - 2] - V[n - 3];  // x_min row in flipped order
+            V[0] = 2.0 * V[1] - V[2];
+        } else {
+            V[0] = 2.0 * V[1] - V[2];
+            V[n - 1] = 2.0 * V[n - 2] - V[n - 3];
+        }
+    }
+    if (reverse) {
+        for (int64_t i = 0; i < n; ++i) out_V[i] = V[n - 1 - i];
+    } else {
+        std::memcpy(out_V, V.data(), size_t(n) * sizeof(double));
+    }
+}
+
 }  // extern "C"

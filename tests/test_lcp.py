@@ -133,3 +133,54 @@ class TestPallasPSOR:
         x_pal, r_pal = projected_sor_pallas(*f32, n_iter=120, interpret=True)
         np.testing.assert_allclose(np.asarray(x_pal), np.asarray(x_ref), atol=5e-5)
         assert float(r_pal) < 1e-2
+
+
+class TestBrennanSchwartz:
+    """Exact one-pass LCP solve (lcp.brennan_schwartz) and its HJB wiring."""
+
+    def test_matches_psor_all_problems_both_directions(self):
+        base = hjb.HJBParams(
+            c_entry=0.002, c_exit=0.002, n_space=256, n_time=128,
+            backend="device",
+        )
+        for pr in hjb.StoppingProblem:
+            r_ps = hjb.solve(base._replace(problem=pr, method="psor",
+                                           psor_iterations=200))
+            r_bs = hjb.solve(base._replace(problem=pr,
+                                           method="brennan_schwartz"))
+            np.testing.assert_allclose(
+                r_bs.value_function, r_ps.value_function, atol=1e-10)
+            assert r_bs.lower_boundary == r_ps.lower_boundary
+            assert r_bs.upper_boundary == r_ps.upper_boundary
+
+    def test_native_backend_matches_device(self):
+        from pde_tpu import native
+
+        if not native.is_available():
+            import pytest
+            pytest.skip("native library unavailable")
+        p = hjb.HJBParams(c_entry=0.002, c_exit=0.002, n_space=256,
+                          n_time=128, method="brennan_schwartz")
+        b_native = hjb.solve_all_boundaries(p)  # auto routes native
+        b_device = hjb.solve_all_boundaries(p._replace(backend="device"))
+        for f in b_native._fields:
+            assert abs(getattr(b_native, f) - getattr(b_device, f)) < 1e-9, f
+
+    def test_boundaries_batch_matches_single(self):
+        B = 4
+        mu = np.linspace(2.0, 8.0, B)
+        sigma = np.linspace(0.05, 0.2, B)
+        x, V, g = hjb.boundaries_batch(
+            theta=jnp.zeros(B), mu=jnp.asarray(mu), sigma=jnp.asarray(sigma),
+            r=0.05, c_entry=0.002, c_exit=0.002, T=1.0,
+            n_space=128, n_time=64)
+        batch = hjb.extract_boundaries_batch(x, V, g, mu, sigma, np.zeros(B))
+        for b_idx in (0, B - 1):
+            ss = sigma[b_idx] / np.sqrt(2.0 * mu[b_idx])
+            single = hjb.solve_all_boundaries(hjb.HJBParams(
+                theta=0.0, mu=mu[b_idx], sigma=sigma[b_idx], r=0.05,
+                c_entry=0.002, c_exit=0.002, T=1.0, n_space=128, n_time=64,
+                x_min=-15.8 * ss, x_max=15.8 * ss,
+                method="brennan_schwartz", backend="device"))
+            assert batch[b_idx].entry_long == single.entry_long
+            assert batch[b_idx].entry_short == single.entry_short
