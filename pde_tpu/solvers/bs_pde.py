@@ -42,7 +42,10 @@ class BSPDEParams(NamedTuple):
     scheme: str = "crank_nicolson"  # "crank_nicolson" | "implicit" | "explicit"
     # American exercise handling: "projection" = implicit-solve-then-max
     # (the reference's splitting, black_scholes_pde.hpp:116-124); "psor" =
-    # the rigorous LCP via red-black projected SOR (solvers/lcp.py)
+    # the rigorous LCP via red-black projected SOR (solvers/lcp.py);
+    # "brennan_schwartz" = the SAME LCP solved EXACTLY in one projected
+    # tridiagonal pass (the 1D American exercise region is one-sided:
+    # puts contact at low S, calls at high S)
     american_method: str = "projection"
     psor_iterations: int = 60
     # Reproduce the reference solver bit-for-bit (black_scholes_pde.hpp:116-147):
@@ -167,6 +170,14 @@ def _solve_impl(
 
             V, _ = projected_sor(
                 lower, diag, upper, rhs, payoff, x0=V, n_iter=psor_iterations
+            )
+        elif american and american_method == "brennan_schwartz":
+            from .lcp import brennan_schwartz
+
+            # put: exercise region at low S (sweep from the left);
+            # call (q > 0): at high S
+            V, _ = brennan_schwartz(
+                lower, diag, upper, rhs, payoff, reverse=bool(is_call)
             )
         else:
             V = thomas(lower, diag, upper, rhs)

@@ -452,3 +452,59 @@ class TestShapePadding:
             a, b = float(getattr(padded.params, k)), float(getattr(exact.params, k))
             assert a == pytest.approx(b, rel=1e-2, abs=1e-3), k
         assert padded.fit_quality["n_options"] == exact.fit_quality["n_options"]
+
+
+class TestParameterSensitivities:
+    """IFT quote sensitivities vs an actual bumped-quote LM refit."""
+
+    def test_prediction_matches_refit(self):
+        import jax.numpy as jnp
+        from pde_tpu.calibrate.heston import (
+            HestonCalibrator, _price_vec_grouped, parameter_sensitivities)
+        from pde_tpu.calibrate.lm import levenberg_marquardt
+        from pde_tpu.models import heston as hm
+
+        data = HestonCalibrator.generate_synthetic_data(
+            n_strikes=9, n_maturities=3)
+        res = HestonCalibrator(global_maxiter=30, global_popsize=10).calibrate(
+            data, S0=100.0, r=0.05, q=0.02)
+        sens = parameter_sensitivities(
+            res.params, data["strike"], data["maturity"], data["is_call"],
+            data["mid_price"], 100.0, 0.05, 0.02, quote_noise_rel=0.01)
+        assert sens["dparams_dprice"].shape == (5, len(data["strike"]))
+        assert np.all(sens["param_std"] >= 0.0)
+        assert np.all(np.isfinite(sens["influence"]))
+
+        i = 13
+        eps = 1e-4 * float(data["mid_price"][i])
+        bumped = np.asarray(data["mid_price"], np.float64).copy()
+        bumped[i] += eps
+        uT, t_idx = hm.group_maturities(data["maturity"])
+        args = (jnp.asarray(np.asarray(data["strike"], np.float64)),
+                jnp.asarray(t_idx), jnp.asarray(uT),
+                jnp.asarray(np.asarray(data["is_call"], bool)))
+        x_star = jnp.asarray([res.params.kappa, res.params.theta,
+                              res.params.sigma, res.params.rho, res.params.v0])
+
+        def make_res(pv):
+            pvj = jnp.asarray(pv)
+
+            def rf(x):
+                m = jnp.maximum(
+                    _price_vec_grouped(x, *args, 100.0, 0.05, 0.02), 1e-10)
+                return (m - pvj) / pvj
+
+            return rf
+
+        lo = jnp.asarray([0.1, 0.01, 0.01, -0.99, 0.01])
+        hi = jnp.asarray([10.0, 1.0, 2.0, 0.99, 1.0])
+        lm0 = levenberg_marquardt(
+            make_res(np.asarray(data["mid_price"], np.float64)), x_star,
+            lo, hi, max_iter=40)
+        lm1 = levenberg_marquardt(make_res(bumped), x_star, lo, hi, max_iter=40)
+        actual = np.asarray(lm1.x - lm0.x)
+        pred = sens["dparams_dprice"][:, i] * eps
+        # first-order IFT prediction: <2% relative on components that moved
+        big = np.abs(actual) > 1e-7
+        assert big.any()
+        np.testing.assert_allclose(pred[big], actual[big], rtol=2e-2)

@@ -434,3 +434,20 @@ class TestCraigSneydScheme:
             heston_adi.solve_fused(
                 heston_adi.HestonPDEParams(scheme="craig_sneyd"), 100.0, interpret=True
             )
+
+
+class TestAmericanBrennanSchwartz:
+    """1D American LCP via brennan_schwartz == PSOR-200 at Thomas cost."""
+
+    def test_put_and_dividend_call_match_psor(self):
+        put = bs_pde.BSPDEParams(is_call=False, american=True, r=0.08, q=0.02)
+        call = bs_pde.BSPDEParams(is_call=True, american=True, r=0.03, q=0.07)
+        for p in (put, call):
+            ps = bs_pde.solve(
+                p._replace(american_method="psor", psor_iterations=200), 100.0)
+            bs = bs_pde.solve(
+                p._replace(american_method="brennan_schwartz"), 100.0)
+            assert float(bs.price) == pytest.approx(float(ps.price), abs=1e-10)
+            # rigorous LCP dominates the splitting approximation
+            proj = bs_pde.solve(p, 100.0)
+            assert float(bs.price) >= float(proj.price) - 1e-10
