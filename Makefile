@@ -16,7 +16,7 @@ native:          ## build the C++ host library
 
 test-cpp:        ## native C++ unit tests (role parity with the reference GTest suites)
 	mkdir -p build
-	g++ -O2 -march=native -std=c++17 src/cpp/pde_host.cpp src/cpp/pde_solvers.cpp \
+	g++ -O2 -march=native -std=c++17 -pthread src/cpp/pde_host.cpp src/cpp/pde_solvers.cpp \
 		src/cpp/pde_host_test.cpp -o build/pde_host_test
 	./build/pde_host_test
 

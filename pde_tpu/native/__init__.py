@@ -30,6 +30,7 @@ __all__ = [
     "heston_adi_solve",
     "hjb_march",
     "hjb_march_bs",
+    "hjb_march_bs_multi",
     "simulate_fills",
     "bs_implied_vol",
 ]
@@ -250,4 +251,22 @@ def hjb_march_bs(theta, mu, sigma, r, T, x_min, x_max, exercise,
     out = np.zeros(n, dtype=np.float64)
     lib.hjb_march_bs(theta, mu, sigma, r, T, x_min, x_max, n, n_time,
                      _c(exercise), int(bool(reverse)), _c(out))
+    return out
+
+
+def hjb_march_bs_multi(theta, mu, sigma, r, T, x_min, x_max, exercise,
+                       reverse, n_time: int = 200) -> np.ndarray:
+    """All stopping problems of one pair config in a single call, one thread
+    per march.  ``exercise``: (n_problems, n_space); ``reverse``: per-problem
+    sweep-direction flags.  Returns the (n_problems, n_space) value functions."""
+    lib = load()
+    exercise = np.ascontiguousarray(exercise, dtype=np.float64)
+    n_problems, n = exercise.shape
+    rev = np.ascontiguousarray(
+        np.asarray(reverse, dtype=np.int32).reshape(n_problems))
+    out = np.zeros((n_problems, n), dtype=np.float64)
+    lib.hjb_march_bs_multi(
+        theta, mu, sigma, r, T, x_min, x_max, n, n_time, n_problems,
+        _c(exercise), rev.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _c(out))
     return out

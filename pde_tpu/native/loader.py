@@ -49,6 +49,7 @@ def build(force: bool = False) -> Path:
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-pthread",
         *[str(s) for s in _SOURCES], "-o", str(path),
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
@@ -109,6 +110,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.hjb_march_bs.argtypes = [dbl] * 7 + [i64, i64, dbl_p,
                                              ctypes.c_int32, dbl_p]
     lib.hjb_march_bs.restype = None
+
+    i32_p = ctypes.POINTER(ctypes.c_int32)
+    lib.hjb_march_bs_multi.argtypes = [dbl] * 7 + [i64, i64, i64,
+                                                   dbl_p, i32_p, dbl_p]
+    lib.hjb_march_bs_multi.restype = None
 
     lib.pde_host_abi_version.restype = ctypes.c_int32
     return lib

@@ -111,19 +111,23 @@ class OptimalTradingBoundaries(NamedTuple):
     stop_loss_short: float
 
 
-def _exercise_value(x, p: HJBParams, problem: StoppingProblem):
+def _exercise_value(x, p: HJBParams, problem: StoppingProblem, xp=jnp):
     """Stopping payoff g(x) per problem (hjb_solver.hpp:258-314).
 
     Entry payoffs discount the theta-reversion profit by the heuristic
     expected hitting time log(|x - theta| / sigma) / mu (floored at 0).
+    ``xp`` selects the array namespace: ``jnp`` on the device path, ``np``
+    on the native host path (a lone eager jnp op costs a full device
+    round-trip — ~20 ms over the axon TPU tunnel — so the host path must
+    never touch the device).
     """
-    dev = jnp.abs(x - p.theta)
-    safe = jnp.maximum(dev / p.sigma, 1e-300)
-    t_hit = jnp.maximum(jnp.log(safe) / p.mu, 0.0)
-    disc = jnp.exp(-p.r * t_hit)
+    dev = xp.abs(x - p.theta)
+    safe = xp.maximum(dev / p.sigma, 1e-300)
+    t_hit = xp.maximum(xp.log(safe) / p.mu, 0.0)
+    disc = xp.exp(-p.r * t_hit)
 
-    profit_long = jnp.where(x >= p.theta, 0.0, (p.theta - x) * disc)
-    profit_short = jnp.where(x <= p.theta, 0.0, (x - p.theta) * disc)
+    profit_long = xp.where(x >= p.theta, 0.0, (p.theta - x) * disc)
+    profit_short = xp.where(x <= p.theta, 0.0, (x - p.theta) * disc)
 
     if problem == StoppingProblem.ENTRY_LONG:
         return profit_long - p.c_entry
@@ -177,6 +181,8 @@ def _march(exercise, theta, mu, sigma, r, T, x_min, x_max, n_space, n_time,
         lower = lower.at[0].set(0.0)
         upper = upper.at[-1].set(0.0)
 
+    exercise = jnp.asarray(exercise)
+
     def step(V, _):
         if method == "psor":
             from .lcp import projected_sor
@@ -213,17 +219,26 @@ _BS_REVERSE = {
 
 
 def _find_boundaries(V: np.ndarray, x: np.ndarray, g: np.ndarray):
-    """Continuation/stopping crossings of V - g (hjb_solver.hpp:375-403)."""
-    lower_bd = upper_bd = None
+    """Continuation/stopping crossings of V - g (hjb_solver.hpp:375-403).
+
+    Vectorized over the grid; like the reference's scan, the LAST crossing of
+    each kind wins when there are several.
+    """
     diff = V - g
-    for i in range(1, len(x)):
-        prev, curr = diff[i - 1], diff[i]
-        if prev > 1e-10 >= curr:
-            t = prev / (prev - curr)
-            lower_bd = float(x[i - 1] + t * (x[i] - x[i - 1]))
-        if prev <= 1e-10 < curr:
-            t = -prev / (curr - prev)
-            upper_bd = float(x[i - 1] + t * (x[i] - x[i - 1]))
+    prev, curr = diff[:-1], diff[1:]
+    dx_seg = x[1:] - x[:-1]
+
+    lower_bd = upper_bd = None
+    down = np.nonzero((prev > 1e-10) & (curr <= 1e-10))[0]
+    if down.size:
+        i = down[-1]
+        t = prev[i] / (prev[i] - curr[i])
+        lower_bd = float(x[i] + t * dx_seg[i])
+    up = np.nonzero((prev <= 1e-10) & (curr > 1e-10))[0]
+    if up.size:
+        i = up[-1]
+        t = -prev[i] / (curr[i] - prev[i])
+        upper_bd = float(x[i] + t * dx_seg[i])
     return lower_bd, upper_bd
 
 
@@ -251,6 +266,46 @@ def _native_march(params: HJBParams, g_np: np.ndarray, problem) -> Optional[np.n
                                n_time=params.n_time)
 
 
+def _native_march_all(params: HJBParams, g_np_all: np.ndarray):
+    """All four marches on the host twin; None if ineligible/unavailable.
+
+    Brennan-Schwartz runs the four problems concurrently in one call
+    (hjb_march_bs_multi, one std::thread per march); projection mode loops
+    the single-march oracle.
+    """
+    if params.reference_compat or params.backend == "device":
+        return None
+    if params.method not in ("projection", "brennan_schwartz"):
+        return None
+    try:
+        from .. import native
+
+        if not native.is_available():
+            raise RuntimeError
+    except Exception:
+        if params.backend == "native":
+            raise
+        return None
+    args = (float(params.theta), float(params.mu), float(params.sigma),
+            float(params.r), float(params.T), float(params.x_min),
+            float(params.x_max))
+    if params.method == "brennan_schwartz":
+        rev = [_BS_REVERSE[pr] for pr in StoppingProblem]
+        return native.hjb_march_bs_multi(*args, g_np_all, rev,
+                                         n_time=params.n_time)
+    return np.stack([native.hjb_march(*args, g_np_all[pr], n_time=params.n_time)
+                     for pr in StoppingProblem])
+
+
+def _host_grid_and_payoffs(params: HJBParams, problems) -> tuple:
+    """x grid + stacked exercise vectors, pure numpy (no device traffic)."""
+    x_np = np.linspace(float(params.x_min), float(params.x_max),
+                       params.n_space, dtype=np.float64)
+    g_np = np.stack([np.asarray(_exercise_value(x_np, params, pr, xp=np),
+                                np.float64) for pr in problems])
+    return x_np, g_np
+
+
 def solve(params: HJBParams) -> HJBResult:
     """Solve one stopping problem; boundaries extracted host-side."""
     if params.mu <= 0 or params.sigma <= 0:
@@ -260,24 +315,23 @@ def solve(params: HJBParams) -> HJBResult:
     if params.n_space < 10:
         raise ValueError("n_space must be >= 10")
 
-    x = jnp.linspace(params.x_min, params.x_max, params.n_space)
-    g = _exercise_value(x, params, params.problem)
+    # payoff + grid assembled host-side: the native route then never touches
+    # the device, and the device route uploads g once into one jitted march
+    x_np, g_np = _host_grid_and_payoffs(params, [params.problem])
+    g_np = g_np[0]
 
-    native_V = _native_march(params, np.asarray(jax.device_get(g), np.float64),
-                             params.problem)
+    native_V = _native_march(params, g_np, params.problem)
     if native_V is not None:
-        x_np = np.asarray(jax.device_get(x), np.float64)
-        g_np = np.asarray(jax.device_get(g), np.float64)
         lo, hi = _find_boundaries(native_V, x_np, g_np)
         return HJBResult(native_V, x_np, lo, hi, None)
-    x_out, V = _march(
-        g, params.theta, params.mu, params.sigma, params.r, params.T,
+    _, V = _march(
+        g_np, params.theta, params.mu, params.sigma, params.r, params.T,
         params.x_min, params.x_max, params.n_space, params.n_time,
         method=params.method, psor_iterations=params.psor_iterations,
         reference_compat=bool(params.reference_compat),
-        bs_reverse=jnp.asarray(_BS_REVERSE[params.problem]),
+        bs_reverse=np.asarray(_BS_REVERSE[params.problem]),
     )
-    x_np, V_np, g_np = jax.device_get((x_out, V, g))  # one batched pull
+    V_np = np.asarray(jax.device_get(V))
     lo, hi = _find_boundaries(V_np, x_np, g_np)
     return HJBResult(V_np, x_np, lo, hi, None)
 
@@ -290,30 +344,21 @@ def solve_all_boundaries(params: HJBParams) -> OptimalTradingBoundaries:
     Fallback defaults and the 2-sigma stop-loss heuristics match the
     reference exactly.
     """
-    x = jnp.linspace(params.x_min, params.x_max, params.n_space)
-    g_all = jnp.stack([_exercise_value(x, params, pr) for pr in StoppingProblem])
+    x_np, g_np_all = _host_grid_and_payoffs(params, list(StoppingProblem))
 
-    g_np_all = np.asarray(jax.device_get(g_all), np.float64)
-    native_first = _native_march(params, g_np_all[0], StoppingProblem.ENTRY_LONG)
-    if native_first is not None:
-        V_np = np.stack(
-            [native_first]
-            + [_native_march(params, g_np_all[pr], pr)
-               for pr in list(StoppingProblem)[1:]]
-        )
-        x_np = np.asarray(jax.device_get(x), np.float64)
+    V_np = _native_march_all(params, g_np_all)
+    if V_np is not None:
         return _assemble_boundaries(params, x_np, V_np, g_np_all)
 
-    x_out, V_all = _march(
-        g_all, params.theta, params.mu, params.sigma, params.r, params.T,
+    _, V_all = _march(
+        g_np_all, params.theta, params.mu, params.sigma, params.r, params.T,
         params.x_min, params.x_max, params.n_space, params.n_time,
         method=params.method, psor_iterations=params.psor_iterations,
         reference_compat=bool(params.reference_compat),
-        bs_reverse=jnp.asarray([_BS_REVERSE[pr] for pr in StoppingProblem]),
+        bs_reverse=np.asarray([_BS_REVERSE[pr] for pr in StoppingProblem]),
     )
-    x_np, V_np, g_np = jax.device_get((x_out, V_all, g_all))  # one batched pull
-    return _assemble_boundaries(params, np.asarray(x_np), np.asarray(V_np),
-                                np.asarray(g_np))
+    V_np = np.asarray(jax.device_get(V_all))
+    return _assemble_boundaries(params, x_np, V_np, g_np_all)
 
 
 def _assemble_boundaries(params: HJBParams, x_np, V_np, g_np):

@@ -16,6 +16,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -301,11 +302,27 @@ void hjb_march(double theta, double mu, double sigma, double r, double T,
     lower[n - 2] = 0.0;
     upper[0] = 0.0;
 
-    std::vector<double> V(exercise, exercise + n), cp(n), dp(n), sol(n);
+    // time-independent operator: Thomas-factorize once, keep reciprocals so
+    // the per-step serial chains avoid division latency
+    std::vector<double> cp(n), inv_m(n);
+    cp[0] = upper[0] / diag[0];
+    inv_m[0] = 1.0 / diag[0];
+    for (int64_t i = 1; i < n; ++i) {
+        const double mi = diag[i] - lower[i - 1] * cp[i - 1];
+        cp[i] = (i < n - 1) ? upper[i] / mi : 0.0;
+        inv_m[i] = 1.0 / mi;
+    }
+
+    std::vector<double> V(exercise, exercise + n), dp(n);
     for (int64_t stepk = 0; stepk < n_time; ++stepk) {
-        thomas(lower.data(), diag.data(), upper.data(), V.data(), n, sol.data(),
-               cp.data(), dp.data());
-        for (int64_t i = 0; i < n; ++i) V[i] = std::max(sol[i], exercise[i]);
+        dp[0] = V[0] * inv_m[0];
+        for (int64_t i = 1; i < n; ++i)
+            dp[i] = (V[i] - lower[i - 1] * dp[i - 1]) * inv_m[i];
+        V[n - 1] = std::max(dp[n - 1], exercise[n - 1]);
+        for (int64_t i = n - 2; i >= 0; --i) {
+            dp[i] -= cp[i] * dp[i + 1];
+            V[i] = std::max(dp[i], exercise[i]);
+        }
         V[0] = 2.0 * V[1] - V[2];
         V[n - 1] = 2.0 * V[n - 2] - V[n - 3];
     }
@@ -328,12 +345,16 @@ void hjb_march_bs(double theta, double mu, double sigma, double r, double T,
     const double dt = T / double(n_time);
     const double a = 0.5 * sigma * sigma / (dx * dx);
 
+    // monotone upwind differencing, matching hjb._march's psor/brennan_schwartz
+    // branch: Brennan-Schwartz is exact only for an M-matrix, which central
+    // advection violates once |drift| dx > sigma^2
     std::vector<double> lower(n - 1, 0.0), diag(n, 1.0), upper(n - 1, 0.0);
     for (int64_t i = 1; i < n - 1; ++i) {
         const double xi = x_min + dx * double(i);
         const double drift = mu * (theta - xi);
-        const double b = drift / (2.0 * dx);
-        const double L_m = a - b, L_c = -2.0 * a - r, L_p = a + b;
+        const double L_m = a + std::max(-drift, 0.0) / dx;
+        const double L_p = a + std::max(drift, 0.0) / dx;
+        const double L_c = -2.0 * a - std::abs(drift) / dx - r;
         diag[i] = 1.0 - dt * L_c;
         lower[i - 1] = -dt * L_m;
         upper[i] = -dt * L_p;
@@ -352,20 +373,28 @@ void hjb_march_bs(double theta, double mu, double sigma, double r, double T,
         up[i] = reverse ? lower[n - 2 - i] : upper[i];
     }
 
-    std::vector<double> V(gg), dt_(n), bt(n);
-    for (int64_t stepk = 0; stepk < n_time; ++stepk) {
-        // eliminate the super-diagonal from the far end
+    // the operator is time-independent: factorize ONCE (eliminate the
+    // super-diagonal from the far end), and keep reciprocals so the per-step
+    // serial chains are mul/fma-only — divisions would triple their latency
+    std::vector<double> m(n, 0.0), inv_dt(n);
+    {
+        std::vector<double> dt_(n);
         dt_[n - 1] = di[n - 1];
-        bt[n - 1] = V[n - 1];
         for (int64_t i = n - 2; i >= 0; --i) {
-            const double m = up[i] / dt_[i + 1];
-            dt_[i] = di[i] - m * lo[i];
-            bt[i] = V[i] - m * bt[i + 1];
+            m[i] = up[i] / dt_[i + 1];
+            dt_[i] = di[i] - m[i] * lo[i];
         }
+        for (int64_t i = 0; i < n; ++i) inv_dt[i] = 1.0 / dt_[i];
+    }
+
+    std::vector<double> V(gg), bt(n);
+    for (int64_t stepk = 0; stepk < n_time; ++stepk) {
+        bt[n - 1] = V[n - 1];
+        for (int64_t i = n - 2; i >= 0; --i) bt[i] = V[i] - m[i] * bt[i + 1];
         // projected forward substitution into the contact end
-        V[0] = std::max(bt[0] / dt_[0], gg[0]);
+        V[0] = std::max(bt[0] * inv_dt[0], gg[0]);
         for (int64_t i = 1; i < n; ++i) {
-            V[i] = std::max((bt[i] - lo[i - 1] * V[i - 1]) / dt_[i], gg[i]);
+            V[i] = std::max((bt[i] - lo[i - 1] * V[i - 1]) * inv_dt[i], gg[i]);
         }
         // linear-extrapolation boundary rows (grid order!)
         if (reverse) {
@@ -381,6 +410,33 @@ void hjb_march_bs(double theta, double mu, double sigma, double r, double T,
     } else {
         std::memcpy(out_V, V.data(), size_t(n) * sizeof(double));
     }
+}
+
+// All four stopping problems in one call, one std::thread per march — the
+// host-side analog of hjb.solve_all_boundaries' batched device launch.
+// exercise/out_V: (n_problems, n_space) row-major; reverse: per-problem flag.
+void hjb_march_bs_multi(double theta, double mu, double sigma, double r,
+                        double T, double x_min, double x_max, int64_t n_space,
+                        int64_t n_time, int64_t n_problems,
+                        const double* exercise, const int32_t* reverse,
+                        double* out_V) {
+    if (std::thread::hardware_concurrency() <= 1 || n_problems == 1) {
+        for (int64_t k = 0; k < n_problems; ++k)
+            hjb_march_bs(theta, mu, sigma, r, T, x_min, x_max, n_space, n_time,
+                         exercise + k * n_space, reverse[k],
+                         out_V + k * n_space);
+        return;
+    }
+    std::vector<std::thread> workers;
+    workers.reserve(size_t(n_problems));
+    for (int64_t k = 0; k < n_problems; ++k) {
+        workers.emplace_back([=] {
+            hjb_march_bs(theta, mu, sigma, r, T, x_min, x_max, n_space, n_time,
+                         exercise + k * n_space, reverse[k],
+                         out_V + k * n_space);
+        });
+    }
+    for (auto& w : workers) w.join();
 }
 
 }  // extern "C"

@@ -182,5 +182,9 @@ class TestBrennanSchwartz:
                 c_entry=0.002, c_exit=0.002, T=1.0, n_space=128, n_time=64,
                 x_min=-15.8 * ss, x_max=15.8 * ss,
                 method="brennan_schwartz", backend="device"))
-            assert batch[b_idx].entry_long == single.entry_long
-            assert batch[b_idx].entry_short == single.entry_short
+            # 1e-12: the single path builds its grid host-side (np.linspace)
+            # while the batch path uses jnp.linspace -- 1-ulp grid skew
+            assert batch[b_idx].entry_long == pytest.approx(
+                single.entry_long, abs=1e-12)
+            assert batch[b_idx].entry_short == pytest.approx(
+                single.entry_short, abs=1e-12)

@@ -10,6 +10,14 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def _hjb_payoffs(p, all_problems=False):
+    """Host-side (x grid, stacked exercise payoffs) for HJB parity tests."""
+    from pde_tpu.solvers import hjb
+
+    problems = list(hjb.StoppingProblem) if all_problems else [p.problem]
+    return hjb._host_grid_and_payoffs(p, problems)
+
+
 class TestBuild:
     def test_abi(self):
         lib = native.load()
@@ -227,20 +235,47 @@ class TestSolverOracles:
         assert price == pytest.approx(float(res.price), abs=1e-9)
 
     def test_hjb_march_matches_jax(self):
-        import jax.numpy as jnp
-
         from pde_tpu.solvers import hjb
 
-        p = hjb.HJBParams()
+        # backend="device": the JAX side must NOT itself route to native,
+        # or this parity check compares native against native
+        p = hjb.HJBParams(backend="device")
         res = hjb.solve(p)
-        exercise = np.asarray(
-            hjb._exercise_value(jnp.asarray(res.x_grid), p, p.problem)
-        )
+        exercise = np.asarray(_hjb_payoffs(p)[1][0])
         vn = native.hjb_march(
             p.theta, p.mu, p.sigma, p.r, p.T, p.x_min, p.x_max, exercise,
             n_time=p.n_time,
         )
         np.testing.assert_allclose(vn, res.value_function, rtol=1e-10, atol=1e-12)
+
+    def test_hjb_march_bs_matches_jax_all_problems(self):
+        """Native Brennan-Schwartz twin == device march for every stopping
+        problem / sweep direction.  Regression: the twin originally assembled
+        the operator with central differences while the device LCP path uses
+        monotone upwind (the M-matrix form Brennan-Schwartz requires), so its
+        detected entry boundaries were off by several cells."""
+        from pde_tpu.solvers import hjb
+
+        p = hjb.HJBParams(
+            mu=5.0, sigma=0.1, c_entry=0.002, c_exit=0.002,
+            n_space=96, n_time=24, method="brennan_schwartz",
+        )
+        x_np, g_np = _hjb_payoffs(p, all_problems=True)
+        for k, pr in enumerate(hjb.StoppingProblem):
+            rev = hjb._BS_REVERSE[pr]
+            vn = native.hjb_march_bs(
+                p.theta, p.mu, p.sigma, p.r, p.T, p.x_min, p.x_max,
+                g_np[k], rev, n_time=p.n_time,
+            )
+            _, vd = hjb._march(
+                g_np[k], p.theta, p.mu, p.sigma, p.r, p.T, p.x_min, p.x_max,
+                p.n_space, p.n_time, method="brennan_schwartz",
+                bs_reverse=np.asarray(rev),
+            )
+            np.testing.assert_allclose(
+                vn, np.asarray(vd), rtol=1e-10, atol=1e-12,
+                err_msg=f"problem {pr.name}",
+            )
 
 
 class TestCppUnitTests:
@@ -258,7 +293,7 @@ class TestCppUnitTests:
             for f in ("pde_host.cpp", "pde_solvers.cpp", "pde_host_test.cpp")
         ]
         build = subprocess.run(
-            ["g++", "-O2", "-march=native", "-std=c++17",
+            ["g++", "-O2", "-march=native", "-std=c++17", "-pthread",
              *map(str, sources), "-o", str(binary)],
             capture_output=True, text=True, timeout=300,
         )
