@@ -278,7 +278,7 @@ def main():
         )[1]),
         n=_n(5, 1),
     )
-    emit("ou_freeboundary_batch64_books_per_sec", 1.0 / per, "books/s")
+    emit("ou_freeboundary_batch64_books_per_sec", B_hjb / per, "books/s")
 
     # 6/7. calibration headline + batched ------------------------------------
     from pde_tpu.calibrate.heston import HestonCalibrator

@@ -23,13 +23,96 @@ in lockstep.  Three implementations:
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["thomas", "thomas_pallas", "pcr", "tridiagonal_solve"]
+__all__ = ["thomas", "thomas_factor", "thomas_solve_factored", "ThomasFactors",
+           "thomas_pallas", "pcr", "tridiagonal_solve"]
+
+
+class ThomasFactors(NamedTuple):
+    """Precomputed forward-elimination state for a time-INDEPENDENT system.
+
+    Implicit time marches (CN/implicit BS, ADI sweeps, HJB projection) solve
+    the same tridiagonal operator every step with a new right-hand side;
+    re-eliminating the matrix each step wastes the serial chain on divisions.
+    :func:`thomas_factor` runs the elimination once; per-step
+    :func:`thomas_solve_factored` is then multiply/fma-only in the sequential
+    dimension.
+    """
+
+    cp: jnp.ndarray     # (..., n) super-diag multipliers; cp[..., n-1] = 0
+    inv_m: jnp.ndarray  # (..., n) reciprocal pivots
+    lo: jnp.ndarray     # (..., n) row-aligned sub-diagonal; lo[..., 0] = 0
+
+
+def thomas_factor(lower, diag, upper) -> ThomasFactors:
+    """Forward-eliminate the matrix only (shapes as :func:`thomas`)."""
+    lower, diag, upper = map(jnp.asarray, (lower, diag, upper))
+    n = diag.shape[-1]
+    batch = jnp.broadcast_shapes(lower.shape[:-1], diag.shape[:-1],
+                                 upper.shape[:-1])
+    zeros = jnp.zeros(batch + (1,), diag.dtype)
+    lo = jnp.concatenate([zeros, jnp.broadcast_to(lower, batch + (n - 1,))], -1)
+    up = jnp.concatenate([jnp.broadcast_to(upper, batch + (n - 1,)), zeros], -1)
+    d = jnp.broadcast_to(diag, batch + (n,))
+
+    def front(a):
+        return jnp.moveaxis(a, -1, 0)
+
+    c0 = up[..., 0] / d[..., 0]
+    inv0 = 1.0 / d[..., 0]
+
+    def fwd(c_prev, x):
+        lo_i, d_i, up_i = x
+        inv_m = 1.0 / (d_i - lo_i * c_prev)
+        c_i = up_i * inv_m
+        return c_i, (c_i, inv_m)
+
+    _, (cs, invs) = jax.lax.scan(
+        fwd, c0, (front(lo)[1:], front(d)[1:], front(up)[1:]))
+    cp = jnp.concatenate([c0[None], cs], axis=0)
+    inv_m = jnp.concatenate([inv0[None], invs], axis=0)
+    return ThomasFactors(jnp.moveaxis(cp, 0, -1), jnp.moveaxis(inv_m, 0, -1), lo)
+
+
+def thomas_solve_factored(factors: ThomasFactors, rhs):
+    """Solve with precomputed factors; only fma/multiply in the serial chain."""
+    rhs = jnp.asarray(rhs)
+    cp, inv_m, lo = factors
+    n = cp.shape[-1]
+    batch = jnp.broadcast_shapes(cp.shape[:-1], rhs.shape[:-1])
+    b = jnp.broadcast_to(rhs, batch + (n,))
+    cp = jnp.broadcast_to(cp, batch + (n,))
+    inv_m = jnp.broadcast_to(inv_m, batch + (n,))
+    lo = jnp.broadcast_to(lo, batch + (n,))
+
+    def front(a):
+        return jnp.moveaxis(a, -1, 0)
+
+    dp0 = b[..., 0] * inv_m[..., 0]
+
+    def fwd(dp_prev, x):
+        lo_i, b_i, inv_i = x
+        dp_i = (b_i - lo_i * dp_prev) * inv_i
+        return dp_i, dp_i
+
+    _, dps = jax.lax.scan(
+        fwd, dp0, (front(lo)[1:], front(b)[1:], front(inv_m)[1:]))
+    dps = jnp.concatenate([dp0[None], dps], axis=0)
+
+    def bwd(x_next, x):
+        c_i, dp_i = x
+        x_i = dp_i - c_i * x_next
+        return x_i, x_i
+
+    _, xs = jax.lax.scan(bwd, dps[-1], (front(cp)[:-1], dps[:-1]), reverse=True)
+    xs = jnp.concatenate([xs, dps[-1][None]], axis=0)
+    return jnp.moveaxis(xs, 0, -1)
 
 
 def thomas(lower: jnp.ndarray, diag: jnp.ndarray, upper: jnp.ndarray, rhs: jnp.ndarray):

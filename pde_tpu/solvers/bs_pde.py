@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import grids
-from ..ops.tridiag import thomas
+from ..ops.tridiag import thomas_factor, thomas_solve_factored
 
 __all__ = ["BSPDEParams", "BSPDEResult", "solve"]
 
@@ -163,6 +163,18 @@ def _solve_impl(
             V = V.at[-1].set(0.0)
         return V
 
+    # time-independent operator: factorize once outside the scan so the
+    # per-step serial chains avoid division latency
+    if american and american_method == "brennan_schwartz":
+        from .lcp import brennan_schwartz_apply, brennan_schwartz_factor
+
+        # put: exercise region at low S (sweep from the left);
+        # call (q > 0): at high S
+        bs_factors = brennan_schwartz_factor(lower, diag, upper,
+                                             reverse=bool(is_call))
+    elif not (american and american_method == "psor"):
+        th_factors = thomas_factor(lower, diag, upper)
+
     def step(V, tau):
         rhs = explicit_rhs(V)
         if american and american_method == "psor":
@@ -172,15 +184,9 @@ def _solve_impl(
                 lower, diag, upper, rhs, payoff, x0=V, n_iter=psor_iterations
             )
         elif american and american_method == "brennan_schwartz":
-            from .lcp import brennan_schwartz
-
-            # put: exercise region at low S (sweep from the left);
-            # call (q > 0): at high S
-            V, _ = brennan_schwartz(
-                lower, diag, upper, rhs, payoff, reverse=bool(is_call)
-            )
+            V = brennan_schwartz_apply(bs_factors, rhs, payoff)
         else:
-            V = thomas(lower, diag, upper, rhs)
+            V = thomas_solve_factored(th_factors, rhs)
         if reference_compat:
             # reference step ordering (black_scholes_pde.hpp:117-127):
             # American projection first, Dirichlet overwrite last (unfloored)

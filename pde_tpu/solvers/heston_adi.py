@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import grids
-from ..ops.tridiag import thomas
+from ..ops.tridiag import thomas_factor, thomas_solve_factored
 
 __all__ = [
     "HestonPDEParams",
@@ -226,11 +226,16 @@ def _solve_core(
         V = V.at[:, -1].set(jnp.where(is_call, s_grid * df_q, K * df_r))
         return V
 
+    # both sweep operators are time-independent: Thomas-factorize once so
+    # every step's serial chains are multiply/fma-only
+    i1_factors = thomas_factor(i1_lower, i1_diag, i1_upper)
+    i2_factors = thomas_factor(i2_lower, i2_diag, i2_upper)
+
     def _sweeps(Y0, a1V, a2V):
         rhs1 = Y0 - th * dt * a1V
-        Y1 = thomas(i1_lower, i1_diag, i1_upper, rhs1.T).T
+        Y1 = thomas_solve_factored(i1_factors, rhs1.T).T
         rhs2 = Y1 - th * dt * a2V
-        return thomas(i2_lower, i2_diag, i2_upper, rhs2)
+        return thomas_solve_factored(i2_factors, rhs2)
 
     def adi_step(V, source):
         """Douglas splitting: explicit full step, then implicit x and v

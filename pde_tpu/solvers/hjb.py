@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.tridiag import thomas
+from ..ops.tridiag import thomas_factor, thomas_solve_factored
 
 __all__ = [
     "StoppingProblem",
@@ -183,6 +183,15 @@ def _march(exercise, theta, mu, sigma, r, T, x_min, x_max, n_space, n_time,
 
     exercise = jnp.asarray(exercise)
 
+    # the operator is time-independent: factorize once, outside the scan —
+    # the per-step serial chains are then multiply/fma-only
+    if method == "brennan_schwartz":
+        from .lcp import brennan_schwartz_apply, brennan_schwartz_factor
+
+        bs_factors = brennan_schwartz_factor(lower, diag, upper, bs_reverse)
+    elif method != "psor":
+        th_factors = thomas_factor(lower, diag, upper)
+
     def step(V, _):
         if method == "psor":
             from .lcp import projected_sor
@@ -191,13 +200,9 @@ def _march(exercise, theta, mu, sigma, r, T, x_min, x_max, n_space, n_time,
                 lower, diag, upper, V, exercise, x0=V, n_iter=psor_iterations
             )
         elif method == "brennan_schwartz":
-            from .lcp import brennan_schwartz
-
-            V, _resid = brennan_schwartz(
-                lower, diag, upper, V, exercise, reverse=bs_reverse
-            )
+            V = brennan_schwartz_apply(bs_factors, V, exercise)
         else:
-            V = thomas(lower, diag, upper, V)
+            V = thomas_solve_factored(th_factors, V)
             V = jnp.maximum(V, exercise)
         # linear extrapolation boundaries (hjb_solver.hpp:363-368)
         V = V.at[..., 0].set(2.0 * V[..., 1] - V[..., 2])

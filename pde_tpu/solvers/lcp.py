@@ -18,12 +18,14 @@ jittable; the residual is returned for monitoring.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["brennan_schwartz", "projected_sor", "projected_sor_pallas",
-           "psor_step"]
+__all__ = ["brennan_schwartz", "brennan_schwartz_factor",
+           "brennan_schwartz_apply", "BrennanSchwartzFactors",
+           "projected_sor", "projected_sor_pallas", "psor_step"]
 
 
 def _apply_tridiag(lower, diag, upper, x):
@@ -96,6 +98,107 @@ def projected_sor(
     return x, resid
 
 
+class BrennanSchwartzFactors(NamedTuple):
+    """Elimination state for a time-INDEPENDENT operator (see
+    :func:`brennan_schwartz_factor`)."""
+
+    m: jnp.ndarray      # (..., n) elimination multipliers; m[..., n-1] = 0
+    inv_d: jnp.ndarray  # (..., n) reciprocal eliminated pivots
+    lo: jnp.ndarray     # (..., n) oriented row-aligned sub-diag; lo[..., 0] = 0
+    rev: jnp.ndarray    # (..., 1) sweep-direction flags
+
+
+def brennan_schwartz_factor(lower, diag, upper, reverse=False):
+    """Eliminate the matrix once for repeated :func:`brennan_schwartz_apply`.
+
+    Implicit obstacle marches solve the same operator every time step; the
+    matrix elimination (the division-heavy half of the pass) depends only on
+    the operator, so hoisting it leaves a multiply/fma-only serial chain per
+    step.
+    """
+    lower = jnp.asarray(lower)
+    diag = jnp.asarray(diag)
+    upper = jnp.asarray(upper)
+    n = diag.shape[-1]
+    batch = jnp.broadcast_shapes(lower.shape[:-1], diag.shape[:-1],
+                                 upper.shape[:-1], jnp.shape(reverse))
+    rev = jnp.broadcast_to(jnp.asarray(reverse), batch)[..., None]
+
+    # orient so the contact end is index 0; reversing index order swaps the
+    # roles of the two off-diagonal bands
+    lo = jnp.where(rev, jnp.flip(jnp.broadcast_to(upper, batch + (n - 1,)), -1),
+                   jnp.broadcast_to(lower, batch + (n - 1,)))
+    up = jnp.where(rev, jnp.flip(jnp.broadcast_to(lower, batch + (n - 1,)), -1),
+                   jnp.broadcast_to(upper, batch + (n - 1,)))
+    di = jnp.where(rev, jnp.flip(jnp.broadcast_to(diag, batch + (n,)), -1),
+                   jnp.broadcast_to(diag, batch + (n,)))
+
+    def front(a):
+        return jnp.moveaxis(a, -1, 0)
+
+    # eliminate the super-diagonal from the far end (i = n-1 down to 0);
+    # row i couples to row i+1 through up[i]
+    def elim(d_next, inp):
+        d_i, u_i, l_i = inp
+        m_i = u_i / d_next
+        d_new = d_i - m_i * l_i
+        return d_new, (m_i, d_new)
+
+    inputs = (front(di[..., :-1])[::-1], front(up)[::-1], front(lo)[::-1])
+    _, (m_rev, d_rev) = jax.lax.scan(elim, di[..., -1], inputs)
+    m = jnp.concatenate([jnp.moveaxis(m_rev[::-1], 0, -1),
+                         jnp.zeros(batch + (1,), diag.dtype)], axis=-1)
+    d_tilde = jnp.concatenate(
+        [jnp.moveaxis(d_rev[::-1], 0, -1), di[..., -1:]], axis=-1)
+    lo_full = jnp.concatenate(
+        [jnp.zeros(batch + (1,), diag.dtype), lo], axis=-1)
+    return BrennanSchwartzFactors(m, 1.0 / d_tilde, lo_full, rev)
+
+
+def brennan_schwartz_apply(factors: BrennanSchwartzFactors, b, g):
+    """Projected solve with precomputed factors; returns x only."""
+    m, inv_d, lo, rev = factors
+    n = m.shape[-1]
+    batch = jnp.broadcast_shapes(m.shape[:-1], jnp.asarray(b).shape[:-1],
+                                 jnp.asarray(g).shape[:-1])
+    bb = jnp.where(rev, jnp.flip(jnp.broadcast_to(b, batch + (n,)), -1),
+                   jnp.broadcast_to(b, batch + (n,)))
+    gg = jnp.where(rev, jnp.flip(jnp.broadcast_to(g, batch + (n,)), -1),
+                   jnp.broadcast_to(g, batch + (n,)))
+    m = jnp.broadcast_to(m, batch + (n,))
+    inv_d = jnp.broadcast_to(inv_d, batch + (n,))
+    lo = jnp.broadcast_to(lo, batch + (n,))
+
+    def front(a):
+        return jnp.moveaxis(a, -1, 0)
+
+    # eliminate the rhs from the far end
+    def elim(b_next, inp):
+        b_i, m_i = inp
+        b_new = b_i - m_i * b_next
+        return b_new, b_new
+
+    _, b_rev = jax.lax.scan(
+        elim, bb[..., -1], (front(bb[..., :-1])[::-1], front(m[..., :-1])[::-1]))
+    b_tilde = jnp.concatenate(
+        [jnp.moveaxis(b_rev[::-1], 0, -1), bb[..., -1:]], axis=-1)
+
+    # forward substitution INTO the contact end, projecting each row
+    x0 = jnp.maximum(b_tilde[..., 0] * inv_d[..., 0], gg[..., 0])
+
+    def sub(x_prev, inp):
+        b_i, inv_i, l_i, g_i = inp
+        x_i = jnp.maximum((b_i - l_i * x_prev) * inv_i, g_i)
+        return x_i, x_i
+
+    _, xs = jax.lax.scan(
+        sub, x0,
+        (front(b_tilde[..., 1:]), front(inv_d[..., 1:]), front(lo[..., 1:]),
+         front(gg[..., 1:])))
+    x = jnp.concatenate([x0[..., None], jnp.moveaxis(xs, 0, -1)], axis=-1)
+    return jnp.where(rev, jnp.flip(x, axis=-1), x)
+
+
 def brennan_schwartz(lower, diag, upper, b, g, reverse=False):
     """EXACT tridiagonal LCP solve in one projected pass (Brennan-Schwartz).
 
@@ -118,6 +221,10 @@ def brennan_schwartz(lower, diag, upper, b, g, reverse=False):
     directions in one batched call (solve_all_boundaries solves all four
     stopping problems, two of each direction, in one launch).
 
+    Time marches with a constant operator should factor once with
+    :func:`brennan_schwartz_factor` and call :func:`brennan_schwartz_apply`
+    per step.
+
     Shapes as :func:`projected_sor`.  Returns (x, residual).
     """
     lower = jnp.asarray(lower)
@@ -129,58 +236,8 @@ def brennan_schwartz(lower, diag, upper, b, g, reverse=False):
     batch = jnp.broadcast_shapes(lower.shape[:-1], diag.shape[:-1],
                                  b.shape[:-1], g.shape[:-1],
                                  jnp.shape(reverse))
-    rev = jnp.broadcast_to(jnp.asarray(reverse), batch)[..., None]
-
-    def orient(a, band=False):
-        a = jnp.broadcast_to(a, batch + a.shape[-1:])
-        return jnp.where(rev, jnp.flip(a, axis=-1), a)
-
-    # reversing index order swaps the roles of the two off-diagonal bands
-    lo = jnp.where(rev, jnp.flip(jnp.broadcast_to(upper, batch + (n - 1,)), -1),
-                   jnp.broadcast_to(lower, batch + (n - 1,)))
-    up = jnp.where(rev, jnp.flip(jnp.broadcast_to(lower, batch + (n - 1,)), -1),
-                   jnp.broadcast_to(upper, batch + (n - 1,)))
-    di = orient(diag)
-    bb = orient(b)
-    gg = orient(g)
-
-    def front(a):
-        return jnp.moveaxis(a, -1, 0)
-
-    # backward sweep: eliminate the super-diagonal (from i=n-1 down to 0)
-    def elim(carry, inp):
-        d_next, b_next = carry
-        d_i, b_i, u_i, l_i = inp
-        m = u_i / d_next
-        d_new = d_i - m * l_i
-        b_new = b_i - m * b_next
-        return (d_new, b_new), (d_new, b_new)
-
-    # row i couples to row i+1 through u[i]; l[i] = A[i+1, i]
-    inputs = (front(di[..., :-1])[::-1], front(bb[..., :-1])[::-1],
-              front(up)[::-1], front(lo)[::-1])
-    (_, _), (d_rev, b_rev) = jax.lax.scan(
-        elim, (di[..., -1], bb[..., -1]), inputs)
-    d_tilde = jnp.concatenate(
-        [jnp.moveaxis(d_rev[::-1], 0, -1), di[..., -1:]], axis=-1)
-    b_tilde = jnp.concatenate(
-        [jnp.moveaxis(b_rev[::-1], 0, -1), bb[..., -1:]], axis=-1)
-
-    # forward substitution INTO the contact end, projecting each row
-    x0 = jnp.maximum(b_tilde[..., 0] / d_tilde[..., 0], gg[..., 0])
-
-    def sub(x_prev, inp):
-        b_i, d_i, l_im1, g_i = inp
-        x_i = jnp.maximum((b_i - l_im1 * x_prev) / d_i, g_i)
-        return x_i, x_i
-
-    _, xs = jax.lax.scan(
-        sub, x0,
-        (front(b_tilde[..., 1:]), front(d_tilde[..., 1:]), front(lo),
-         front(gg[..., 1:])))
-    x = jnp.concatenate([x0[..., None], jnp.moveaxis(xs, 0, -1)], axis=-1)
-    x = jnp.where(rev, jnp.flip(x, axis=-1), x)
-
+    x = brennan_schwartz_apply(
+        brennan_schwartz_factor(lower, diag, upper, reverse), b, g)
     resid = jnp.max(jnp.abs(jnp.minimum(
         _apply_tridiag(jnp.broadcast_to(lower, batch + (n - 1,)),
                        jnp.broadcast_to(diag, batch + (n,)),
