@@ -66,6 +66,12 @@ def _load_measured_baselines():
             micro["heston_pde_amer_solve_ms"] / 1000.0)
     if "hjb_all_boundaries_ms" in micro:
         out["ou_freeboundary_psor_solve_s"] = micro["hjb_all_boundaries_ms"] / 1000.0
+    if "bs_pde_solve_ms" in micro:
+        # the reference prices BS-PDE books by looping one solve per option;
+        # measured solve is its EUROPEAN default (200x100 CN) — slightly
+        # favorable to the reference, since American adds a projection pass
+        out["bs_american_book512_options_per_sec"] = (
+            1000.0 / micro["bs_pde_solve_ms"])
     if "calibration_108" in m:
         out["heston_surface_calibration_wall_s"] = m["calibration_108"]["wall_s"]
         # the reference calibrates surfaces serially
@@ -232,6 +238,24 @@ def main():
     ).price
     per = timeit(fb_fn, n=10)
     emit("heston_adi_fused_batch512_options_per_sec", B / per, "options/s")
+
+    # 4d. Black-Scholes AMERICAN book through the fused 1D march: the whole
+    # mixed book (vols x maturities x strikes, calls and puts) in ONE Pallas
+    # kernel.  The reference prices such books one C++ solve at a time
+    # (black_scholes_pde.hpp:97-147, bs_pde_solve_ms serial loop) -------------
+    from pde_tpu.solvers import bs_pde
+
+    B_bs = _n(512, 128)
+    sig_b = jnp.asarray(np.linspace(0.15, 0.45, B_bs), f32)
+    T_bs = jnp.asarray(np.linspace(0.25, 1.5, B_bs), f32)
+    K_bs = jnp.asarray(np.linspace(80.0, 120.0, B_bs), f32)
+    c_bs = jnp.asarray((np.arange(B_bs) % 2).astype(np.float32))
+    bs_fn = lambda: bs_pde.solve_fused_batch(
+        sig_b, 0.05, 0.01, T_bs, K_bs, c_bs, 100.0,
+        american=jnp.ones(B_bs, f32), interpret=SMOKE,
+    ).price
+    per = timeit(bs_fn, n=10)
+    emit("bs_american_book512_options_per_sec", B_bs / per, "options/s")
 
     # 5. American LCP --------------------------------------------------------
     am = hp._replace(is_call=False, american=True, american_method="it_lcp", r=0.08, q=0.0)

@@ -70,7 +70,8 @@ def fused_douglas_march(
     def kernel(payoff_ref, a1L_ref, a1D_ref, a1U_ref, i1L_ref, i1D_ref, i1U_ref,
                a2L_ref, a2D_ref, a2U_ref, i2L_ref, i2D_ref, i2U_ref,
                mix_ref, sg_ref, par_ref, out_ref,
-               V_scr, c_scr, d_scr, t_scr, c2_scr, d2_scr, t2_scr, lam_scr):
+               V_scr, c_scr, d_scr, t_scr, c2_scr, d2_scr, t2_scr, lam_scr,
+               inv1_scr, inv2_scr):
         dt = par_ref[0]
         r = par_ref[1]
         q = par_ref[2]
@@ -113,6 +114,33 @@ def fused_douglas_march(
                    - sh_dn0(sh_up1(V)) + sh_dn0(sh_dn1(V)))
             return jnp.where(interior, mix_ref[0, :][None, :]*Vxv, 0.0)
 
+        # both implicit operators are time-independent: Thomas-factorize
+        # ONCE before the march (c and reciprocal pivots), so the per-step
+        # serial chains below are multiply/fma-only
+        c_scr[0, :] = i1U_ref[0, :]/i1D_ref[0, :]
+        inv1_scr[0, :] = 1.0/i1D_ref[0, :]
+
+        def fac1(i, _):
+            li = i1L_ref[i, :]
+            inv = 1.0/(i1D_ref[i, :] - li*c_scr[i - 1, :])
+            c_scr[i, :] = i1U_ref[i, :]*inv
+            inv1_scr[i, :] = inv
+            return 0
+
+        jax.lax.fori_loop(1, nS, fac1, 0, unroll=False)
+
+        c2_scr[0, :] = jnp.full((nS,), i2U_ref[0]/i2D_ref[0])
+        inv2_scr[0, :] = jnp.full((nS,), 1.0/i2D_ref[0])
+
+        def fac2(j, _):
+            lj = i2L_ref[j]
+            inv = 1.0/(i2D_ref[j] - lj*c2_scr[j - 1, :])
+            c2_scr[j, :] = i2U_ref[j]*inv
+            inv2_scr[j, :] = inv
+            return 0
+
+        jax.lax.fori_loop(1, nv, fac2, 0, unroll=False)
+
         def body(step, _):
             V = V_scr[:, :]
             lam = lam_scr[:, :]
@@ -122,14 +150,11 @@ def fused_douglas_march(
             # implicit S sweep: stage rhs in scratch (refs allow dynamic
             # sublane indexing; register values do not)
             t_scr[:, :] = Y0 - th*dt*apply_a1(V)
-            c_scr[0, :] = i1U_ref[0, :]/i1D_ref[0, :]
-            d_scr[0, :] = t_scr[0, :]/i1D_ref[0, :]
+            d_scr[0, :] = t_scr[0, :]*inv1_scr[0, :]
 
             def fwd1(i, _):
                 li = i1L_ref[i, :]
-                inv = 1.0/(i1D_ref[i, :] - li*c_scr[i - 1, :])
-                c_scr[i, :] = i1U_ref[i, :]*inv
-                d_scr[i, :] = (t_scr[i, :] - li*d_scr[i - 1, :])*inv
+                d_scr[i, :] = (t_scr[i, :] - li*d_scr[i - 1, :])*inv1_scr[i, :]
                 return 0
 
             jax.lax.fori_loop(1, nS, fwd1, 0, unroll=False)
@@ -145,14 +170,11 @@ def fused_douglas_march(
 
             # implicit v sweep: transpose once in VMEM, sweep along sublanes
             t2_scr[:, :] = (Y1 - th*dt*apply_a2(V)).T
-            c2_scr[0, :] = jnp.full((nS,), i2U_ref[0]/i2D_ref[0])
-            d2_scr[0, :] = t2_scr[0, :]/i2D_ref[0]
+            d2_scr[0, :] = t2_scr[0, :]*inv2_scr[0, :]
 
             def fwd2(j, _):
                 lj = i2L_ref[j]
-                inv = 1.0/(i2D_ref[j] - lj*c2_scr[j - 1, :])
-                c2_scr[j, :] = i2U_ref[j]*inv
-                d2_scr[j, :] = (t2_scr[j, :] - lj*d2_scr[j - 1, :])*inv
+                d2_scr[j, :] = (t2_scr[j, :] - lj*d2_scr[j - 1, :])*inv2_scr[j, :]
                 return 0
 
             jax.lax.fori_loop(1, nv, fwd2, 0, unroll=False)
@@ -207,7 +229,9 @@ def fused_douglas_march(
         out_specs=vspec((nS, nv)),
         scratch_shapes=[pltpu.VMEM((nS, nv), dtype)]*4
                        + [pltpu.VMEM((nv, nS), dtype)]*3
-                       + [pltpu.VMEM((nS, nv), dtype)],
+                       + [pltpu.VMEM((nS, nv), dtype)]
+                       + [pltpu.VMEM((nS, nv), dtype),
+                          pltpu.VMEM((nv, nS), dtype)],
         interpret=interpret,
     )
     return call(
@@ -287,9 +311,9 @@ def fused_douglas_march_batched(
                sc_ref, m0_ref, mN_ref, mi_ref, mj0_ref, mjN_ref,
                out_ref, *scratch):
         if use_it:
-            V_scr, c_scr, d_scr, lam_scr = scratch
+            V_scr, d_scr, c1_scr, inv1_scr, c2_scr, inv2_scr, lam_scr = scratch
         else:
-            V_scr, c_scr, d_scr = scratch
+            V_scr, d_scr, c1_scr, inv1_scr, c2_scr, inv2_scr = scratch
         dt = sc_ref[0:1, :, :]      # (1, 1, B)
         r = sc_ref[1:2, :, :]
         q = sc_ref[2:3, :, :]
@@ -337,6 +361,40 @@ def fused_douglas_march_batched(
                    - sh_dn0(sh_up1(V)) + sh_dn0(sh_dn1(V)))
             return mi_ * (mix * Vxv)
 
+        # both implicit operators are time-independent: Thomas-factorize
+        # ONCE before the march; the per-step chains are then mul/fma-only.
+        # S system: row 0 and row nS-1 are identity (c = 0, inv = 1).
+        c1_scr[0:1, :, :] = jnp.zeros((1, nv, BLK), dtype)
+        inv1_scr[0:1, :, :] = jnp.ones((1, nv, BLK), dtype)
+
+        def fac1(i, _):
+            nl = (i < nS - 1).astype(dtype)  # 0 at the last (identity) row
+            li = i1L * nl
+            dg = i1D * nl + (1.0 - nl)
+            ui = i1U * nl
+            inv = 1.0 / (dg - li * c1_scr[pl.ds(i - 1, 1), :, :])
+            c1_scr[pl.ds(i, 1), :, :] = ui * inv
+            inv1_scr[pl.ds(i, 1), :, :] = inv
+            return 0
+
+        jax.lax.fori_loop(1, nS, fac1, 0, unroll=False)
+
+        # v system: coefficients depend on (j, option) only — (1, nv, B)
+        c2_scr[:, 0:1, :] = i2_ref[2:3, 0:1, :] / i2_ref[1:2, 0:1, :]
+        inv2_scr[:, 0:1, :] = 1.0 / i2_ref[1:2, 0:1, :]
+
+        def fac2(j, _):
+            lj = i2_ref[0:1, pl.ds(j, 1), :]
+            inv = 1.0 / (
+                i2_ref[1:2, pl.ds(j, 1), :]
+                - lj * c2_scr[:, pl.ds(j - 1, 1), :]
+            )
+            c2_scr[:, pl.ds(j, 1), :] = i2_ref[2:3, pl.ds(j, 1), :] * inv
+            inv2_scr[:, pl.ds(j, 1), :] = inv
+            return 0
+
+        jax.lax.fori_loop(1, nv, fac2, 0, unroll=False)
+
         def body(step, _):
             V = V_scr[:, :, :]
             # rhs1 = V + dt A0 V + (1-th) dt A1 V + dt A2 V (+ dt lam)
@@ -347,23 +405,17 @@ def fused_douglas_march_batched(
                 acc = acc + dt * lam_scr[:, :, :]
             out_ref[:, :, :] = acc
 
-            # implicit S sweep (Thomas along the outer dim; edge rows are
-            # identity — handled by the i == nS-1 scalar factor; row 0's
-            # identity makes c[0] = 0, d[0] = rhs[0])
-            c_scr[0:1, :, :] = jnp.zeros((1, nv, BLK), dtype)
+            # implicit S sweep (Thomas along the outer dim; row 0 identity:
+            # inv = 1, li = 0 make d[0] = rhs[0])
             d_scr[0:1, :, :] = out_ref[0:1, :, :]
 
             def fwd1(i, _):
-                nl = (i < nS - 1).astype(dtype)  # 0 at the last (identity) row
+                nl = (i < nS - 1).astype(dtype)
                 li = i1L * nl
-                dg = i1D * nl + (1.0 - nl)
-                ui = i1U * nl
-                inv = 1.0 / (dg - li * c_scr[pl.ds(i - 1, 1), :, :])
-                c_scr[pl.ds(i, 1), :, :] = ui * inv
                 d_scr[pl.ds(i, 1), :, :] = (
                     out_ref[pl.ds(i, 1), :, :]
                     - li * d_scr[pl.ds(i - 1, 1), :, :]
-                ) * inv
+                ) * inv1_scr[pl.ds(i, 1), :, :]
                 return 0
 
             jax.lax.fori_loop(1, nS, fwd1, 0, unroll=False)
@@ -373,7 +425,7 @@ def fused_douglas_march_batched(
                 i = nS - 2 - k
                 out_ref[pl.ds(i, 1), :, :] = (
                     d_scr[pl.ds(i, 1), :, :]
-                    - c_scr[pl.ds(i, 1), :, :] * out_ref[pl.ds(i + 1, 1), :, :]
+                    - c1_scr[pl.ds(i, 1), :, :] * out_ref[pl.ds(i + 1, 1), :, :]
                 )
                 return 0
 
@@ -384,22 +436,14 @@ def fused_douglas_march_batched(
 
             # implicit v sweep (Thomas along the sublane dim; the j = nv-1
             # identity row and the j = 0 one-sided row are baked into i2)
-            c_scr[:, 0:1, :] = jnp.broadcast_to(
-                i2_ref[2:3, 0:1, :] / i2_ref[1:2, 0:1, :], (nS, 1, BLK)
-            )
-            d_scr[:, 0:1, :] = out_ref[:, 0:1, :] / i2_ref[1:2, 0:1, :]
+            d_scr[:, 0:1, :] = out_ref[:, 0:1, :] * inv2_scr[:, 0:1, :]
 
             def fwd2(j, _):
                 lj = i2_ref[0:1, pl.ds(j, 1), :]          # (1, 1, B)
-                inv = 1.0 / (
-                    i2_ref[1:2, pl.ds(j, 1), :]
-                    - lj * c_scr[:, pl.ds(j - 1, 1), :]
-                )
-                c_scr[:, pl.ds(j, 1), :] = i2_ref[2:3, pl.ds(j, 1), :] * inv
                 d_scr[:, pl.ds(j, 1), :] = (
                     out_ref[:, pl.ds(j, 1), :]
                     - lj * d_scr[:, pl.ds(j - 1, 1), :]
-                ) * inv
+                ) * inv2_scr[:, pl.ds(j, 1), :]
                 return 0
 
             jax.lax.fori_loop(1, nv, fwd2, 0, unroll=False)
@@ -409,7 +453,7 @@ def fused_douglas_march_batched(
                 j = nv - 2 - k
                 out_ref[:, pl.ds(j, 1), :] = (
                     d_scr[:, pl.ds(j, 1), :]
-                    - c_scr[:, pl.ds(j, 1), :] * out_ref[:, pl.ds(j + 1, 1), :]
+                    - c2_scr[:, pl.ds(j, 1), :] * out_ref[:, pl.ds(j + 1, 1), :]
                 )
                 return 0
 
@@ -458,7 +502,11 @@ def fused_douglas_march_batched(
     full = lambda shape: pl.BlockSpec(
         shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM
     )
-    scratch = [pltpu.VMEM((nS, nv, BLK), dtype)] * (4 if use_it else 3)
+    scratch = (
+        [pltpu.VMEM((nS, nv, BLK), dtype)] * 4          # V, d, c1, inv1
+        + [pltpu.VMEM((1, nv, BLK), dtype)] * 2         # c2, inv2
+        + ([pltpu.VMEM((nS, nv, BLK), dtype)] if use_it else [])  # lam
+    )
     call = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -467,8 +515,7 @@ def fused_douglas_march_batched(
                  + [lane((1, nv, B)), lane((8, 1, B))]
                  + [full((nS, 1, 1))] * 3 + [full((1, nv, 1))] * 2,
         out_specs=lane((nS, nv, B)),
-        scratch_shapes=scratch[:3] + ([pltpu.VMEM((nS, nv, BLK), dtype)]
-                                      if use_it else []),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..core import grids
 from ..ops.tridiag import thomas_factor, thomas_solve_factored
 
-__all__ = ["BSPDEParams", "BSPDEResult", "solve"]
+__all__ = ["BSPDEParams", "BSPDEResult", "solve", "solve_fused_batch"]
 
 
 class BSPDEParams(NamedTuple):
@@ -278,3 +278,98 @@ def solve(params: BSPDEParams, S0) -> BSPDEResult:
         params.psor_iterations,
         bool(params.reference_compat),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_space", "n_time", "scheme", "interpret"),
+)
+def solve_fused_batch(
+    sigma, r, q, T, K, is_call, S0,
+    american=False,
+    n_space: int = 200,
+    n_time: int = 100,
+    s_min_mult: float = 0.2,
+    s_max_mult: float = 5.0,
+    scheme: str = "crank_nicolson",
+    interpret: bool = False,
+) -> BSPDEResult:
+    """Price a whole option BOOK through ONE fused Pallas march.
+
+    Every array argument broadcasts along one leading batch axis;
+    ``is_call`` and ``american`` are per-option, so a batch may mix strikes,
+    maturities, rates, vols, calls with puts, and European with American
+    (projection mode).  The entire backward march runs inside one Pallas
+    kernel with the batch riding the 128 VPU lanes
+    (ops/cn1d_fused.fused_cn_march_1d) — the 1D analog of
+    heston_adi.solve_fused_batch.  The reference prices such books by
+    looping one C++ solve per option (black_scholes_pde.hpp:97-147).
+
+    Greeks from the grid + analytic theta, exactly as :func:`solve`; f32
+    (TPU speed path — use :func:`solve` under float64 for parity work).
+    """
+    from ..ops.cn1d_fused import fused_cn_march_1d
+
+    sigma, r, q, T, K, is_call, S0, american = map(
+        jnp.atleast_1d, map(jnp.asarray, (sigma, r, q, T, K, is_call, S0, american))
+    )
+    B = max(a.shape[0] for a in (sigma, r, q, T, K, is_call, S0, american))
+    sigma, r, q, T, K, is_call, S0, american = (
+        jnp.broadcast_to(a, (B,)) for a in (sigma, r, q, T, K, is_call, S0, american)
+    )
+    call_f = is_call.astype(jnp.float32)
+    amer_f = american.astype(jnp.float32)
+
+    # K-scaled log grid: s_i = K * g_i with g_i = s_min_mult * e^{i dx};
+    # dx is the SAME for every option
+    n = n_space
+    dx = jnp.log(s_max_mult / s_min_mult) / (n - 1)
+    g_base = s_min_mult * jnp.exp(dx * jnp.arange(n))           # (n,)
+    s_grid = K[None, :] * g_base[:, None]                        # (n, B)
+    pay = jnp.where(call_f[None, :] > 0.5,
+                    jnp.maximum(s_grid - K[None, :], 0.0),
+                    jnp.maximum(K[None, :] - s_grid, 0.0))
+
+    sigma2 = sigma * sigma
+    drift = r - q - 0.5 * sigma2
+    a = 0.5 * sigma2 / (dx * dx)
+    b = drift / (2.0 * dx)
+    w = {"crank_nicolson": 0.5, "implicit": 1.0}[scheme]
+
+    # pad the batch to full-lane blocks with copies of lane 0
+    Bp = ((B + 127) // 128) * 128 if B > 128 else B
+    pad = Bp - B
+
+    def padded(x):
+        return jnp.concatenate([x, jnp.broadcast_to(x[..., :1], x.shape[:-1] + (pad,))],
+                               axis=-1) if pad else x
+
+    sc = jnp.stack([
+        T / n_time, r, q, K, call_f, amer_f,
+        a - b, -2.0 * a - r, a + b,
+        K * s_min_mult, K * s_max_mult, jnp.zeros_like(K),
+    ])                                                           # (12, B)
+    V = fused_cn_march_1d(padded(pay), padded(sc), n_space=n, n_time=n_time,
+                          w=w, interpret=interpret)[:, :B]       # (n, B)
+
+    # per-lane readout (price + grid Greeks + analytic theta), vectorized
+    def readout(Vb, sgb, S0b, Kb, sigb, rb, qb, Tb, callb, amerb):
+        price = grids.interp_linear(sgb, Vb, S0b)
+        i = jnp.clip(grids.find_index(sgb, S0b), 1, n - 2)
+        delta = (Vb[i + 1] - Vb[i - 1]) / (sgb[i + 1] - sgb[i - 1])
+        davg = 0.5 * (sgb[i + 1] - sgb[i - 1])
+        gamma = (Vb[i + 1] - 2.0 * Vb[i] + Vb[i - 1]) / (davg * davg)
+        d1 = (jnp.log(S0b / Kb) + (rb - qb + 0.5 * sigb * sigb) * Tb) / (
+            sigb * jnp.sqrt(Tb))
+        nd1 = jnp.exp(-0.5 * d1 * d1) / jnp.sqrt(2.0 * jnp.pi)
+        theta = -S0b * nd1 * sigb / (2.0 * jnp.sqrt(Tb))
+        theta = theta + jnp.where(callb > 0.5, -1.0, 1.0) * rb * Kb * jnp.exp(
+            -rb * Tb) * 0.5
+        pay_s0 = jnp.where(callb > 0.5, jnp.maximum(S0b - Kb, 0.0),
+                           jnp.maximum(Kb - S0b, 0.0))
+        early = (amerb > 0.5) & (price > pay_s0 + 1e-10)
+        return price, delta, gamma, theta, early
+
+    price, delta, gamma, theta, early = jax.vmap(readout)(
+        V.T, s_grid.T, S0, K, sigma, r, q, T, call_f, amer_f)
+    return BSPDEResult(price, delta, gamma, theta, V.T, s_grid.T, early)

@@ -49,6 +49,8 @@ def test_bench_full_smoke_traces_every_section():
         "heston_adi_fused_solve_s",
         "heston_adi_batch108_options_per_sec",
         "heston_adi_fused_batch512_options_per_sec",
+        "bs_american_book512_options_per_sec",
+        "ou_freeboundary_batch64_books_per_sec",
         "heston_american_lcp_solve_s",
         "heston_american_lcp_fused_solve_s",
         "ou_freeboundary_psor_solve_s",

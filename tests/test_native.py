@@ -277,6 +277,25 @@ class TestSolverOracles:
                 err_msg=f"problem {pr.name}",
             )
 
+    def test_hjb_march_bs_multi_matches_single(self):
+        """The one-call multi-problem march (one std::thread per problem on
+        multi-core hosts, inline on 1-core) is bit-identical to the four
+        single marches."""
+        from pde_tpu.solvers import hjb
+
+        p = hjb.HJBParams(mu=4.0, sigma=0.12, c_entry=0.002, c_exit=0.002,
+                          n_space=96, n_time=24)
+        _, g_np = _hjb_payoffs(p, all_problems=True)
+        rev = [hjb._BS_REVERSE[pr] for pr in hjb.StoppingProblem]
+        multi = native.hjb_march_bs_multi(
+            p.theta, p.mu, p.sigma, p.r, p.T, p.x_min, p.x_max,
+            g_np, rev, n_time=p.n_time)
+        for k, pr in enumerate(hjb.StoppingProblem):
+            single = native.hjb_march_bs(
+                p.theta, p.mu, p.sigma, p.r, p.T, p.x_min, p.x_max,
+                g_np[k], rev[k], n_time=p.n_time)
+            assert np.array_equal(multi[k], single), pr.name
+
 
 class TestCppUnitTests:
     """Build + run the native assert-suite (src/cpp/pde_host_test.cpp) —

@@ -79,6 +79,57 @@ class TestBSPDE:
         with pytest.raises(ValueError):
             bs_pde.solve(bs_pde.BSPDEParams(sigma=-0.1), 100.0)
 
+    def test_solve_fused_batch_matches_scan(self):
+        """The fused 1D Pallas book march (interpret mode on CPU) reproduces
+        the per-option scan solves — mixed vols, maturities, strikes,
+        calls/puts, European/American in ONE batch."""
+        sig = np.array([0.15, 0.2, 0.3, 0.25, 0.4])
+        T = np.array([0.25, 0.5, 1.0, 1.5, 0.75])
+        K = np.array([90.0, 95.0, 100.0, 105.0, 110.0])
+        is_call = np.array([1.0, 0.0, 1.0, 0.0, 1.0])
+        amer = np.array([0.0, 0.0, 0.0, 1.0, 1.0])
+        kw = dict(n_space=96, n_time=24)
+        batch = bs_pde.solve_fused_batch(
+            sig, 0.05, 0.01, T, K, is_call, 100.0, american=amer,
+            interpret=True, **kw
+        )
+        for i in range(5):
+            p = bs_pde.BSPDEParams(
+                sigma=float(sig[i]), r=0.05, q=0.01, T=float(T[i]),
+                K=float(K[i]), is_call=bool(is_call[i] > 0.5),
+                american=bool(amer[i] > 0.5), **kw
+            )
+            ref = bs_pde.solve(p, 100.0)
+            np.testing.assert_allclose(
+                float(batch.price[i]), float(ref.price), atol=5e-4
+            )
+            np.testing.assert_allclose(
+                float(batch.delta[i]), float(ref.delta), atol=5e-4
+            )
+
+    def test_solve_fused_batch_multiblock_padding(self):
+        """A batch that is not a lane multiple pads with copies of lane 0 and
+        strips the padding; implicit-Euler scheme variant covered too."""
+        B = 130  # pads to 256 -> two 128-lane grid blocks
+        K = np.linspace(80.0, 120.0, B)
+        T = np.linspace(0.3, 1.2, B)
+        is_call = (np.arange(B) % 2).astype(float)
+        kw = dict(n_space=48, n_time=16)
+        batch = bs_pde.solve_fused_batch(
+            0.25, 0.05, 0.0, T, K, is_call, 100.0, scheme="implicit",
+            interpret=True, **kw
+        )
+        assert batch.price.shape == (B,)
+        for i in (0, 64, 129):
+            p = bs_pde.BSPDEParams(
+                sigma=0.25, r=0.05, q=0.0, T=float(T[i]), K=float(K[i]),
+                is_call=bool(is_call[i] > 0.5), scheme="implicit", **kw
+            )
+            ref = bs_pde.solve(p, 100.0)
+            np.testing.assert_allclose(
+                float(batch.price[i]), float(ref.price), atol=5e-4
+            )
+
 
 class TestHestonADI:
     PARAMS = HestonPDE = heston_adi.HestonPDEParams(
