@@ -153,6 +153,29 @@ class TestBrennanSchwartz:
             assert r_bs.lower_boundary == r_ps.lower_boundary
             assert r_bs.upper_boundary == r_ps.upper_boundary
 
+    def test_factor_apply_matches_one_shot(self, rng):
+        """brennan_schwartz_factor + _apply == brennan_schwartz, both sweep
+        directions, shared factors across many right-hand sides (the
+        obstacle-march usage pattern)."""
+        from pde_tpu.solvers.lcp import (brennan_schwartz,
+                                         brennan_schwartz_apply,
+                                         brennan_schwartz_factor)
+
+        n = 40
+        lower = jnp.asarray(-rng.uniform(0.1, 0.5, n - 1))
+        upper = jnp.asarray(-rng.uniform(0.1, 0.5, n - 1))
+        diag = jnp.asarray(2.0 + rng.uniform(0, 1, n))  # M-matrix
+        g = jnp.asarray(np.maximum(1.0 - np.linspace(0, 2, n), 0.0))
+        for reverse in (False, True):
+            f = brennan_schwartz_factor(lower, diag, upper, reverse=reverse)
+            for _ in range(3):
+                b = jnp.asarray(rng.uniform(0.0, 1.0, n))
+                x = brennan_schwartz_apply(f, b, g)
+                x_ref, _ = brennan_schwartz(lower, diag, upper, b, g,
+                                            reverse=reverse)
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(x_ref), rtol=1e-12, atol=1e-14)
+
     def test_native_backend_matches_device(self):
         from pde_tpu import native
 

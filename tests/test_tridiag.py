@@ -86,6 +86,53 @@ class TestThomas:
         assert np.all(np.isfinite(np.asarray(g)))
 
 
+class TestThomasFactored:
+    """Factor-once API for time-independent marches: same solutions as
+    :func:`thomas`, one elimination amortized over many right-hand sides."""
+
+    def test_matches_thomas(self, system):
+        lower, diag, upper, rhs = map(jnp.asarray, system)
+        f = tridiag.thomas_factor(lower, diag, upper)
+        x = tridiag.thomas_solve_factored(f, rhs)
+        ref = tridiag.thomas(lower, diag, upper, rhs)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-12)
+
+    def test_many_rhs_one_factorization(self, rng):
+        n, R = 24, 6
+        lower = jnp.asarray(rng.uniform(-1, 1, n - 1))
+        upper = jnp.asarray(rng.uniform(-1, 1, n - 1))
+        diag = jnp.asarray(4.0 + rng.uniform(0, 1, n))
+        f = tridiag.thomas_factor(lower, diag, upper)
+        for _ in range(R):
+            rhs = jnp.asarray(rng.uniform(-2, 2, n))
+            x = tridiag.thomas_solve_factored(f, rhs)
+            ref = tridiag.thomas(lower, diag, upper, rhs)
+            np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-12)
+
+    def test_batched_rhs_against_shared_factors(self, rng):
+        """(B, n) right-hand sides broadcast against 1-D factors."""
+        B, n = 5, 30
+        lower = jnp.asarray(rng.uniform(-1, 1, n - 1))
+        upper = jnp.asarray(rng.uniform(-1, 1, n - 1))
+        diag = jnp.asarray(4.0 + rng.uniform(0, 1, n))
+        rhs = jnp.asarray(rng.uniform(-2, 2, (B, n)))
+        f = tridiag.thomas_factor(lower, diag, upper)
+        x = np.asarray(tridiag.thomas_solve_factored(f, rhs))
+        ref = np.asarray(tridiag.thomas(lower, diag, upper, rhs))
+        np.testing.assert_allclose(x, ref, rtol=1e-12)
+
+    def test_jittable_and_differentiable(self, system):
+        lower, diag, upper, rhs = map(jnp.asarray, system)
+
+        @jax.jit
+        def solve_sum(r):
+            f = tridiag.thomas_factor(lower, diag, upper)
+            return jnp.sum(tridiag.thomas_solve_factored(f, r))
+
+        g = jax.grad(solve_sum)(rhs)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
 class TestPCR:
     def test_matches_dense_solve(self, system):
         lower, diag, upper, rhs = system
