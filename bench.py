@@ -26,6 +26,10 @@ import numpy as np
 
 
 def main():
+    from pde_tpu.utils.device_guard import ensure_live_backend
+
+    backend_mode = ensure_live_backend()
+
     import jax
     import jax.numpy as jnp
 
@@ -90,7 +94,8 @@ def main():
     rmse_rel = float(np.sqrt(2.0 * float(out[4]) / n_quotes))
     ok = abs(lm_x[4] - TRUE["v0"]) < 0.02 and rmse_rel < 0.05
     print(
-        f"# device={jax.devices()[0]} n_quotes={n_quotes} "
+        f"# device={jax.devices()[0]} backend_mode={backend_mode} "
+        f"n_quotes={n_quotes} "
         f"params={np.round(lm_x, 4).tolist()} rel_rmse={rmse_rel:.2e} ok={ok}",
         file=sys.stderr,
     )

@@ -141,9 +141,17 @@ def main():
         # smoke exists to catch bench/library signature drift in CI, which
         # runs on CPU; Pallas sections switch to interpret mode below
         jax.config.update("jax_platforms", "cpu")
+        backend_mode = "smoke-cpu"
+    else:
+        from pde_tpu.utils.device_guard import ensure_live_backend
+
+        backend_mode = ensure_live_backend()
     import jax.numpy as jnp
 
-    print(f"# device={jax.devices()[0]}", file=sys.stderr)
+    print(
+        f"# device={jax.devices()[0]} backend_mode={backend_mode}",
+        file=sys.stderr,
+    )
     f32 = jnp.float32
 
     # 1. Heston pricing throughput ------------------------------------------
