@@ -10,8 +10,10 @@ pricing loop with a <30 s design target for 50 options
 (docs/design-doc.md:493; calibration/heston_calibrator.py:416-477).
 
 Here the whole two-stage pipeline is ONE jitted XLA program; a DE generation
-prices popsize*5 x 108 x 1024 characteristic-function points as a single
-fused tensor op.
+prices the population x 108 quotes x 70 quadrature nodes (a corrected
+Gauss-Legendre rule reproducing the reference's 1024-point grid to ~1e-9)
+as a single fused tensor op, with the characteristic function shared across
+the strikes of each maturity.
 
 Prints one JSON line:
   {"metric": "heston_surface_calibration_wall_s", "value": <seconds>,

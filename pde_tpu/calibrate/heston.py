@@ -87,20 +87,24 @@ def _price_vec(params_array, strikes, maturities, is_calls, S0, r, q,
     )
 
 
-# Gauss-Legendre quadrature for the global stage: same [0, 10.24] truncation
-# as the reference grid at 1/16 the nodes.  (Round 1 coarsened the trapezoid
-# to 256 x 0.04 instead — that INVERTED the landscape: on the flagship
-# surface the true parameters scored 60x worse than a spurious
-# sigma-at-bound basin, so the DE searched the wrong objective.  GL-64
-# matches the full quadrature's ranking to ~1e-3 relative.)
+# Euler-Maclaurin-corrected Gauss-Legendre: reproduces the REFERENCE
+# rectangle sum (not just the truncated integral) to ~1e-9 at price level
+# from 70 instead of 1023 integrand evaluations
+# (models/heston.py:_gl_ref_rule).  Both stages price through this rule, so
+# DE and LM optimize numerically the SAME objective — the reference's.
+# (History: round 1 coarsened the trapezoid to 256 x 0.04, which INVERTED
+# the landscape — the true parameters scored 60x worse than a spurious
+# sigma-at-bound basin; plain GL-64 then matched the ranking to ~1e-3
+# relative but still carried the 0.16-absolute dropped-endpoint offset vs
+# the reference sum.  The corrected rule removes that offset too.)
 _DE_GL_POINTS = 64
 
 
 def _price_vec_gl(params_array, strikes, maturities, is_calls, S0, r, q,
                   n_points=_DE_GL_POINTS):
-    """Quote-vector pricing on the Gauss-Legendre grid (DE-stage pricer)."""
+    """Quote-vector pricing on the corrected-GL grid (both stages)."""
     p = HestonParams(*[params_array[i] for i in range(5)])
-    return heston_model.price_gauss_legendre(
+    return heston_model.price_carr_madan_gl(
         p, strikes, maturities, S0, r, q, is_calls, n_points=n_points
     )
 
@@ -124,7 +128,7 @@ def _price_vec_grouped(params_array, strikes, t_idx, unique_T, is_calls,
 def _price_vec_gl_grouped(params_array, strikes, t_idx, unique_T, is_calls,
                           S0, r, q, n_points=_DE_GL_POINTS):
     p = HestonParams(*[params_array[i] for i in range(5)])
-    return heston_model.price_gauss_legendre_grouped(
+    return heston_model.price_carr_madan_gl_grouped(
         p, strikes, t_idx, unique_T, S0, r, q, is_calls, n_points=n_points
     )
 
@@ -247,7 +251,9 @@ def _calibrate_pipeline(
     )
 
     def residuals(x):
-        prices = _price_vec_grouped(x, strikes, t_idx, unique_T, is_calls, S0, r, q)
+        # corrected-GL pricer: numerically the reference objective (~1e-9
+        # price agreement) at 15x fewer quadrature points per LM iteration
+        prices = _price_vec_gl_grouped(x, strikes, t_idx, unique_T, is_calls, S0, r, q)
         prices = jnp.maximum(prices, 1e-10)  # heston_calibrator.py:533
         return mask * (prices - market_prices) / market_prices
 
@@ -284,6 +290,9 @@ def _calibrate_pipeline(
         converged=lm_all.converged[best], grad_norm=lm_all.grad_norm[best],
     )
 
+    # final reported prices/fit quality stay on the LITERAL reference grid
+    # (price_carr_madan_grouped) so stored RMSE/R2 keep exact reference
+    # semantics; only the optimizer hot loops use the corrected-GL rule
     model_prices = _price_vec_grouped(lm.x, strikes, t_idx, unique_T, is_calls, S0, r, q)
     return (de.x, de.fun, de.n_iter, lm.x, lm.cost, lm.converged, lm.n_iter,
             model_prices)
@@ -306,8 +315,10 @@ def _sensitivities_impl(x, strikes, t_idx, unique_T, is_calls, market_prices,
     """
 
     def model(xv):
+        # same pricer as the LM residuals so the IFT linearization matches
+        # the stationarity condition the optimum actually satisfies
         return jnp.maximum(
-            _price_vec_grouped(xv, strikes, t_idx, unique_T, is_calls, S0, r, q),
+            _price_vec_gl_grouped(xv, strikes, t_idx, unique_T, is_calls, S0, r, q),
             1e-10,
         )
 

@@ -36,11 +36,15 @@ __all__ = [
     "characteristic_function",
     "price_carr_madan",
     "price_carr_madan_grouped",
+    "price_carr_madan_gl",
+    "price_carr_madan_gl_grouped",
     "price_gauss_legendre_grouped",
     "group_maturities",
     "price_options",
     "price_with_greeks",
     "price_accurate",
+    "price_accurate_gl",
+    "price_accurate_gl_grouped",
     "implied_volatility",
     "implied_volatility_surface",
     "price_fft",
@@ -260,16 +264,18 @@ def price_gauss_legendre(
     u_max: float = N_QUADRATURE * DU,
     alpha: float = INTEGRATION_ALPHA,
 ):
-    """European price via Gauss-Legendre quadrature on [0, u_max].
+    """European price via PLAIN Gauss-Legendre quadrature on [0, u_max].
 
-    The cheap-but-faithful pricer for the DE global stage.  The smooth
-    damped integrand makes GL-64 match the reference's 1024-point trapezoid
-    truncation (same u_max = 10.24) to ~1e-3 relative at 1/16 the nodes —
-    whereas a trapezoid COARSENED to 256 x 0.04 inverts the calibration
-    landscape outright (truth scored 60x WORSE than a spurious
-    sigma-at-bound basin on the flagship surface; the round-1 DE stage was
-    optimizing the wrong objective).  Node/weight tables are compile-time
-    constants.
+    Integrates the true (truncated) Carr-Madan integral — i.e. WITHOUT the
+    reference grid's dropped-endpoint offset (~0.16 absolute), so it
+    differs from :func:`price_carr_madan` by that systematic amount.  The
+    calibration stages now price through :func:`price_carr_madan_gl`
+    (corrected rule, reference-grid semantics at the same node count);
+    this variant remains for true-integral uses and as the uncorrected
+    baseline in tests.  History: a trapezoid COARSENED to 256 x 0.04
+    inverts the calibration landscape outright (truth scored 60x WORSE
+    than a spurious sigma-at-bound basin); GL-64 fixed that at 1/16 the
+    nodes.  Node/weight tables are compile-time constants.
     """
     rdt = result_dtype(strike, maturity, spot)
     strike, maturity = jnp.broadcast_arrays(
@@ -416,6 +422,203 @@ def price_gauss_legendre_grouped(
     nodes, wts = np.polynomial.legendre.leggauss(n_points)
     v = jnp.asarray(0.5 * u_max * (nodes + 1.0), dtype=rdt)
     w = jnp.asarray(0.5 * u_max * wts, dtype=rdt)
+    integral, T = _carr_madan_grouped_sum(
+        params, strikes, t_idx, unique_T, spot, rate, dividend, v, w, 1.0, alpha
+    )
+    return _grouped_price_from_integral(
+        integral, strikes, T, spot, rate, dividend, is_call, alpha, rdt
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _gl_ref_rule(n_points: int, du: float, u_max: float, h: float = 0.005):
+    """Quadrature rule reproducing the REFERENCE rectangle sum from
+    ``n_points + 6`` integrand evaluations.
+
+    The reference grid (heston.cpp:104-137) is the rectangle sum
+    ``S = sum_{j=1}^{J-1} du * f(j*du)`` with ``J = u_max/du`` — i.e. the
+    trapezoid over [0, u_max] minus its half-endpoints.  Euler-Maclaurin
+    relates that trapezoid to the true integral, so
+
+        S = integral_0^{u_max} f dv - du/2 * (f(0) + f(u_max))
+            + du^2/12 * (f'(u_max) - f'(0)) + O(du^4 * f''')
+
+    The integral is evaluated with Gauss-Legendre (the damped Carr-Madan
+    integrand is smooth, so GL-64 is converged to ~1e-12 here) and the
+    endpoint values/derivatives with six extra nodes whose weights encode
+    3-point one-sided difference stencils (O(h^2)).  Agreement with the
+    1023-point reference sum at price level: ~1e-9 absolute across the
+    calibration box (worst observed 1.2e-5 at the unrealistic corner
+    sigma=2, rho=0.9, v0=0.5, T=2) — 15x fewer integrand evaluations at
+    well below device-f32 pricing noise (~1e-5).
+
+    Returns float64 numpy ``(v, w)``; callers cast and pass ``du=1.0``.
+    """
+    nodes, wts = np.polynomial.legendre.leggauss(n_points)
+    v = 0.5 * u_max * (nodes + 1.0)
+    w = 0.5 * u_max * wts
+    c = du * du / 12.0
+    v_x = np.array([0.0, h, 2.0 * h, u_max - 2.0 * h, u_max - h, u_max])
+    # -c * f'(0):  f'(0)  ~ (-3 f(0) + 4 f(h) - f(2h)) / (2h)
+    w_lo = np.array([3.0, -4.0, 1.0]) * (c / (2.0 * h))
+    # +c * f'(uN): f'(uN) ~ (f(uN-2h) - 4 f(uN-h) + 3 f(uN)) / (2h)
+    w_hi = np.array([1.0, -4.0, 3.0]) * (c / (2.0 * h))
+    w_x = np.concatenate([w_lo, w_hi])
+    w_x[0] -= du / 2.0   # -du/2 * f(0)
+    w_x[-1] -= du / 2.0  # -du/2 * f(u_max)
+    return np.concatenate([v, v_x]), np.concatenate([w, w_x])
+
+
+@functools.partial(jax.jit, static_argnames=("n_points", "du", "alpha"))
+def price_carr_madan_gl(
+    params: HestonParams,
+    strike,
+    maturity,
+    spot,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_points: int = 64,
+    du: float = DU,
+    alpha: float = INTEGRATION_ALPHA,
+):
+    """:func:`price_carr_madan` semantics at GL cost.
+
+    Prices on the Euler-Maclaurin-corrected Gauss-Legendre rule
+    (:func:`_gl_ref_rule`), which reproduces the reference's
+    ``N_QUADRATURE x du`` rectangle sum — including its systematic ~0.16
+    dropped-endpoint bias, which IS the reference's price definition — to
+    ~1e-9 from 70 instead of 1023 integrand evaluations.  This is the
+    calibration hot-loop pricer; parity tests keep using
+    :func:`price_carr_madan` (the literal grid)."""
+    rdt = result_dtype(strike, maturity, spot)
+    strike, maturity = jnp.broadcast_arrays(
+        jnp.asarray(strike, dtype=rdt), jnp.asarray(maturity, dtype=rdt)
+    )
+    spot = jnp.asarray(spot, dtype=rdt)
+    v_np, w_np = _gl_ref_rule(n_points, du, N_QUADRATURE * du)
+    v = jnp.asarray(v_np, dtype=rdt)
+    w = jnp.asarray(w_np, dtype=rdt)
+    integral = _carr_madan_integrand_sum(
+        params, strike, maturity, spot, rate, dividend, v, w, 1.0, alpha
+    )
+    discount = jnp.exp(-rate * maturity)
+    forward = spot * jnp.exp((rate - dividend) * maturity)
+    prefactor = strike * (forward / strike) ** (alpha + 1.0)
+    call = jnp.maximum((prefactor / jnp.pi) * discount * integral, 0.0)
+    put = jnp.maximum(call - spot * jnp.exp(-dividend * maturity) + strike * discount, 0.0)
+    price = jnp.where(is_call, call, put)
+    intrinsic = jnp.where(
+        is_call, jnp.maximum(spot - strike, 0.0), jnp.maximum(strike - spot, 0.0)
+    )
+    return jnp.where(maturity <= 0.0, intrinsic, price)
+
+
+@functools.partial(jax.jit, static_argnames=("n_points", "du", "alpha"))
+def price_carr_madan_gl_grouped(
+    params: HestonParams,
+    strikes,
+    t_idx,
+    unique_T,
+    spot,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_points: int = 64,
+    du: float = DU,
+    alpha: float = INTEGRATION_ALPHA,
+):
+    """:func:`price_carr_madan_gl` with CF shared per unique maturity —
+    the grouped twin both calibration stages price through."""
+    rdt = result_dtype(strikes, unique_T, spot)
+    v_np, w_np = _gl_ref_rule(n_points, du, N_QUADRATURE * du)
+    v = jnp.asarray(v_np, dtype=rdt)
+    w = jnp.asarray(w_np, dtype=rdt)
+    integral, T = _carr_madan_grouped_sum(
+        params, strikes, t_idx, unique_T, spot, rate, dividend, v, w, 1.0, alpha
+    )
+    return _grouped_price_from_integral(
+        integral, strikes, T, spot, rate, dividend, is_call, alpha, rdt
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _accurate_gl_rule(n_per_panel: int = 40,
+                      edges: tuple = (0.0, 4.0, 12.0, 28.0, 60.0, 124.0, 204.8)):
+    """Composite Gauss-Legendre rule for the CONVERGED Carr-Madan integral.
+
+    :func:`price_accurate` integrates a smooth, decaying integrand with a
+    true trapezoid over 8192 x 0.025 points.  The same integral is
+    converged by ~6 GL panels of 40 nodes (geometrically widening — the
+    integrand's curvature concentrates at small v), i.e. ~34x fewer
+    evaluations at BETTER accuracy (GL has no O(du^2) term; agreement with
+    the 8192-point trapezoid is bounded by the trapezoid's own ~1e-6
+    error).  Same [0, 204.8] truncation.  Returns float64 numpy (v, w).
+    """
+    vs, ws = [], []
+    nodes, wts = np.polynomial.legendre.leggauss(n_per_panel)
+    for a, b in zip(edges[:-1], edges[1:]):
+        vs.append(0.5 * (b - a) * (nodes + 1.0) + a)
+        ws.append(0.5 * (b - a) * wts)
+    return np.concatenate(vs), np.concatenate(ws)
+
+
+@functools.partial(jax.jit, static_argnames=("n_per_panel", "alpha"))
+def price_accurate_gl(
+    params: HestonParams,
+    strike,
+    maturity,
+    spot,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_per_panel: int = 40,
+    alpha: float = 1.25,
+):
+    """:func:`price_accurate` (converged true-integral pricing) on the
+    composite GL rule — the hot-path twin for IV surfaces and signal scans
+    (~34x fewer integrand evaluations, see :func:`_accurate_gl_rule`)."""
+    rdt = result_dtype(strike, maturity, spot)
+    strike, maturity = jnp.broadcast_arrays(
+        jnp.asarray(strike, dtype=rdt), jnp.asarray(maturity, dtype=rdt)
+    )
+    spot = jnp.asarray(spot, dtype=rdt)
+    v_np, w_np = _accurate_gl_rule(n_per_panel)
+    v = jnp.asarray(v_np, dtype=rdt)
+    w = jnp.asarray(w_np, dtype=rdt)
+    integral = _carr_madan_integrand_sum(
+        params, strike, maturity, spot, rate, dividend, v, w, 1.0, alpha
+    )
+    discount = jnp.exp(-rate * maturity)
+    forward = spot * jnp.exp((rate - dividend) * maturity)
+    prefactor = strike * (forward / strike) ** (alpha + 1.0)
+    call = jnp.maximum((prefactor / jnp.pi) * discount * integral, 0.0)
+    put = jnp.maximum(call - spot * jnp.exp(-dividend * maturity) + strike * discount, 0.0)
+    price = jnp.where(is_call, call, put)
+    intrinsic = jnp.where(
+        is_call, jnp.maximum(spot - strike, 0.0), jnp.maximum(strike - spot, 0.0)
+    )
+    return jnp.where(maturity <= 0.0, intrinsic, price)
+
+
+@functools.partial(jax.jit, static_argnames=("n_per_panel", "alpha"))
+def price_accurate_gl_grouped(
+    params: HestonParams,
+    strikes,
+    t_idx,
+    unique_T,
+    spot,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_per_panel: int = 40,
+    alpha: float = 1.25,
+):
+    """:func:`price_accurate_gl` with CF shared per unique maturity."""
+    rdt = result_dtype(strikes, unique_T, spot)
+    v_np, w_np = _accurate_gl_rule(n_per_panel)
+    v = jnp.asarray(v_np, dtype=rdt)
+    w = jnp.asarray(w_np, dtype=rdt)
     integral, T = _carr_madan_grouped_sum(
         params, strikes, t_idx, unique_T, spot, rate, dividend, v, w, 1.0, alpha
     )

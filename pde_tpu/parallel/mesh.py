@@ -114,19 +114,19 @@ def make_mesh(
 
 
 def _price_population(x, strikes, maturities, S0, r, q, is_call=True,
-                      n_points=heston_model.N_QUADRATURE, du=heston_model.DU):
+                      n_points=64):
     """Vectorized pricing for mesh-sharded calibration.
 
-    Defaults to the reference-parity quadrature (1024 x 0.01) — the LM
-    refinement must optimize the same objective as the single-device stage.
-    (For DE-grade basin search use the Gauss-Legendre pricer,
-    models.heston.price_gauss_legendre — a coarsened trapezoid inverts the
-    calibration landscape; see calibrate/heston.py.)
+    Prices on the Euler-Maclaurin-corrected Gauss-Legendre rule
+    (models/heston.py:_gl_ref_rule): numerically the reference 1024 x 0.01
+    objective (~1e-9 price agreement) at 15x fewer quadrature points, so
+    the sharded LM refinement optimizes the same objective as the
+    single-device stage, which prices through the same rule.
     """
     p = HestonParams(x[..., 0], x[..., 1], x[..., 2], x[..., 3], x[..., 4])
-    return heston_model.price_carr_madan(
+    return heston_model.price_carr_madan_gl(
         p, strikes, maturities, S0, r, q, is_call=is_call,
-        n_points=n_points, du=du,
+        n_points=n_points,
     )
 
 

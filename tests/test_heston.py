@@ -278,6 +278,37 @@ class TestGroupedPricers:
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=1e-10)
 
+    def test_corrected_gl_reproduces_reference_grid(self, params):
+        """The Euler-Maclaurin-corrected GL rule must reproduce the LITERAL
+        reference rectangle sum (including its dropped-endpoint bias), not
+        just the truncated integral — that is what makes it a drop-in for
+        the calibration objective."""
+        K, T, calls = self._surface()
+        ref = heston.price_carr_madan(params, K, T, 100.0, 0.05, 0.02, calls)
+        got = heston.price_carr_madan_gl(params, K, T, 100.0, 0.05, 0.02, calls)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=1e-7)
+        uT, idx = heston.group_maturities(T)
+        got_g = heston.price_carr_madan_gl_grouped(
+            params, K, idx, uT, 100.0, 0.05, 0.02, calls
+        )
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref), rtol=0, atol=1e-7)
+
+    def test_corrected_gl_across_param_corners(self):
+        strikes = jnp.asarray(np.linspace(60.0, 150.0, 21))
+        corners = [
+            heston.HestonParams(0.5, 0.09, 0.9, -0.9, 0.01),
+            heston.HestonParams(8.0, 0.02, 0.1, 0.5, 0.09),
+            heston.HestonParams(1.0, 0.25, 1.5, -0.3, 0.25),
+        ]
+        for p in corners:
+            for T in (0.05, 0.5, 2.0):
+                mats = jnp.full(21, T)
+                ref = heston.price_carr_madan(p, strikes, mats, 100.0, 0.05, 0.02)
+                got = heston.price_carr_madan_gl(p, strikes, mats, 100.0, 0.05, 0.02)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(ref), rtol=0, atol=1e-6
+                )
+
     def test_accurate_grouped_and_iv(self, params):
         K, T, calls = self._surface()
         ref = heston.price_accurate(params, K, T, 100.0, 0.05, 0.02, calls)
