@@ -309,6 +309,32 @@ class TestGroupedPricers:
                     np.asarray(got), np.asarray(ref), rtol=0, atol=1e-6
                 )
 
+    def test_accurate_gl_matches_converged_trapezoid(self, params):
+        """Composite-GL converged pricer == 8192-point trapezoid to the
+        trapezoid's own error budget (the rule itself self-converges to
+        ~5e-6 at extreme corners, tighter than the trapezoid there)."""
+        K, T, calls = self._surface()
+        ref = heston.price_accurate(params, K, T, 100.0, 0.05, 0.02, calls)
+        got = heston.price_accurate_gl(params, K, T, 100.0, 0.05, 0.02, calls)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=5e-6)
+        uT, idx = heston.group_maturities(T)
+        got_g = heston.price_accurate_gl_grouped(
+            params, K, idx, uT, 100.0, 0.05, 0.02, calls
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_g), np.asarray(got), rtol=0, atol=1e-10
+        )
+
+    def test_accurate_gl_self_convergence_extreme_corner(self):
+        p = heston.HestonParams(1.0, 0.25, 1.5, -0.3, 0.25)
+        strikes = jnp.asarray(np.linspace(50.0, 200.0, 16))
+        mats = jnp.full(16, 5.0)
+        a = heston.price_accurate_gl(p, strikes, mats, 100.0, 0.05, 0.02)
+        b = heston.price_accurate_gl(
+            p, strikes, mats, 100.0, 0.05, 0.02, n_per_panel=96
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-5)
+
     def test_accurate_grouped_and_iv(self, params):
         K, T, calls = self._surface()
         ref = heston.price_accurate(params, K, T, 100.0, 0.05, 0.02, calls)
