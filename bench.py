@@ -129,6 +129,10 @@ def main():
                 "baseline": baseline_src,
                 "reference_measured_s": round(baseline_s, 3)
                 if baseline_src == "reference_measured" else None,
+                # provenance: "cpu-fallback" means the TPU tunnel was dead
+                # at bench time and this is a CPU number, not a TPU one
+                "device": str(jax.devices()[0]),
+                "backend_mode": backend_mode,
             }
         )
     )
