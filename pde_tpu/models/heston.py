@@ -40,6 +40,7 @@ __all__ = [
     "price_carr_madan_gl_grouped",
     "price_gauss_legendre_grouped",
     "group_maturities",
+    "moment_explosion_time",
     "price_options",
     "price_with_greeks",
     "price_accurate",
@@ -299,6 +300,44 @@ def price_gauss_legendre(
         is_call, jnp.maximum(spot - strike, 0.0), jnp.maximum(strike - spot, 0.0)
     )
     return jnp.where(maturity <= 0.0, intrinsic, price)
+
+
+def moment_explosion_time(params: HestonParams, moment: float) -> float:
+    """Heston moment-explosion time T*(m): E[S_T^m] < infinity iff T < T*.
+
+    Closed form from the Riccati ODE dD/dt = delta + beta D + gamma D^2
+    (delta = m(m-1)/2, beta = m rho sigma - kappa, gamma = sigma^2/2)
+    blowing up from D(0)=0 (Andersen & Piterbarg 2007, "Moment explosions
+    in stochastic volatility models").  Host-side scalar helper.
+
+    Why it matters here: Carr-Madan damping alpha requires
+    E[S^(1+alpha)] < infinity.  The reference applies alpha=0.75 with no
+    guard (heston.cpp:104-137), so for high-vol-of-vol Feller-violating
+    parameters with T >= T*(1.75) its integrand develops a boundary-layer
+    spike at v=0 and the fixed 1024-point grid returns numerical junk.
+    Use this to validate alpha (``T < moment_explosion_time(p, 1+alpha)``)
+    or to gate parity comparisons to the regime where the reference
+    quadrature is meaningful.
+    """
+    m = float(moment)
+    kappa = float(params.kappa)
+    sigma = float(params.sigma)
+    rho = float(params.rho)
+    if m * (m - 1.0) <= 0.0 or sigma <= 0.0:
+        return float("inf")
+    delta = 0.5 * m * (m - 1.0)
+    beta = m * rho * sigma - kappa
+    gamma = 0.5 * sigma * sigma
+    disc = beta * beta - 4.0 * gamma * delta
+    if disc >= 0.0:
+        if beta < 0.0:
+            return float("inf")  # positive attracting root: no explosion
+        if beta == 0.0:
+            return float("inf")  # disc >= 0 with beta=0 needs delta<=0
+        rt = np.sqrt(disc)
+        return float(np.log((beta + rt) / (beta - rt)) / rt)
+    rt = np.sqrt(-disc)
+    return float(2.0 / rt * (0.5 * np.pi - np.arctan(beta / rt)))
 
 
 def group_maturities(maturities, pad_to=None):

@@ -335,6 +335,60 @@ class TestGroupedPricers:
         )
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-5)
 
+    @pytest.mark.slow
+    def test_corrected_gl_random_sweep(self):
+        """Property sweep: 200 random parameter draws inside the calibration
+        bounds x 3 maturities — the corrected-GL rule must track the literal
+        reference grid wherever Carr-Madan with alpha=0.75 is VALID, i.e.
+        T safely below the 1.75-moment explosion time.  Past explosion the
+        reference integrand develops a v=0 boundary layer and its own grid
+        value is numerical junk (see moment_explosion_time), so no smooth
+        rule can — or should — reproduce it there."""
+        rng = np.random.default_rng(7)
+        lo = np.array([0.1, 0.01, 0.01, -0.99, 0.01])
+        hi = np.array([10.0, 1.0, 2.0, 0.99, 1.0])
+        draws = lo + (hi - lo) * rng.random((200, 5))
+        strikes = jnp.asarray(np.linspace(70.0, 140.0, 12))
+        alpha_moment = 1.0 + 0.75
+        worst = 0.0
+        n_valid = 0
+        for T in (0.1, 0.75, 2.0):
+            mats = jnp.full(12, T)
+            valid = np.array([
+                T < 0.8 * heston.moment_explosion_time(
+                    heston.HestonParams(*x), alpha_moment)
+                for x in draws
+            ])
+            n_valid += int(valid.sum())
+
+            def both(x):
+                p = heston.HestonParams(x[0], x[1], x[2], x[3], x[4])
+                ref = heston.price_carr_madan(p, strikes, mats, 100.0, 0.05, 0.02)
+                gl = heston.price_carr_madan_gl(p, strikes, mats, 100.0, 0.05, 0.02)
+                return jnp.max(jnp.abs(gl - ref))
+
+            diffs = np.asarray(jax.vmap(both)(jnp.asarray(draws)))
+            worst = max(worst, float(diffs[valid].max()))
+        assert n_valid > 400  # the gate must not trivialize the sweep
+        # 1e-4 headroom: near-explosion draws sit ~1e-5; typical are ~1e-9
+        assert worst < 1e-4, f"corrected-GL drifted from reference grid: {worst}"
+
+    def test_moment_explosion_time(self):
+        # benign params: 1.75-moment finite for all T
+        p = heston.HestonParams(2.0, 0.04, 0.3, -0.7, 0.04)
+        assert heston.moment_explosion_time(p, 1.75) == float("inf")
+        # moments in [0, 1] never explode
+        assert heston.moment_explosion_time(p, 0.5) == float("inf")
+        # the sweep's failing draw: T=2 sits inside the near-explosion
+        # boundary layer (T* = 2.14, so the 0.8*T* validity gate excludes
+        # it — the reference integrand is already quasi-singular there)
+        bad = heston.HestonParams(1.345, 0.192, 1.601, 0.286, 0.724)
+        t_star = heston.moment_explosion_time(bad, 1.75)
+        assert 2.0 < t_star < 2.3
+        # explosion time shrinks as vol-of-vol grows
+        worse = heston.HestonParams(1.345, 0.192, 1.9, 0.286, 0.724)
+        assert heston.moment_explosion_time(worse, 1.75) < t_star
+
     def test_accurate_grouped_and_iv(self, params):
         K, T, calls = self._surface()
         ref = heston.price_accurate(params, K, T, 100.0, 0.05, 0.02, calls)
