@@ -502,7 +502,9 @@ class HestonCalibrator:
                  model_prices)
             )
             params = HestonParams(*[float(v) for v in lm_x])
-            warnings = self._validate_parameters(params)
+            warnings = self._validate_parameters(
+                params, max_maturity=float(np.max(maturities))
+            )
             model_prices = np.asarray(model_prices)[:n_real]
             fit_quality = self._fit_quality(model_prices, prices, params)
             elapsed_ms = int((time.time() - start) * 1000)
@@ -690,8 +692,11 @@ class HestonCalibrator:
         }
 
     @staticmethod
-    def _validate_parameters(params: HestonParams) -> List[str]:
-        """Warning heuristics matching heston_calibrator.py:645-674."""
+    def _validate_parameters(params: HestonParams,
+                             max_maturity: float | None = None) -> List[str]:
+        """Warning heuristics matching heston_calibrator.py:645-674, plus a
+        Carr-Madan validity check the reference lacks (see
+        models/heston.py:moment_explosion_time)."""
         warnings = []
         k, t, s, rho, v0 = (float(getattr(params, n)) for n in PARAM_ORDER)
         if not params.feller_satisfied():
@@ -699,6 +704,17 @@ class HestonCalibrator:
                 f"Feller condition violated: 2kappa*theta = {2*k*t:.4f} < "
                 f"sigma^2 = {s**2:.4f}. Variance may reach zero."
             )
+        if max_maturity is not None:
+            t_star = heston_model.moment_explosion_time(
+                params, 1.0 + heston_model.INTEGRATION_ALPHA
+            )
+            if max_maturity >= 0.8 * t_star:
+                warnings.append(
+                    f"Carr-Madan validity at risk: the 1.75-moment explosion "
+                    f"time T*={t_star:.2f} is within 25% of the longest "
+                    f"quoted maturity {max_maturity:.2f}; quadrature prices "
+                    f"near that horizon are unreliable at these parameters."
+                )
         if k > 8.0:
             warnings.append(f"Very high mean-reversion speed: kappa={k:.2f}")
         if s > 1.5:

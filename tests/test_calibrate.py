@@ -177,6 +177,19 @@ class TestHestonCalibration:
         if not res.params.feller_satisfied():
             assert any("Feller" in w for w in res.warnings)
 
+    def test_moment_explosion_warning(self):
+        from pde_tpu.calibrate.heston import HestonCalibrator
+        from pde_tpu.models.heston import HestonParams
+
+        # near the 1.75-moment explosion horizon (T* = 2.14) -> warn
+        bad = HestonParams(1.345, 0.192, 1.601, 0.286, 0.724)
+        ws = HestonCalibrator._validate_parameters(bad, max_maturity=2.0)
+        assert any("Carr-Madan validity" in w for w in ws)
+        # benign parameters never warn
+        good = HestonParams(2.0, 0.04, 0.3, -0.7, 0.04)
+        ws = HestonCalibrator._validate_parameters(good, max_maturity=2.0)
+        assert not any("Carr-Madan" in w for w in ws)
+
 
 class TestSABRCalibration:
     TRUE = dict(alpha=0.25, beta=0.5, rho=-0.3, nu=0.5)
