@@ -114,11 +114,20 @@ def _pull(x):
     return float(_np.asarray(leaf).ravel()[0])
 
 
-def timeit(fn, n=20):
+def timeit(fn, n=20, trials=3):
     """Transfer-forced differencing: time 2 and n+2 reps, each batch ending
-    with one scalar pull, and difference so the pull's RTT cancels."""
+    with one scalar pull, and difference so the pull's RTT cancels.
+
+    Best-of-``trials``: the axon tunnel's dispatch path takes several
+    hundred dispatches to reach its warm steady state (measured: the same
+    1024-path OU section times 2.9M -> 5.3M -> 15.5M paths/s across three
+    consecutive trials in one process), so a single differencing pass can
+    under-report small-kernel throughput by ~5x depending on tunnel state.
+    The minimum per-rep time across trials is the reproducible number.
+    """
     if SMOKE:
         n = 1
+        trials = 1
     sync(fn())
 
     def run(reps):
@@ -129,9 +138,21 @@ def timeit(fn, n=20):
         _pull(out)
         return time.perf_counter() - t0
 
-    t_small = run(2)
-    t_large = run(n + 2)
-    return max((t_large - t_small) / n, 1e-9)
+    best = float("inf")
+    fallback = float("inf")
+    for _ in range(trials):
+        t_small = run(2)
+        t_large = run(n + 2)
+        per = (t_large - t_small) / n
+        # a non-positive difference means timing jitter swallowed the
+        # batch-size difference (fast section, noisy tunnel) — that trial
+        # carries no information, so drop it rather than clamp it
+        if per > 0:
+            best = min(best, per)
+        fallback = min(fallback, t_large / (n + 2))
+    # all trials invalid: fall back to the un-differenced per-rep time
+    # (upper bound — includes one pull RTT amortized over n+2 reps)
+    return best if best < float("inf") else max(fallback, 1e-9)
 
 
 def main():
