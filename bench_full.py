@@ -220,6 +220,23 @@ def main():
     per = timeit(fit_fn, n=100)
     emit("ou_mle252_fits_per_sec", n_paths / per, "fits/s", baseline=10_000)
 
+    # 3b. Heston Monte Carlo (Andersen QE) ------------------------------------
+    # No reference baseline: the reference platform has no MC option pricer
+    # (its only MC is the backtest bootstrap / VaR simulator).
+    from pde_tpu.models import heston_mc
+
+    n_mc = _n(1 << 17, 64)
+    mc_steps = _n(64, 4)
+    mc_key = jax.random.PRNGKey(0)
+    mc_fn = jax.jit(
+        lambda: heston_mc.simulate_qe(
+            params, 100.0, 1.0, mc_key,
+            n_steps=mc_steps, n_paths=n_mc, rate=0.05, dividend=0.02,
+        ).spot
+    )
+    per = timeit(mc_fn, n=20)
+    emit("heston_mc_qe_pathsteps_per_sec", n_mc * mc_steps / per, "path-steps/s")
+
     # 4. Heston ADI ----------------------------------------------------------
     from pde_tpu.solvers import heston_adi
 

@@ -1,0 +1,447 @@
+"""Heston Monte Carlo engine — Andersen (2008) Quadratic-Exponential scheme.
+
+An independent, simulation-based pricing path for the same model the
+characteristic-function pricer (:mod:`pde_tpu.models.heston`, reference
+src/cpp/models/heston.{hpp,cpp}) and the ADI PDE solver
+(:mod:`pde_tpu.solvers.heston_adi`, reference src/cpp/solvers/heston_pde.hpp)
+implement.  The reference platform has **no** Monte Carlo option pricer (its
+only MC is the backtest bootstrap, backtesting/analysis.py:631-841, and the
+VaR simulator, risk/var_calculator.py:241-505); this module extends the
+framework to path-dependent payoffs those engines cannot price — discretely
+monitored barriers, arithmetic Asians, lookbacks — while cross-validating the
+quadrature and PDE prices on Europeans.
+
+TPU-native design: the path axis is the vector axis (a ``(n_paths,)`` state
+carried through one ``lax.scan`` over time steps), so every step is a fused
+elementwise VPU op across all paths at once; path-dependent statistics
+(running average / max / min) are O(1)-memory scan accumulators, never
+``(n_paths, n_steps)`` materializations.  Antithetic variates come free as a
+``concatenate([z, -z])`` on the vector axis; the martingale control variate
+(discounted terminal spot) removes most residual discretization bias on
+European payoffs.
+
+Scheme: Andersen (2008), "Efficient simulation of the Heston stochastic
+volatility process", QE with martingale correction:
+
+* variance: moment-matched quadratic (``psi <= psi_c``) or
+  exponential-mass-at-zero (``psi > psi_c``) sampling of the exact CIR
+  transition's first two moments,
+* log-spot: central discretization (gamma1 = gamma2 = 1/2) with the
+  broken-drift ``K0*`` chosen per path so the discounted spot is an exact
+  discrete martingale (Andersen section 4.2, eqs. 37-40).
+
+Both branches are evaluated and selected with ``jnp.where`` — no
+data-dependent control flow, so the whole simulation is one XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.precision import result_dtype
+from .heston import HestonParams
+
+__all__ = [
+    "MCPaths",
+    "simulate_qe",
+    "price_european_mc",
+    "price_asian_mc",
+    "price_barrier_mc",
+    "price_lookback_mc",
+    "price_path_payoff_mc",
+]
+
+PSI_CRIT = 1.5  # Andersen's psi_c switching threshold (section 3.2.4)
+_TINY = 1e-12
+
+
+class MCPaths(NamedTuple):
+    """Terminal state + path statistics of one QE simulation.
+
+    All fields are ``(n_paths,)`` vectors.  ``s_avg`` is the arithmetic
+    average of the spot over the ``n_steps`` monitoring dates (t_1 .. t_N =
+    T, excluding t_0); ``s_max``/``s_min`` include the initial spot.
+    """
+
+    spot: jnp.ndarray
+    variance: jnp.ndarray
+    s_avg: jnp.ndarray
+    s_max: jnp.ndarray
+    s_min: jnp.ndarray
+
+
+def _qe_constants(params: HestonParams, dt, dtype):
+    """Per-step constants of the QE scheme (independent of the state)."""
+    kappa = jnp.asarray(params.kappa, dtype)
+    theta = jnp.asarray(params.theta, dtype)
+    sigma = jnp.asarray(params.sigma, dtype)
+    rho = jnp.asarray(params.rho, dtype)
+
+    E = jnp.exp(-kappa * dt)  # exp(-kappa*Delta)
+    one_mE = 1.0 - E
+    sig2 = sigma * sigma
+    # CIR conditional-moment coefficients:  m = theta + (v - theta) E,
+    # s^2 = c1 * v + c2   (Andersen eqs. 17-18)
+    c1 = sig2 * E * one_mE / kappa
+    c2 = theta * sig2 * one_mE * one_mE / (2.0 * kappa)
+
+    gamma1 = gamma2 = 0.5  # central discretization
+    k1 = gamma1 * dt * (kappa * rho / sigma - 0.5) - rho / sigma
+    k2 = gamma2 * dt * (kappa * rho / sigma - 0.5) + rho / sigma
+    k3 = gamma1 * dt * (1.0 - rho * rho)
+    k4 = gamma2 * dt * (1.0 - rho * rho)
+    # non-martingale drift constant (used when martingale correction is off)
+    k0 = -rho * kappa * theta * dt / sigma
+    return E, c1, c2, k0, k1, k2, k3, k4
+
+
+def _qe_variance_draw(v, u, E, c1, c2, theta, psi_c, dtype):
+    """One QE variance transition: v_t -> v_{t+dt} given a uniform draw.
+
+    Returns (v_new, a, b2, p, beta, is_quad) — the branch intermediates are
+    needed again by the martingale K0* correction.
+    """
+    m = theta + (v - theta) * E
+    m = jnp.maximum(m, _TINY)
+    s2 = c1 * v + c2
+    psi = s2 / (m * m)
+
+    # quadratic branch (psi <= psi_c):  v+ = a (b + Z)^2
+    inv_psi2 = 2.0 / jnp.maximum(psi, _TINY)
+    b2 = jnp.maximum(
+        inv_psi2 - 1.0 + jnp.sqrt(jnp.maximum(inv_psi2 * (inv_psi2 - 1.0), 0.0)),
+        0.0,
+    )
+    a = m / (1.0 + b2)
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    u_c = jnp.clip(u, eps, 1.0 - eps)
+    z_v = jax.scipy.special.ndtri(u_c)
+    v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
+
+    # exponential branch (psi > psi_c): mass p at zero + exponential tail
+    p = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 1.0 - 1e-6)
+    beta = (1.0 - p) / m
+    v_exp = jnp.where(
+        u_c <= p,
+        0.0,
+        jnp.log((1.0 - p) / jnp.maximum(1.0 - u_c, _TINY)) / beta,
+    )
+
+    is_quad = psi <= psi_c
+    v_new = jnp.where(is_quad, v_quad, v_exp)
+    return v_new, a, b2, p, beta, is_quad
+
+
+def _qe_k0_star(v, a, b2, p, beta, is_quad, k1, k2, k3, k4):
+    """Martingale-corrected drift constant K0* (Andersen eqs. 37-40).
+
+    Chosen so  E[exp(K0* + K1 v + K2 v' + sqrt(K3 v + K4 v') Z)] = 1
+    exactly under the discrete scheme, making the discounted spot a
+    discrete martingale.
+    """
+    A = k2 + 0.5 * k4
+    # quadratic branch:  -A b^2 a / (1 - 2 A a) + 0.5 log(1 - 2 A a)
+    one_m2Aa = jnp.maximum(1.0 - 2.0 * A * a, _TINY)
+    k0_quad = -A * b2 * a / one_m2Aa + 0.5 * jnp.log(one_m2Aa)
+    # exponential branch: -log(p + beta (1 - p) / (beta - A))
+    beta_mA = jnp.maximum(beta - A, _TINY)
+    k0_exp = -jnp.log(jnp.maximum(p + beta * (1.0 - p) / beta_mA, _TINY))
+    k0 = jnp.where(is_quad, k0_quad, k0_exp)
+    return k0 - (k1 + 0.5 * k3) * v
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "n_paths", "antithetic", "martingale_correction"),
+)
+def simulate_qe(
+    params: HestonParams,
+    spot,
+    maturity,
+    key,
+    *,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    rate=0.0,
+    dividend=0.0,
+    antithetic: bool = True,
+    martingale_correction: bool = True,
+) -> MCPaths:
+    """Simulate ``n_paths`` Heston paths to ``maturity`` with the QE scheme.
+
+    With ``antithetic=True`` the second half of the path axis mirrors the
+    first (``Z -> -Z``, ``U -> 1 - U``); ``n_paths`` must then be even.
+    Returns terminal state plus running average/max/min statistics — enough
+    for European, Asian, barrier, and lookback payoffs with O(paths) memory.
+    """
+    dtype = result_dtype(spot, maturity, params.kappa)
+    if antithetic and n_paths % 2:
+        raise ValueError("antithetic sampling needs an even n_paths")
+    n_draw = n_paths // 2 if antithetic else n_paths
+
+    dt = jnp.asarray(maturity, dtype) / n_steps
+    E, c1, c2, k0_plain, k1, k2, k3, k4 = _qe_constants(params, dt, dtype)
+    theta = jnp.asarray(params.theta, dtype)
+    drift = (jnp.asarray(rate, dtype) - jnp.asarray(dividend, dtype)) * dt
+
+    s0 = jnp.asarray(spot, dtype)
+    ln_s0 = jnp.log(s0)
+    state0 = (
+        jnp.full((n_paths,), ln_s0, dtype),
+        jnp.full((n_paths,), jnp.asarray(params.v0, dtype), dtype),
+        jnp.zeros((n_paths,), dtype),  # running sum of S over monitoring dates
+        jnp.full((n_paths,), s0, dtype),  # running max (includes S_0)
+        jnp.full((n_paths,), s0, dtype),  # running min
+    )
+    step_keys = jax.random.split(key, n_steps)
+
+    def step(state, k_t):
+        ln_s, v, s_sum, s_max, s_min = state
+        k_u, k_z = jax.random.split(k_t)
+        u = jax.random.uniform(k_u, (n_draw,), dtype)
+        z_s = jax.random.normal(k_z, (n_draw,), dtype)
+        if antithetic:
+            u = jnp.concatenate([u, 1.0 - u])
+            z_s = jnp.concatenate([z_s, -z_s])
+
+        v_new, a, b2, p, beta, is_quad = _qe_variance_draw(
+            v, u, E, c1, c2, theta, PSI_CRIT, dtype
+        )
+        if martingale_correction:
+            k0 = _qe_k0_star(v, a, b2, p, beta, is_quad, k1, k2, k3, k4)
+        else:
+            k0 = k0_plain
+        vol = jnp.sqrt(jnp.maximum(k3 * v + k4 * v_new, 0.0))
+        ln_s_new = ln_s + drift + k0 + k1 * v + k2 * v_new + vol * z_s
+
+        s = jnp.exp(ln_s_new)
+        return (
+            ln_s_new,
+            v_new,
+            s_sum + s,
+            jnp.maximum(s_max, s),
+            jnp.minimum(s_min, s),
+        ), None
+
+    (ln_s, v, s_sum, s_max, s_min), _ = jax.lax.scan(step, state0, step_keys)
+    return MCPaths(jnp.exp(ln_s), v, s_sum / n_steps, s_max, s_min)
+
+
+def _mc_estimate(discounted, n_paths):
+    price = jnp.mean(discounted, axis=0)
+    stderr = jnp.std(discounted, axis=0, ddof=1) / jnp.sqrt(float(n_paths))
+    return price, stderr
+
+
+def price_path_payoff_mc(
+    params: HestonParams,
+    payoff_fn: Callable[[MCPaths], jnp.ndarray],
+    spot,
+    maturity,
+    key,
+    *,
+    rate=0.0,
+    dividend=0.0,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    antithetic: bool = True,
+    control_variate: bool = False,
+):
+    """Price an arbitrary path payoff ``payoff_fn(MCPaths) -> (n_paths, ...)``.
+
+    Returns ``(price, stderr)``.  With ``control_variate=True`` the
+    discounted terminal spot (a discrete martingale under the corrected QE
+    scheme, with known mean ``S0 e^{-q T}``) is regressed out of the payoff,
+    which typically cuts the variance of delta-one-ish payoffs by 5-50x.
+    """
+    paths = simulate_qe(
+        params, spot, maturity, key,
+        n_steps=n_steps, n_paths=n_paths, rate=rate, dividend=dividend,
+        antithetic=antithetic,
+    )
+    dtype = paths.spot.dtype
+    disc = jnp.exp(-jnp.asarray(rate, dtype) * jnp.asarray(maturity, dtype))
+    payoff = jnp.asarray(payoff_fn(paths), dtype)
+    y = disc * payoff
+    if y.ndim == 1:
+        y = y[:, None]
+        squeeze = True
+    else:
+        squeeze = False
+
+    if control_variate:
+        x = disc * paths.spot
+        x_mean_true = jnp.asarray(spot, dtype) * jnp.exp(
+            -jnp.asarray(dividend, dtype) * jnp.asarray(maturity, dtype)
+        )
+        x_c = x - jnp.mean(x)
+        var_x = jnp.mean(x_c * x_c)
+        b = jnp.mean(x_c[:, None] * (y - jnp.mean(y, axis=0)), axis=0) / (
+            var_x + _TINY
+        )
+        y = y - b[None, :] * (x[:, None] - x_mean_true)
+
+    price, stderr = _mc_estimate(y, n_paths)
+    if squeeze:
+        return price[0], stderr[0]
+    return price, stderr
+
+
+def price_european_mc(
+    params: HestonParams,
+    strikes,
+    maturity,
+    spot,
+    key,
+    *,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    antithetic: bool = True,
+    control_variate: bool = True,
+):
+    """European vanilla via QE MC.  Cross-validates the Carr-Madan pricer
+    (models/heston.py, reference heston.cpp:94-151).  Returns (price, stderr)
+    arrays shaped like ``strikes``."""
+    strikes_a = jnp.atleast_1d(jnp.asarray(strikes))
+    sign = jnp.where(jnp.asarray(is_call), 1.0, -1.0)
+    sign = jnp.broadcast_to(sign, strikes_a.shape)
+
+    def payoff(paths: MCPaths):
+        return jnp.maximum(
+            sign[None, :] * (paths.spot[:, None] - strikes_a[None, :]), 0.0
+        )
+
+    price, stderr = price_path_payoff_mc(
+        params, payoff, spot, maturity, key,
+        rate=rate, dividend=dividend, n_steps=n_steps, n_paths=n_paths,
+        antithetic=antithetic, control_variate=control_variate,
+    )
+    if jnp.ndim(strikes) == 0:
+        return price[0], stderr[0]
+    return price, stderr
+
+
+def price_asian_mc(
+    params: HestonParams,
+    strikes,
+    maturity,
+    spot,
+    key,
+    *,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    antithetic: bool = True,
+    control_variate: bool = True,
+):
+    """Arithmetic-average (Asian) option, averaging over the ``n_steps``
+    equispaced monitoring dates t_1..t_N = T.  Returns (price, stderr)."""
+    strikes_a = jnp.atleast_1d(jnp.asarray(strikes))
+    sign = jnp.broadcast_to(
+        jnp.where(jnp.asarray(is_call), 1.0, -1.0), strikes_a.shape
+    )
+
+    def payoff(paths: MCPaths):
+        return jnp.maximum(
+            sign[None, :] * (paths.s_avg[:, None] - strikes_a[None, :]), 0.0
+        )
+
+    price, stderr = price_path_payoff_mc(
+        params, payoff, spot, maturity, key,
+        rate=rate, dividend=dividend, n_steps=n_steps, n_paths=n_paths,
+        antithetic=antithetic, control_variate=control_variate,
+    )
+    if jnp.ndim(strikes) == 0:
+        return price[0], stderr[0]
+    return price, stderr
+
+
+def price_barrier_mc(
+    params: HestonParams,
+    strike,
+    barrier,
+    maturity,
+    spot,
+    key,
+    *,
+    barrier_type: str = "up-and-out",
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    antithetic: bool = True,
+):
+    """Discretely monitored barrier option (monitoring at the ``n_steps``
+    simulation dates, including t_0 for the running extrema).
+
+    ``barrier_type``: up-and-out / up-and-in / down-and-out / down-and-in.
+    No Broadie-Glasserman-Kou continuity correction is applied — the price
+    is for the *discrete* contract; refine ``n_steps`` toward the continuous
+    limit.  Returns (price, stderr).
+    """
+    direction, _, inout = barrier_type.partition("-and-")
+    if direction not in ("up", "down") or inout not in ("in", "out"):
+        raise ValueError(f"unknown barrier_type {barrier_type!r}")
+    sign = 1.0 if is_call else -1.0
+
+    def payoff(paths: MCPaths):
+        if direction == "up":
+            knocked = paths.s_max >= barrier
+        else:
+            knocked = paths.s_min <= barrier
+        alive = jnp.where(inout == "in", knocked, ~knocked)
+        vanilla = jnp.maximum(sign * (paths.spot - strike), 0.0)
+        return jnp.where(alive, vanilla, 0.0)
+
+    return price_path_payoff_mc(
+        params, payoff, spot, maturity, key,
+        rate=rate, dividend=dividend, n_steps=n_steps, n_paths=n_paths,
+        antithetic=antithetic, control_variate=False,
+    )
+
+
+def price_lookback_mc(
+    params: HestonParams,
+    maturity,
+    spot,
+    key,
+    *,
+    strike=None,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    antithetic: bool = True,
+):
+    """Lookback option on the discretely monitored extremum.
+
+    ``strike=None`` prices the floating-strike contract
+    (call: ``S_T - min S``; put: ``max S - S_T``); a fixed strike prices
+    ``(max S - K)+`` / ``(K - min S)+``.  Returns (price, stderr).
+    """
+
+    def payoff(paths: MCPaths):
+        if strike is None:
+            if is_call:
+                return paths.spot - paths.s_min
+            return paths.s_max - paths.spot
+        if is_call:
+            return jnp.maximum(paths.s_max - strike, 0.0)
+        return jnp.maximum(strike - paths.s_min, 0.0)
+
+    return price_path_payoff_mc(
+        params, payoff, spot, maturity, key,
+        rate=rate, dividend=dividend, n_steps=n_steps, n_paths=n_paths,
+        antithetic=antithetic, control_variate=False,
+    )
