@@ -64,6 +64,10 @@ def _load_measured_baselines():
         out["heston_american_lcp_solve_s"] = micro["heston_pde_amer_solve_ms"] / 1000.0
         out["heston_american_lcp_fused_solve_s"] = (
             micro["heston_pde_amer_solve_ms"] / 1000.0)
+        # same contract priced by LSM MC (the reference's only American
+        # pricer is the PDE projection)
+        out["heston_american_lsm_solve_s"] = (
+            micro["heston_pde_amer_solve_ms"] / 1000.0)
     if "hjb_all_boundaries_ms" in micro:
         out["ou_freeboundary_psor_solve_s"] = micro["hjb_all_boundaries_ms"] / 1000.0
     if "bs_pde_solve_ms" in micro:
@@ -236,6 +240,18 @@ def main():
     )
     per = timeit(mc_fn, n=20)
     emit("heston_mc_qe_pathsteps_per_sec", n_mc * mc_steps / per, "path-steps/s")
+
+    # 3c. American via Longstaff-Schwartz (same contract as the ADI LCP row)
+    from pde_tpu.solvers.lsm import price_american_lsm
+
+    lsm_fn = jax.jit(
+        lambda: price_american_lsm(
+            params, 100.0, 1.0, 100.0, mc_key, rate=0.05, is_call=False,
+            n_steps=mc_steps, n_paths=_n(1 << 16, 64),
+        )[0]
+    )
+    per = timeit(lsm_fn, n=10)
+    emit("heston_american_lsm_solve_s", per, "solve_s")
 
     # 4. Heston ADI ----------------------------------------------------------
     from pde_tpu.solvers import heston_adi

@@ -48,6 +48,7 @@ from .heston import HestonParams
 __all__ = [
     "MCPaths",
     "simulate_qe",
+    "simulate_qe_paths",
     "price_european_mc",
     "price_asian_mc",
     "price_barrier_mc",
@@ -199,8 +200,36 @@ def simulate_qe(
     )
     step_keys = jax.random.split(key, n_steps)
 
+    qe_step = _make_qe_step(
+        E, c1, c2, theta, k0_plain, k1, k2, k3, k4, drift,
+        n_draw, antithetic, martingale_correction, dtype,
+    )
+
     def step(state, k_t):
         ln_s, v, s_sum, s_max, s_min = state
+        ln_s_new, v_new = qe_step(ln_s, v, k_t)
+        s = jnp.exp(ln_s_new)
+        return (
+            ln_s_new,
+            v_new,
+            s_sum + s,
+            jnp.maximum(s_max, s),
+            jnp.minimum(s_min, s),
+        ), None
+
+    (ln_s, v, s_sum, s_max, s_min), _ = jax.lax.scan(step, state0, step_keys)
+    return MCPaths(jnp.exp(ln_s), v, s_sum / n_steps, s_max, s_min)
+
+
+def _make_qe_step(
+    E, c1, c2, theta, k0_plain, k1, k2, k3, k4, drift,
+    n_draw, antithetic, martingale_correction, dtype,
+):
+    """One QE transition (ln_s, v, key) -> (ln_s', v') as a scan-body
+    closure, shared between the accumulator simulation (:func:`simulate_qe`)
+    and the stored-path simulation (:func:`simulate_qe_paths`)."""
+
+    def qe_step(ln_s, v, k_t):
         k_u, k_z = jax.random.split(k_t)
         u = jax.random.uniform(k_u, (n_draw,), dtype)
         z_s = jax.random.normal(k_z, (n_draw,), dtype)
@@ -217,18 +246,64 @@ def simulate_qe(
             k0 = k0_plain
         vol = jnp.sqrt(jnp.maximum(k3 * v + k4 * v_new, 0.0))
         ln_s_new = ln_s + drift + k0 + k1 * v + k2 * v_new + vol * z_s
+        return ln_s_new, v_new
 
-        s = jnp.exp(ln_s_new)
-        return (
-            ln_s_new,
-            v_new,
-            s_sum + s,
-            jnp.maximum(s_max, s),
-            jnp.minimum(s_min, s),
-        ), None
+    return qe_step
 
-    (ln_s, v, s_sum, s_max, s_min), _ = jax.lax.scan(step, state0, step_keys)
-    return MCPaths(jnp.exp(ln_s), v, s_sum / n_steps, s_max, s_min)
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "n_paths", "antithetic", "martingale_correction"),
+)
+def simulate_qe_paths(
+    params: HestonParams,
+    spot,
+    maturity,
+    key,
+    *,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    rate=0.0,
+    dividend=0.0,
+    antithetic: bool = True,
+    martingale_correction: bool = True,
+):
+    """Full stored-path QE simulation: returns ``(S, v)`` with shape
+    ``(n_steps, n_paths)`` at the monitoring dates t_1 .. t_N = maturity
+    (t_0 is the deterministic initial state, not stored).
+
+    O(n_steps * n_paths) memory — use :func:`simulate_qe`'s scan
+    accumulators when only path statistics are needed.  This variant feeds
+    backward-induction algorithms (Longstaff-Schwartz American pricing,
+    :mod:`pde_tpu.solvers.lsm`).
+    """
+    dtype = result_dtype(spot, maturity, params.kappa)
+    if antithetic and n_paths % 2:
+        raise ValueError("antithetic sampling needs an even n_paths")
+    n_draw = n_paths // 2 if antithetic else n_paths
+
+    dt = jnp.asarray(maturity, dtype) / n_steps
+    E, c1, c2, k0_plain, k1, k2, k3, k4 = _qe_constants(params, dt, dtype)
+    theta = jnp.asarray(params.theta, dtype)
+    drift = (jnp.asarray(rate, dtype) - jnp.asarray(dividend, dtype)) * dt
+
+    qe_step = _make_qe_step(
+        E, c1, c2, theta, k0_plain, k1, k2, k3, k4, drift,
+        n_draw, antithetic, martingale_correction, dtype,
+    )
+
+    ln_s0 = jnp.full((n_paths,), jnp.log(jnp.asarray(spot, dtype)), dtype)
+    v0 = jnp.full((n_paths,), jnp.asarray(params.v0, dtype), dtype)
+
+    def step(state, k_t):
+        ln_s, v = state
+        ln_s_new, v_new = qe_step(ln_s, v, k_t)
+        return (ln_s_new, v_new), (ln_s_new, v_new)
+
+    _, (ln_s_path, v_path) = jax.lax.scan(
+        step, (ln_s0, v0), jax.random.split(key, n_steps)
+    )
+    return jnp.exp(ln_s_path), v_path
 
 
 def _mc_estimate(discounted, n_paths):

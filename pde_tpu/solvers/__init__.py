@@ -1,3 +1,3 @@
 """PDE solvers: Crank-Nicolson 1D, Douglas ADI 2D (In 't Hout-Foulon boundaries), HJB optimal stopping."""
 
-from . import bs_pde, heston_adi, heston_adi_ref, hjb  # noqa: F401
+from . import bs_pde, heston_adi, heston_adi_ref, hjb, lsm  # noqa: F401

@@ -1,0 +1,140 @@
+"""American option pricing by Longstaff-Schwartz least-squares Monte Carlo.
+
+A third, simulation-based route to the American prices the ADI LCP solver
+computes on a grid (:mod:`pde_tpu.solvers.heston_adi` ``american_method=
+"it_lcp"``; reference scheme src/cpp/solvers/heston_pde.hpp:143-150) — and
+the only route that scales past two state dimensions.  The reference
+platform has no LSM engine.
+
+TPU-native design: paths come from the stored-path QE simulation
+(:func:`pde_tpu.models.heston_mc.simulate_qe_paths`), the backward
+induction is one ``lax.scan`` over the time-reversed path array, and each
+step's cross-sectional regression is a tiny (k x k) normal-equations solve
+whose Gram matrix is an (n_paths x k)T (n_paths x k) matmul — the one spot
+in the framework's MC stack that touches the MXU.  No data-dependent
+control flow: ITM-path selection is a weight vector, not a gather, so the
+whole pricer jits to a single XLA program.
+
+Algorithm (Longstaff & Schwartz 2001):
+
+1. simulate S, v on t_1..t_N,
+2. at expiry V = payoff(S_N),
+3. backward for t = N-1..1: regress the discounted continuation value on a
+   polynomial basis in (moneyness, variance) over in-the-money paths, and
+   exercise where intrinsic exceeds the fitted continuation,
+4. price = E[discounted cashflow], never exercising at t_0 (the t_0
+   continuation is the price itself).
+
+The classic in-sample estimator: the same paths choose the policy and value
+it.  Policy suboptimality biases it LOW, in-sample peeking biases it HIGH;
+at >= 2^15 paths with the quadratic (s, v) basis both effects are well
+inside the ADI solver's own 0.2% discretization band (see tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.precision import result_dtype
+from ..models.heston import HestonParams
+from ..models.heston_mc import simulate_qe_paths
+
+__all__ = ["price_american_lsm"]
+
+_RIDGE = 1e-7
+
+
+def _basis(s_norm, v):
+    """Regression features: quadratic in normalized spot, linear in variance
+    plus the cross term — 6 functions. s_norm = S/K keeps the Gram matrix
+    well-conditioned at any strike scale."""
+    one = jnp.ones_like(s_norm)
+    return jnp.stack(
+        [one, s_norm, s_norm * s_norm, s_norm**3, v, s_norm * v], axis=-1
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_steps", "n_paths", "antithetic")
+)
+def price_american_lsm(
+    params: HestonParams,
+    strike,
+    maturity,
+    spot,
+    key,
+    *,
+    rate=0.0,
+    dividend=0.0,
+    is_call=False,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    antithetic: bool = True,
+):
+    """American vanilla via Longstaff-Schwartz.  Returns ``(price, stderr)``.
+
+    Exercise is allowed at the ``n_steps`` equispaced dates t_1..t_N — a
+    Bermudan approximation converging to the American price as ``n_steps``
+    grows (the ADI solver's time grid makes the same approximation,
+    reference heston_pde.hpp:143-150).
+    """
+    dtype = result_dtype(spot, maturity, strike, params.kappa)
+    s_path, v_path = simulate_qe_paths(
+        params, spot, maturity, key,
+        n_steps=n_steps, n_paths=n_paths,
+        rate=rate, dividend=dividend, antithetic=antithetic,
+    )
+    k_arr = jnp.asarray(strike, dtype)
+    sign = jnp.where(jnp.asarray(is_call), 1.0, -1.0).astype(dtype)
+    dt = jnp.asarray(maturity, dtype) / n_steps
+    disc = jnp.exp(-jnp.asarray(rate, dtype) * dt)
+
+    def payoff(s):
+        return jnp.maximum(sign * (s - k_arr), 0.0)
+
+    v_terminal = payoff(s_path[-1])
+
+    # backward over t_{N-1} .. t_1 (time-reversed stored paths)
+    xs = (s_path[:-1][::-1], v_path[:-1][::-1])
+
+    def backward(cashflow, x):
+        s_t, v_t = x
+        cont = cashflow * disc  # continuation value discounted to t
+        intrinsic = payoff(s_t)
+        w = (intrinsic > 0).astype(dtype)  # regress over ITM paths only
+        phi = _basis(s_t / k_arr, v_t)
+        n_itm = jnp.maximum(jnp.sum(w), 1.0)
+        # standardize the non-constant features over the ITM cross-section:
+        # raw polynomial features span ~1..700, and in float32 the resulting
+        # Gram matrix is ill-conditioned enough that jnp.linalg.solve
+        # produces a garbage policy for unlucky draws (observed: an 11%
+        # price error at 2^14 paths).  On the standardized scale a
+        # scale-relative ridge is safe.
+        mu = jnp.sum(phi * w[:, None], axis=0) / n_itm
+        var = jnp.sum((phi - mu) ** 2 * w[:, None], axis=0) / n_itm
+        sd = jnp.sqrt(jnp.maximum(var, _RIDGE))
+        is_const = jnp.arange(phi.shape[-1]) == 0
+        mu = jnp.where(is_const, 0.0, mu)
+        sd = jnp.where(is_const, 1.0, sd)
+        phi = (phi - mu) / sd
+        wphi = phi * w[:, None]
+        gram = wphi.T @ phi / n_itm
+        ridge = 1e-4 * jnp.trace(gram) / phi.shape[-1]
+        gram = gram + ridge * jnp.eye(phi.shape[-1], dtype=dtype)
+        rhs = wphi.T @ cont / n_itm
+        beta = jnp.linalg.solve(gram, rhs)
+        cont_hat = phi @ beta
+        exercise = (intrinsic > cont_hat) & (w > 0)
+        return jnp.where(exercise, intrinsic, cont), None
+
+    cashflow, _ = jax.lax.scan(backward, v_terminal, xs)
+    discounted = cashflow * disc  # discount t_1 -> t_0
+    price = jnp.mean(discounted)
+    stderr = jnp.std(discounted, ddof=1) / jnp.sqrt(float(n_paths))
+    # exercise at t_0 itself: deep ITM, the continuation estimate can sit
+    # below intrinsic — the American holder would exercise immediately
+    price = jnp.maximum(price, payoff(jnp.asarray(spot, dtype)))
+    return price, stderr
