@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models import black_scholes as bs
 from ..models import heston as heston_model
 from ..models.heston import HestonParams
 from .de import differential_evolution
@@ -266,6 +267,37 @@ def _calibrate_pipeline(
     k_starts = min(4, global_popsize * 5)
     order = jnp.argsort(de.population_energies)
     starts = de.population[order[:k_starts]]
+
+    # INFORMED START (identification heuristic): under Heston, short-maturity
+    # ATM implied variance ~ v0 and long-maturity ATM implied variance ~ the
+    # level the variance reverts to (theta).  A tiny DE budget on a weakly
+    # identified surface (few maturities) can put ALL top-k members in one
+    # spurious basin (observed: v0 off by 0.016 at cost 3e-5 with
+    # maxiter=30, popsize=8 — a genuine local minimum, bound-hugging kappa
+    # and sigma); one deterministic data-driven start makes the multistart
+    # robust to that independently of the DE draw.
+    T_q = unique_T[t_idx]
+    fdtype = strikes.dtype
+    big = jnp.asarray(1e18, fdtype)
+    fwd = S0 * jnp.exp((r - q) * T_q)
+    # a rough vol level is enough to seed the start — 8 Newton iterations,
+    # not the solver's default 100 (ATM quotes converge in ~5)
+    iv = bs.implied_vol(market_prices, S0, strikes, r, q, T_q, is_calls,
+                        max_iter=8)
+    atm_pen = jnp.abs(strikes - fwd) + (1.0 - mask) * big
+    t_short = jnp.min(jnp.where(mask > 0, T_q, big))
+    t_long = jnp.max(jnp.where(mask > 0, T_q, -big))
+    i_short = jnp.argmin(atm_pen + big * (T_q != t_short))
+    i_long = jnp.argmin(atm_pen + big * (T_q != t_long))
+    informed = jnp.stack([
+        jnp.clip(jnp.asarray(2.0, fdtype), lower[0], upper[0]),
+        jnp.clip(iv[i_long] ** 2, lower[1], upper[1]),
+        jnp.clip(jnp.asarray(0.5, fdtype), lower[2], upper[2]),
+        jnp.clip(jnp.asarray(-0.5, fdtype), lower[3], upper[3]),
+        jnp.clip(iv[i_short] ** 2, lower[4], upper[4]),
+    ])
+    informed = jnp.where(jnp.isfinite(informed), informed, 0.5 * (lower + upper))
+    starts = jnp.concatenate([starts, informed[None, :]], axis=0)
 
     def polish(x0):
         # two chained LM passes with a FRESH damping state: long descents
