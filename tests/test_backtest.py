@@ -287,6 +287,7 @@ class TestAnalysis:
         assert all(w.best_params["short"] in (5, 10) for w in res.windows)
         assert np.isfinite(res.sharpe_decay)
 
+    @pytest.mark.slow
     def test_anchored_mode_grows_is(self):
         data = SyntheticDataHandler(["A"], n_bars=600, seed=6)
         wf = analysis.WalkForwardAnalysis(

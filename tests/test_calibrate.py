@@ -334,6 +334,7 @@ class TestOrchestrator:
         # warm start cached for next run
         assert "TEST" in orch._heston_warm
 
+    @pytest.mark.slow
     def test_run_all_concurrent_matches_sequential(self):
         def fresh():
             return CalibrationOrchestrator(
@@ -470,6 +471,7 @@ class TestShapePadding:
 class TestParameterSensitivities:
     """IFT quote sensitivities vs an actual bumped-quote LM refit."""
 
+    @pytest.mark.slow
     def test_prediction_matches_refit(self):
         import jax.numpy as jnp
         from pde_tpu.calibrate.heston import (

@@ -40,6 +40,7 @@ class TestSignalFamilies:
 
 
 class TestStrategyOptimizer:
+    @pytest.mark.slow
     def test_optimize_series_all_strategies(self, prices):
         o = opt.StrategyOptimizer()
         out = o.optimize_series(prices, group="test")

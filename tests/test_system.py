@@ -112,6 +112,7 @@ class TestTradingSystem:
         with pytest.raises(ValueError):
             system.run_backtest(prices, strategy="nope")
 
+    @pytest.mark.slow
     def test_monte_carlo_wrapper(self, system, rng):
         res = system.run_monte_carlo(rng.normal(0.0005, 0.01, 300), n_simulations=100)
         assert res.n_simulations == 100
@@ -173,6 +174,7 @@ class TestCLI:
         assert rc == 0
         assert "Rolling backtest" in capsys.readouterr().out
 
+    @pytest.mark.slow
     def test_optimize_sectors_command(self, capsys, tmp_path):
         cache = str(tmp_path / "fits.json")
         rc = cli_main(["optimize-sectors", "--symbols", "AAPL", "--days", "300",
