@@ -450,7 +450,10 @@ class TestShapePadding:
         assert after_second == after_first  # no recompile
         assert r1.rmse < 1e-2 and r2.rmse < 1e-2
 
+    @pytest.mark.slow
     def test_padded_matches_unpadded_params(self):
+        # Compile-bound (two full calibration pipelines); the fast tier keeps
+        # the no-recompile cache check above.
         from pde_tpu.calibrate.heston import HestonCalibrator
 
         data = HestonCalibrator.generate_synthetic_data(

@@ -50,12 +50,16 @@ class TestStrategyOptimizer:
             assert fr.params  # chosen a grid point
 
     def test_run_optimization_with_cache(self, prices, tmp_path):
+        # Cache round-trip semantics don't depend on series length: a short
+        # window keeps the grid search cheap (the full-length fitness math is
+        # covered by test_optimize_series_all_strategies in the slow tier).
+        short = prices[:300]
         cache = tmp_path / "fits.json"
         o = opt.StrategyOptimizer(
             strategies={"ma_crossover": opt.STRATEGY_FAMILIES["ma_crossover"]},
             cache_path=str(cache),
         )
-        groups = {"tech": {"A": prices, "B": prices[::-1].copy()}}
+        groups = {"tech": {"A": short, "B": short[::-1].copy()}}
         res = o.run_optimization(groups)
         assert "tech" in res and "ma_crossover" in res["tech"]
         assert cache.exists()

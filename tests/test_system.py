@@ -168,8 +168,8 @@ class TestCLI:
         assert rows[0]["sector"] in ("technology", "energy")
 
     def test_rolling_backtest_command(self, capsys):
-        rc = cli_main(["rolling-backtest", "--symbol", "SPY", "--days", "500",
-                       "--opt-window", "200", "--trade-window", "100",
+        rc = cli_main(["rolling-backtest", "--symbol", "SPY", "--days", "320",
+                       "--opt-window", "150", "--trade-window", "80",
                        "--strategies", "momentum"])
         assert rc == 0
         assert "Rolling backtest" in capsys.readouterr().out
