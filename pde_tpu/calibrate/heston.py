@@ -79,15 +79,6 @@ class CalibrationResult:
         }
 
 
-def _price_vec(params_array, strikes, maturities, is_calls, S0, r, q,
-               n_points=heston_model.N_QUADRATURE, du=heston_model.DU):
-    """Price the whole quote vector for one parameter vector."""
-    p = HestonParams(*[params_array[i] for i in range(5)])
-    return heston_model.price_carr_madan(
-        p, strikes, maturities, S0, r, q, is_calls, n_points=n_points, du=du
-    )
-
-
 # Euler-Maclaurin-corrected Gauss-Legendre: reproduces the REFERENCE
 # rectangle sum (not just the truncated integral) to ~1e-9 at price level
 # from 70 instead of 1023 integrand evaluations
@@ -101,16 +92,7 @@ def _price_vec(params_array, strikes, maturities, is_calls, S0, r, q,
 _DE_GL_POINTS = 64
 
 
-def _price_vec_gl(params_array, strikes, maturities, is_calls, S0, r, q,
-                  n_points=_DE_GL_POINTS):
-    """Quote-vector pricing on the corrected-GL grid (both stages)."""
-    p = HestonParams(*[params_array[i] for i in range(5)])
-    return heston_model.price_carr_madan_gl(
-        p, strikes, maturities, S0, r, q, is_calls, n_points=n_points
-    )
-
-
-# Grouped-CF twins: the pipeline prices through these.  The characteristic
+# Grouped-CF pricing: the pipeline prices through these.  The characteristic
 # function depends on (params, u, T) only, so a surface with M maturities
 # and N >> M quotes pays M x n_u CF evaluations instead of N x n_u — the
 # CF is ~10x the flops of the per-strike phase, so this is a several-fold
@@ -137,55 +119,32 @@ def _price_vec_gl_grouped(params_array, strikes, t_idx, unique_T, is_calls,
 def _objective_population_gl_grouped(pop, strikes, t_idx, unique_T, is_calls,
                                      market_prices, mask, S0, r, q,
                                      n_points=_DE_GL_POINTS):
-    """Grouped-CF DE-stage objective — same clamp semantics as
-    :func:`_objective_population`.  ``mask`` zeroes the residuals of padded
-    quote slots (shape-stable calibration, see _calibrate_pipeline)."""
+    """DE-stage objective: sum of squared relative errors per population
+    member (reference heston_calibrator.py:486-513), priced on the
+    corrected-GL grid with grouped CF evaluation.  ``mask`` zeroes the
+    residuals of padded quote slots (shape-stable calibration, see
+    _calibrate_pipeline).
+
+    DEVIATION: the reference returns a flat 1e10 whenever ANY model price is
+    non-positive (:507-508).  Its f64 1024-point quadrature rarely produces
+    one; an f32 coarse-quadrature DE stage routinely does on deep-OTM
+    short-dated quotes — even at the TRUE parameters — and the flat flag
+    then turns the whole objective into a 1e10 plateau with zero search
+    signal.  Instead non-positive prices are clamped to 1e-10 (exactly what
+    the reference's OWN local-stage residuals do, :533), which charges ~1.0
+    squared relative error per bad quote and keeps the landscape
+    informative.  NaN still gets the hard penalty."""
     prices = jax.vmap(
         lambda x: _price_vec_gl_grouped(
             x, strikes, t_idx, unique_T, is_calls, S0, r, q, n_points
         )
     )(pop)
-    nan_bad = jnp.any(jnp.isnan(prices * mask), axis=-1)
+    # neutralize padded slots BEFORE the NaN check: NaN * 0 is NaN, so a
+    # non-finite price in a mask=0 slot must not hard-penalize the member
+    prices = jnp.where(mask > 0, prices, market_prices)
+    nan_bad = jnp.any(jnp.isnan(prices), axis=-1)
     prices = jnp.maximum(prices, 1e-10)
     errors = mask * (prices - market_prices) / market_prices
-    obj = jnp.sum(errors * errors, axis=-1)
-    return jnp.where(nan_bad, 1e10, obj)
-
-
-def _objective_population_gl(pop, strikes, maturities, is_calls, market_prices,
-                             S0, r, q, n_points=_DE_GL_POINTS):
-    """DE-stage objective on the GL grid — same clamp semantics as
-    :func:`_objective_population`."""
-    prices = jax.vmap(
-        lambda x: _price_vec_gl(x, strikes, maturities, is_calls, S0, r, q, n_points)
-    )(pop)
-    nan_bad = jnp.any(jnp.isnan(prices), axis=-1)
-    prices = jnp.maximum(prices, 1e-10)
-    errors = (prices - market_prices) / market_prices
-    obj = jnp.sum(errors * errors, axis=-1)
-    return jnp.where(nan_bad, 1e10, obj)
-
-
-def _objective_population(pop, strikes, maturities, is_calls, market_prices, S0, r, q,
-                          n_points=heston_model.N_QUADRATURE, du=heston_model.DU):
-    """Sum of squared relative errors per population member
-    (reference heston_calibrator.py:486-513).
-
-    DEVIATION: the reference returns a flat 1e10 whenever ANY model price is
-    non-positive (:507-508).  Its f64 1024-point quadrature rarely produces
-    one; this build's f32 coarse-quadrature DE stage routinely does on
-    deep-OTM short-dated quotes — even at the TRUE parameters — and the
-    flat flag then turns the whole objective into a 1e10 plateau with zero
-    search signal.  Instead non-positive prices are clamped to 1e-10
-    (exactly what the reference's OWN local-stage residuals do, :533),
-    which charges ~1.0 squared relative error per bad quote and keeps the
-    landscape informative.  NaN still gets the hard penalty."""
-    prices = jax.vmap(
-        lambda x: _price_vec(x, strikes, maturities, is_calls, S0, r, q, n_points, du)
-    )(pop)
-    nan_bad = jnp.any(jnp.isnan(prices), axis=-1)
-    prices = jnp.maximum(prices, 1e-10)
-    errors = (prices - market_prices) / market_prices
     obj = jnp.sum(errors * errors, axis=-1)
     return jnp.where(nan_bad, 1e10, obj)
 
@@ -255,6 +214,9 @@ def _calibrate_pipeline(
         # corrected-GL pricer: numerically the reference objective (~1e-9
         # price agreement) at 15x fewer quadrature points per LM iteration
         prices = _price_vec_gl_grouped(x, strikes, t_idx, unique_T, is_calls, S0, r, q)
+        # padded slots must yield an EXACT zero residual even when the CF
+        # NaNs there (mask * NaN = NaN would poison the cost and Jacobian)
+        prices = jnp.where(mask > 0, prices, market_prices)
         prices = jnp.maximum(prices, 1e-10)  # heston_calibrator.py:533
         return mask * (prices - market_prices) / market_prices
 
@@ -589,15 +551,29 @@ class HestonCalibrator:
         convergence logic — runs under explicit NamedShardings: U over
         ``dp`` (embarrassingly parallel), the quote axis over ``quotes``
         (objective sums and J^T J / J^T r contractions become XLA
-        all-reduces riding ICI).  U must divide by the dp size and
-        n_options by the quotes size.
+        all-reduces riding ICI).  n_options must divide by the quotes size;
+        when U does not divide by the dp size the batch is padded with
+        copies of the last surface (results sliced back to U).
         """
         U = strikes.shape[0]
         if is_calls is None:
             is_calls = np.ones_like(strikes, dtype=bool)
+        pad_u = 0
+        if mesh is not None and "dp" in mesh.shape:
+            dp_size = mesh.shape["dp"]
+            pad_u = (-U) % dp_size
+            if pad_u:
+                def _pad(a):
+                    a = np.asarray(a)
+                    reps = (pad_u,) + (1,) * (a.ndim - 1)
+                    return np.concatenate([a, np.tile(a[-1:], reps)])
+                strikes, maturities, market_prices, S0, is_calls = (
+                    _pad(a) for a in
+                    (strikes, maturities, market_prices, S0, is_calls)
+                )
         lower = jnp.array([self.bounds[k][0] for k in PARAM_ORDER])
         upper = jnp.array([self.bounds[k][1] for k in PARAM_ORDER])
-        keys = jax.random.split(jax.random.PRNGKey(self.seed), U)
+        keys = jax.random.split(jax.random.PRNGKey(self.seed), U + pad_u)
 
         # per-surface maturity grouping, padded to a common static M so the
         # batch vmaps (padded CF rows are priced by no option)
@@ -643,10 +619,10 @@ class HestonCalibrator:
         out = batched(args)
         de_x, de_fun, de_iter, lm_x, lm_cost, lm_conv, lm_iter, model_prices = out
         return {
-            "params": lm_x,
-            "cost": lm_cost,
-            "converged": lm_conv,
-            "model_prices": model_prices,
+            "params": lm_x[:U],
+            "cost": lm_cost[:U],
+            "converged": lm_conv[:U],
+            "model_prices": model_prices[:U],
         }
 
     # ------------------------------------------------------------ internals

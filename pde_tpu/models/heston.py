@@ -38,6 +38,7 @@ __all__ = [
     "price_carr_madan_grouped",
     "price_carr_madan_gl",
     "price_carr_madan_gl_grouped",
+    "price_gauss_legendre",
     "price_gauss_legendre_grouped",
     "group_maturities",
     "moment_explosion_time",
@@ -46,7 +47,9 @@ __all__ = [
     "price_accurate",
     "price_accurate_gl",
     "price_accurate_gl_grouped",
+    "price_accurate_grouped",
     "implied_volatility",
+    "implied_volatility_grouped",
     "implied_volatility_surface",
     "price_fft",
 ]
@@ -235,21 +238,9 @@ def price_carr_madan(
     integral = _carr_madan_integral(
         params, strike, maturity, spot, rate, dividend, n_points, du, alpha
     )
-    discount = jnp.exp(-rate * maturity)
-    # prefactor in the forward-moneyness formulation:
-    #   e^{-alpha lnK} * F^{alpha+1} = K (F/K)^{alpha+1}
-    forward = spot * jnp.exp((rate - dividend) * maturity)
-    prefactor = strike * (forward / strike) ** (alpha + 1.0)
-    call = (prefactor / jnp.pi) * discount * integral
-    call = jnp.maximum(call, 0.0)
-
-    put = jnp.maximum(call - spot * jnp.exp(-dividend * maturity) + strike * discount, 0.0)
-    price = jnp.where(is_call, call, put)
-
-    intrinsic = jnp.where(
-        is_call, jnp.maximum(spot - strike, 0.0), jnp.maximum(strike - spot, 0.0)
+    return _price_from_integral(
+        integral, strike, maturity, spot, rate, dividend, is_call, alpha, rdt
     )
-    return jnp.where(maturity <= 0.0, intrinsic, price)
 
 
 @functools.partial(jax.jit, static_argnames=("n_points", "u_max", "alpha"))
@@ -290,16 +281,9 @@ def price_gauss_legendre(
     integral = _carr_madan_integrand_sum(
         params, strike, maturity, spot, rate, dividend, v, w, 1.0, alpha
     )
-    discount = jnp.exp(-rate * maturity)
-    forward = spot * jnp.exp((rate - dividend) * maturity)
-    prefactor = strike * (forward / strike) ** (alpha + 1.0)
-    call = jnp.maximum((prefactor / jnp.pi) * discount * integral, 0.0)
-    put = jnp.maximum(call - spot * jnp.exp(-dividend * maturity) + strike * discount, 0.0)
-    price = jnp.where(is_call, call, put)
-    intrinsic = jnp.where(
-        is_call, jnp.maximum(spot - strike, 0.0), jnp.maximum(strike - spot, 0.0)
+    return _price_from_integral(
+        integral, strike, maturity, spot, rate, dividend, is_call, alpha, rdt
     )
-    return jnp.where(maturity <= 0.0, intrinsic, price)
 
 
 def moment_explosion_time(params: HestonParams, moment: float) -> float:
@@ -391,9 +375,18 @@ def _carr_madan_grouped_sum(
     return du * jnp.sum(integrand, axis=-1), T
 
 
-def _grouped_price_from_integral(
+def _price_from_integral(
     integral, strikes, T, spot, rate, dividend, is_call, alpha, rdt
 ):
+    """Carr-Madan integral -> option price: damping prefactor, zero floor,
+    put-call parity, T<=0 intrinsic (heston.cpp:94-151).  Shared epilogue of
+    every quadrature pricer, grouped and ungrouped.
+
+    The prefactor is the forward-moneyness form
+    ``e^{-alpha lnK} * F^{alpha+1} = K (F/K)^{alpha+1}`` — pairs with the
+    small-phase integrand in _carr_madan_integrand_sum so the f32 path
+    never materializes the large cancelling phases.
+    """
     strikes = jnp.asarray(strikes, dtype=rdt)
     spot = jnp.asarray(spot, dtype=rdt)
     discount = jnp.exp(-rate * T)
@@ -436,7 +429,7 @@ def price_carr_madan_grouped(
     integral, T = _carr_madan_grouped_sum(
         params, strikes, t_idx, unique_T, spot, rate, dividend, v, weights, du, alpha
     )
-    return _grouped_price_from_integral(
+    return _price_from_integral(
         integral, strikes, T, spot, rate, dividend, is_call, alpha, rdt
     )
 
@@ -464,7 +457,7 @@ def price_gauss_legendre_grouped(
     integral, T = _carr_madan_grouped_sum(
         params, strikes, t_idx, unique_T, spot, rate, dividend, v, w, 1.0, alpha
     )
-    return _grouped_price_from_integral(
+    return _price_from_integral(
         integral, strikes, T, spot, rate, dividend, is_call, alpha, rdt
     )
 
@@ -541,16 +534,9 @@ def price_carr_madan_gl(
     integral = _carr_madan_integrand_sum(
         params, strike, maturity, spot, rate, dividend, v, w, 1.0, alpha
     )
-    discount = jnp.exp(-rate * maturity)
-    forward = spot * jnp.exp((rate - dividend) * maturity)
-    prefactor = strike * (forward / strike) ** (alpha + 1.0)
-    call = jnp.maximum((prefactor / jnp.pi) * discount * integral, 0.0)
-    put = jnp.maximum(call - spot * jnp.exp(-dividend * maturity) + strike * discount, 0.0)
-    price = jnp.where(is_call, call, put)
-    intrinsic = jnp.where(
-        is_call, jnp.maximum(spot - strike, 0.0), jnp.maximum(strike - spot, 0.0)
+    return _price_from_integral(
+        integral, strike, maturity, spot, rate, dividend, is_call, alpha, rdt
     )
-    return jnp.where(maturity <= 0.0, intrinsic, price)
 
 
 @functools.partial(jax.jit, static_argnames=("n_points", "du", "alpha"))
@@ -576,7 +562,7 @@ def price_carr_madan_gl_grouped(
     integral, T = _carr_madan_grouped_sum(
         params, strikes, t_idx, unique_T, spot, rate, dividend, v, w, 1.0, alpha
     )
-    return _grouped_price_from_integral(
+    return _price_from_integral(
         integral, strikes, T, spot, rate, dividend, is_call, alpha, rdt
     )
 
@@ -633,16 +619,9 @@ def price_accurate_gl(
     integral = _carr_madan_integrand_sum(
         params, strike, maturity, spot, rate, dividend, v, w, 1.0, alpha
     )
-    discount = jnp.exp(-rate * maturity)
-    forward = spot * jnp.exp((rate - dividend) * maturity)
-    prefactor = strike * (forward / strike) ** (alpha + 1.0)
-    call = jnp.maximum((prefactor / jnp.pi) * discount * integral, 0.0)
-    put = jnp.maximum(call - spot * jnp.exp(-dividend * maturity) + strike * discount, 0.0)
-    price = jnp.where(is_call, call, put)
-    intrinsic = jnp.where(
-        is_call, jnp.maximum(spot - strike, 0.0), jnp.maximum(strike - spot, 0.0)
+    return _price_from_integral(
+        integral, strike, maturity, spot, rate, dividend, is_call, alpha, rdt
     )
-    return jnp.where(maturity <= 0.0, intrinsic, price)
 
 
 @functools.partial(jax.jit, static_argnames=("n_per_panel", "alpha"))
@@ -666,7 +645,7 @@ def price_accurate_gl_grouped(
     integral, T = _carr_madan_grouped_sum(
         params, strikes, t_idx, unique_T, spot, rate, dividend, v, w, 1.0, alpha
     )
-    return _grouped_price_from_integral(
+    return _price_from_integral(
         integral, strikes, T, spot, rate, dividend, is_call, alpha, rdt
     )
 
@@ -693,7 +672,7 @@ def price_accurate_grouped(
     integral, T = _carr_madan_grouped_sum(
         params, strikes, t_idx, unique_T, spot, rate, dividend, v, weights, du, alpha
     )
-    return _grouped_price_from_integral(
+    return _price_from_integral(
         integral, strikes, T, spot, rate, dividend, is_call, alpha, rdt
     )
 
@@ -732,16 +711,9 @@ def price_accurate(
         params, strike, maturity, spot, rate, dividend, v, weights, du, alpha
     )
 
-    discount = jnp.exp(-rate * maturity)
-    forward = spot * jnp.exp((rate - dividend) * maturity)
-    prefactor = strike * (forward / strike) ** (alpha + 1.0)
-    call = jnp.maximum((prefactor / jnp.pi) * discount * integral, 0.0)
-    put = jnp.maximum(call - spot * jnp.exp(-dividend * maturity) + strike * discount, 0.0)
-    price = jnp.where(is_call, call, put)
-    intrinsic = jnp.where(
-        is_call, jnp.maximum(spot - strike, 0.0), jnp.maximum(strike - spot, 0.0)
+    return _price_from_integral(
+        integral, strike, maturity, spot, rate, dividend, is_call, alpha, rdt
     )
-    return jnp.where(maturity <= 0.0, intrinsic, price)
 
 
 def price_options(params, strikes, maturities, spot, rate=0.0, dividend=0.0, is_call=True):

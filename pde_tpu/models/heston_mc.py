@@ -306,9 +306,23 @@ def simulate_qe_paths(
     return jnp.exp(ln_s_path), v_path
 
 
-def _mc_estimate(discounted, n_paths):
+def _mc_estimate(discounted, n_paths, antithetic=False):
+    """Mean and standard error of a discounted payoff sample (path axis 0).
+
+    With antithetic sampling the 2N paths are N correlated (path, mirror)
+    pairs laid out [first half | mirrored half]; treating them as 2N i.i.d.
+    samples miscalibrates the standard error (over-reports when the pair
+    covariance is negative — ~33% for an ATM call — and under-reports when
+    it is positive).  The i.i.d. units are the pair means, so fold each
+    pair first; the price itself is unchanged by the fold.
+    """
+    if antithetic:
+        n = n_paths // 2
+        discounted = 0.5 * (discounted[:n] + discounted[n:])
+    else:
+        n = n_paths
     price = jnp.mean(discounted, axis=0)
-    stderr = jnp.std(discounted, axis=0, ddof=1) / jnp.sqrt(float(n_paths))
+    stderr = jnp.std(discounted, axis=0, ddof=1) / jnp.sqrt(float(n))
     return price, stderr
 
 
@@ -360,7 +374,7 @@ def price_path_payoff_mc(
         )
         y = y - b[None, :] * (x[:, None] - x_mean_true)
 
-    price, stderr = _mc_estimate(y, n_paths)
+    price, stderr = _mc_estimate(y, n_paths, antithetic)
     if squeeze:
         return price[0], stderr[0]
     return price, stderr

@@ -40,7 +40,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import grids
 from ..ops.tridiag import thomas
-from ..solvers.bs_pde import BSPDEParams, BSPDEResult, _operator_coeffs
+from ..solvers.bs_pde import BSPDEParams, BSPDEResult, _operator_coeffs, _readout_1d
 from ..solvers.heston_adi import (
     HestonPDEParams,
     HestonPDEResult,
@@ -156,18 +156,9 @@ def sharded_bs_solve(mesh: Mesh, params: BSPDEParams, S0) -> BSPDEResult:
     )
     V = fn(payoff, La, Lb, Lc_, ia, ib, ic, s_grid, taus)
 
-    price = grids.interp_linear(s_grid, V, S0)
-    i = jnp.clip(grids.find_index(s_grid, S0), 1, n - 2)
-    delta = (V[i + 1] - V[i - 1]) / (s_grid[i + 1] - s_grid[i - 1])
-    davg = 0.5 * (s_grid[i + 1] - s_grid[i - 1])
-    gamma = (V[i + 1] - 2.0 * V[i] + V[i - 1]) / (davg * davg)
-    sigma = params.sigma
-    d1 = (jnp.log(S0 / K) + (r - q + 0.5 * sigma * sigma) * T) / (sigma * jnp.sqrt(T))
-    nd1 = jnp.exp(-0.5 * d1 * d1) / jnp.sqrt(2.0 * jnp.pi)
-    theta = -S0 * nd1 * sigma / (2.0 * jnp.sqrt(T))
-    theta = theta + jnp.where(is_call, -1.0, 1.0) * r * K * jnp.exp(-r * T) * 0.5
-    payoff_s0 = jnp.where(is_call, jnp.maximum(S0 - K, 0.0), jnp.maximum(K - S0, 0.0))
-    early_ex = jnp.asarray(params.american) & (price > payoff_s0 + 1e-10)
+    price, delta, gamma, theta, early_ex = _readout_1d(
+        V, s_grid, S0, K, params.sigma, r, q, T, is_call, params.american
+    )
     return BSPDEResult(price, delta, gamma, theta, V, s_grid, early_ex)
 
 
@@ -281,7 +272,8 @@ def sharded_heston_solve(mesh: Mesh, params: HestonPDEParams, S0) -> HestonPDERe
         def adi_step(V, source):
             lg, rg = exchange(V)
             a1V = apply_a1_local(V, lg, rg)
-            F = apply_a0_local(V, lg, rg) + a1V + apply_a2_local(V)
+            a2V = apply_a2_local(V)
+            F = apply_a0_local(V, lg, rg) + a1V + a2V
             Y0 = V + dt * (F + source)
 
             rhs1 = Y0 - th * dt * a1V
@@ -289,7 +281,7 @@ def sharded_heston_solve(mesh: Mesh, params: HestonPDEParams, S0) -> HestonPDERe
                 i1a_l.T, i1b_l.T, i1c_l.T, rhs1.T, axis
             ).T
 
-            rhs2 = Y1 - th * dt * apply_a2_local(V)
+            rhs2 = Y1 - th * dt * a2V
             Y2 = thomas(i2lo_r, i2di_r, i2up_r, rhs2)
             return Y2
 

@@ -73,13 +73,20 @@ def best_factorization(n: int, n_underlyings: Optional[int] = None) -> tuple[int
     rather than squareness: the dp axis carries NO collective traffic
     (surfaces are independent) while the quotes axis all-reduces every
     J^T J / J^T r / objective contraction — so dp should be as large as the
-    workload can fill.  ``dp = `` the largest divisor of n that is <= U
-    (perfect balance, minimum quote-axis size); when U >= n that is pure dp
-    with zero collectives.  Without a workload hint, fall back to the most
-    even split (dp >= quotes) — a neutral default for unknown U.
+    workload can fill.  ``dp = `` the largest divisor of n that also
+    divides U (perfect balance: every dp shard gets U/dp whole surfaces —
+    a dp that is merely <= U cannot lay the U axis out over the mesh at
+    all, e.g. U=6 on 8 devices must pick dp=2, not dp=4); when n divides U
+    that is pure dp with zero collectives.  Without a workload hint, fall
+    back to the most even split (dp >= quotes) — a neutral default for
+    unknown U.  ``calibrate_batch`` additionally pads U up to a dp multiple
+    when handed a mesh whose dp does not divide U.
     """
     if n_underlyings is not None and n_underlyings > 0:
-        dp = max(d for d in range(1, n + 1) if n % d == 0 and d <= n_underlyings)
+        dp = max(
+            d for d in range(1, n + 1)
+            if n % d == 0 and n_underlyings % d == 0
+        )
         return (dp, n // dp)
     best = (n, 1)
     for q in range(1, int(np.sqrt(n)) + 1):

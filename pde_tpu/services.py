@@ -124,7 +124,14 @@ class ServiceLoop:
 
 
 def _chain_to_market_options(chain, S0):
-    """Provider options-chain rows -> the calibrator's input schema."""
+    """Provider options-chain rows -> the calibrator's input schema.
+
+    Quotes outside 0.5-2.0 moneyness are dropped: far-from-money chains
+    carry bid/ask noise, not calibration signal (the reference gates its
+    chain the same way before model comparison,
+    signals/vol_surface_arbitrage.py:317-341; count capping happens later
+    in the orchestrator's _filter_options).
+    """
     from datetime import date
 
     import numpy as np
@@ -135,6 +142,8 @@ def _chain_to_market_options(chain, S0):
         T = max((row["expiration"] - today).days, 1) / 365.0
         mid = 0.5 * (row["bid"] + row["ask"])
         if mid <= 0:
+            continue
+        if S0 > 0 and not (0.5 <= row["strike"] / S0 <= 2.0):
             continue
         strikes.append(row["strike"])
         mats.append(T)

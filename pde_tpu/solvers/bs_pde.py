@@ -222,26 +222,45 @@ def _solve_impl(
         t = (S0 - s_grid[i - 1]) / (s_grid[i] - s_grid[i - 1])
         price = (1.0 - t) * V[i - 1] + t * V[i]
     else:
+        price = None  # _readout_1d brackets correctly
+
+    price, delta, gamma, theta, early_ex = _readout_1d(
+        V, s_grid, S0, K, sigma, r, q, T, is_call, american, price=price
+    )
+    return BSPDEResult(price, delta, gamma, theta, V, s_grid, early_ex)
+
+
+def _readout_1d(V, s_grid, S0, K, sigma, r, q, T, is_call, american,
+                price=None):
+    """Shared readout: price + grid Greeks + analytic theta + early-exercise
+    flag from a terminal 1D value grid.
+
+    Single source for :func:`solve` (_solve_impl), :func:`solve_fused_batch`
+    (per lane, under vmap) and ``parallel.adi_sharded.sharded_bs_solve``.
+    ``V``/``s_grid`` are 1D (n,); pass a precomputed ``price`` to override
+    the bracketing interpolation (the reference_compat readout).
+    """
+    n = s_grid.shape[0]
+    call_q = jnp.asarray(is_call, bool)
+    amer_q = jnp.asarray(american, bool)
+    if price is None:
         price = grids.interp_linear(s_grid, V, S0)
 
     # Greeks from the grid (black_scholes_pde.hpp:292-312)
-    i = jnp.clip(grids.find_index(s_grid, S0), 1, n_space - 2)
+    i = jnp.clip(grids.find_index(s_grid, S0), 1, n - 2)
     delta = (V[i + 1] - V[i - 1]) / (s_grid[i + 1] - s_grid[i - 1])
-    dxm = s_grid[i] - s_grid[i - 1]
-    dxp = s_grid[i + 1] - s_grid[i]
-    davg = 0.5 * (dxm + dxp)
+    davg = 0.5 * (s_grid[i + 1] - s_grid[i - 1])
     gamma = (V[i + 1] - 2.0 * V[i] + V[i - 1]) / (davg * davg)
 
     # analytic BS theta at S0 (black_scholes_pde.hpp:314-331)
     d1 = (jnp.log(S0 / K) + (r - q + 0.5 * sigma * sigma) * T) / (sigma * jnp.sqrt(T))
     nd1 = jnp.exp(-0.5 * d1 * d1) / jnp.sqrt(2.0 * jnp.pi)
     theta = -S0 * nd1 * sigma / (2.0 * jnp.sqrt(T))
-    theta = theta + jnp.where(is_call, -1.0, 1.0) * r * K * jnp.exp(-r * T) * 0.5
+    theta = theta + jnp.where(call_q, -1.0, 1.0) * r * K * jnp.exp(-r * T) * 0.5
 
-    payoff_s0 = jnp.where(is_call, jnp.maximum(S0 - K, 0.0), jnp.maximum(K - S0, 0.0))
-    early_ex = jnp.asarray(american) & (price > payoff_s0 + 1e-10)
-
-    return BSPDEResult(price, delta, gamma, theta, V, s_grid, early_ex)
+    payoff_s0 = jnp.where(call_q, jnp.maximum(S0 - K, 0.0), jnp.maximum(K - S0, 0.0))
+    early_ex = amer_q & (price > payoff_s0 + 1e-10)
+    return price, delta, gamma, theta, early_ex
 
 
 def solve(params: BSPDEParams, S0) -> BSPDEResult:
@@ -310,6 +329,15 @@ def solve_fused_batch(
     """
     from ..ops.cn1d_fused import fused_cn_march_1d
 
+    if scheme not in ("crank_nicolson", "implicit"):
+        raise ValueError(
+            f"unknown or unsupported scheme {scheme!r}: the fused march "
+            "is implicit-path only ('crank_nicolson' or 'implicit'); use "
+            "solve() for 'explicit'"
+        )
+    if n_space < 10 or n_time < 10:
+        raise ValueError("n_space and n_time must be >= 10")
+
     sigma, r, q, T, K, is_call, S0, american = map(
         jnp.atleast_1d, map(jnp.asarray, (sigma, r, q, T, K, is_call, S0, american))
     )
@@ -353,23 +381,9 @@ def solve_fused_batch(
                           w=w, interpret=interpret)[:, :B]       # (n, B)
 
     # per-lane readout (price + grid Greeks + analytic theta), vectorized
-    def readout(Vb, sgb, S0b, Kb, sigb, rb, qb, Tb, callb, amerb):
-        price = grids.interp_linear(sgb, Vb, S0b)
-        i = jnp.clip(grids.find_index(sgb, S0b), 1, n - 2)
-        delta = (Vb[i + 1] - Vb[i - 1]) / (sgb[i + 1] - sgb[i - 1])
-        davg = 0.5 * (sgb[i + 1] - sgb[i - 1])
-        gamma = (Vb[i + 1] - 2.0 * Vb[i] + Vb[i - 1]) / (davg * davg)
-        d1 = (jnp.log(S0b / Kb) + (rb - qb + 0.5 * sigb * sigb) * Tb) / (
-            sigb * jnp.sqrt(Tb))
-        nd1 = jnp.exp(-0.5 * d1 * d1) / jnp.sqrt(2.0 * jnp.pi)
-        theta = -S0b * nd1 * sigb / (2.0 * jnp.sqrt(Tb))
-        theta = theta + jnp.where(callb > 0.5, -1.0, 1.0) * rb * Kb * jnp.exp(
-            -rb * Tb) * 0.5
-        pay_s0 = jnp.where(callb > 0.5, jnp.maximum(S0b - Kb, 0.0),
-                           jnp.maximum(Kb - S0b, 0.0))
-        early = (amerb > 0.5) & (price > pay_s0 + 1e-10)
-        return price, delta, gamma, theta, early
-
-    price, delta, gamma, theta, early = jax.vmap(readout)(
-        V.T, s_grid.T, S0, K, sigma, r, q, T, call_f, amer_f)
+    price, delta, gamma, theta, early = jax.vmap(
+        lambda Vb, sgb, S0b, Kb, sigb, rb, qb, Tb, callb, amerb:
+            _readout_1d(Vb, sgb, S0b, Kb, sigb, rb, qb, Tb,
+                        callb > 0.5, amerb > 0.5)
+    )(V.T, s_grid.T, S0, K, sigma, r, q, T, call_f, amer_f)
     return BSPDEResult(price, delta, gamma, theta, V.T, s_grid.T, early)

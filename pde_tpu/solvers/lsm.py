@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from ..core.precision import result_dtype
 from ..models.heston import HestonParams
-from ..models.heston_mc import simulate_qe_paths
+from ..models.heston_mc import _mc_estimate, simulate_qe_paths
 
 __all__ = ["price_american_lsm"]
 
@@ -132,8 +132,8 @@ def price_american_lsm(
 
     cashflow, _ = jax.lax.scan(backward, v_terminal, xs)
     discounted = cashflow * disc  # discount t_1 -> t_0
-    price = jnp.mean(discounted)
-    stderr = jnp.std(discounted, ddof=1) / jnp.sqrt(float(n_paths))
+    # antithetic pairs are correlated — fold before the stderr (heston_mc)
+    price, stderr = _mc_estimate(discounted, n_paths, antithetic)
     # exercise at t_0 itself: deep ITM, the continuation estimate can sit
     # below intrinsic — the American holder would exercise immediately
     price = jnp.maximum(price, payoff(jnp.asarray(spot, dtype)))

@@ -108,14 +108,42 @@ class TestEuropeanCrossValidation:
         rhs = np.exp(-R * T) * float(jnp.mean(paths.spot - k))
         assert abs(float(call - put) - rhs) < 1e-8
 
+    def test_stderr_calibrated_under_antithetic(self):
+        """Reported stderr must match the empirical spread of the estimator.
+
+        Regression for treating the 2N antithetic paths as independent: a
+        deep-ITM call payoff is nearly linear, so each (path, mirror) pair
+        is almost perfectly anti-correlated and the i.i.d. formula
+        over-reports the error ~5-10x (z-scores bunched near zero).  With
+        pair-folded stderr the z-scores are ~N(0,1).
+        """
+        keys = jax.random.split(jax.random.PRNGKey(11), 24)
+
+        def one(k):
+            return heston_mc.price_european_mc(
+                PARAMS, 60.0, T, S0, k, rate=R, dividend=Q,
+                n_steps=16, n_paths=1 << 13, control_variate=False,
+            )
+
+        prices, stderrs = jax.vmap(one)(keys)
+        prices, stderrs = np.asarray(prices), np.asarray(stderrs)
+        z = (prices - prices.mean()) / stderrs
+        assert 0.55 < z.std(ddof=1) < 1.8, (z.std(ddof=1), stderrs.mean())
+
     def test_control_variate_reduces_stderr(self):
+        # antithetic=False isolates the CV: with antithetic on, the pair
+        # fold already removes the same (linear-in-S_T) variance component
+        # the discounted-spot control variate targets, so the two overlap
+        # and the marginal CV gain is small.
         _, se_cv = heston_mc.price_european_mc(
             PARAMS, 100.0, T, S0, KEY, rate=R, dividend=Q,
             n_steps=16, n_paths=1 << 13, control_variate=True,
+            antithetic=False,
         )
         _, se_raw = heston_mc.price_european_mc(
             PARAMS, 100.0, T, S0, KEY, rate=R, dividend=Q,
             n_steps=16, n_paths=1 << 13, control_variate=False,
+            antithetic=False,
         )
         assert float(se_cv) < 0.7 * float(se_raw)
 

@@ -21,9 +21,12 @@ class TestMesh:
         # U >= devices: pure dp, zero collective traffic
         assert best_factorization(8, n_underlyings=16) == (8, 1)
         assert best_factorization(8, n_underlyings=8) == (8, 1)
-        # U < devices: dp = largest divisor <= U, quotes fill the rest
+        # dp must DIVIDE U (every shard gets whole surfaces): largest
+        # common divisor of devices and U, quotes fill the rest
         assert best_factorization(8, n_underlyings=2) == (2, 4)
-        assert best_factorization(8, n_underlyings=3) == (2, 4)
+        assert best_factorization(8, n_underlyings=3) == (1, 8)
+        assert best_factorization(8, n_underlyings=6) == (2, 4)
+        assert best_factorization(8, n_underlyings=12) == (4, 2)
         assert best_factorization(8, n_underlyings=1) == (1, 8)
         assert best_factorization(6, n_underlyings=3) == (3, 2)
 
@@ -444,3 +447,29 @@ class TestShardedCalibrateBatch:
         assert np.all(np.asarray(out_m["cost"]) < 1e-3)  # <1% rms rel error
         np.testing.assert_allclose(np.asarray(out_m["params"])[:, 4], truth[4], atol=0.01)
         np.testing.assert_allclose(np.asarray(out_m["params"])[:, 1], truth[1], atol=0.01)
+
+    def test_u_not_divisible_by_dp_pads(self):
+        """U=3 surfaces on a dp=2 mesh: the batch is padded with a copy of
+        the last surface and results sliced back — regression for the
+        device_put failure when dp does not divide U."""
+        from pde_tpu.calibrate.heston import HestonCalibrator
+        from pde_tpu.models import heston as hm
+
+        U, Q = 3, 16
+        truth = [2.0, 0.04, 0.3, -0.7, 0.04]
+        strikes = np.tile(np.linspace(90.0, 110.0, Q), (U, 1))
+        maturities = np.tile(np.repeat([0.5, 1.0], Q // 2), (U, 1))
+        prices = np.maximum(np.asarray(jax.jit(hm.price_options)(
+            hm.HestonParams(*truth),
+            jnp.asarray(strikes.ravel()), jnp.asarray(maturities.ravel()),
+            100.0, 0.05, 0.02,
+        )).reshape(U, Q), 0.01)
+
+        cal = HestonCalibrator(global_maxiter=8, global_popsize=4, local_max_iter=6)
+        mesh = make_mesh(8, shape=(2, 4))
+        out = cal.calibrate_batch(
+            strikes, maturities, prices, np.full(U, 100.0), 0.05, 0.02, mesh=mesh
+        )
+        assert np.asarray(out["params"]).shape == (U, 5)
+        assert np.asarray(out["cost"]).shape == (U,)
+        assert np.all(np.isfinite(np.asarray(out["cost"])))
