@@ -7,3 +7,5 @@ from . import dist_tridiag  # noqa: F401
 from .dist_tridiag import dist_tridiagonal_solve, partitioned_thomas_spmd  # noqa: F401
 from . import adi_sharded  # noqa: F401
 from .adi_sharded import sharded_bs_solve, sharded_heston_solve  # noqa: F401
+from . import comm_audit  # noqa: F401
+from .comm_audit import collective_counts  # noqa: F401
