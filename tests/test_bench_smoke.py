@@ -43,6 +43,7 @@ def test_bench_full_smoke_traces_every_section():
         "heston_pricing_grouped_options_per_sec",
         "sabr_vols_per_sec",
         "ou_sim252_paths_per_sec",
+        "ou_sim_longpath_steps_per_sec",
         "ou_mle252_fits_per_sec",
         "heston_adi_100x50_steps_per_sec",
         "heston_adi_vmapped16_steps_per_sec",

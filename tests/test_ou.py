@@ -106,6 +106,17 @@ class TestSimulation:
     def test_half_life(self, params):
         assert abs(float(params.half_life()) - np.log(2) / 5.0) < 1e-12
 
+    def test_parallel_matches_scan(self, params):
+        """simulate_parallel is the same recurrence reassociated: same key
+        gives the same path to float roundoff, at log instead of linear
+        depth."""
+        key = jax.random.PRNGKey(3)
+        a = ou.simulate(params, 95.0, 1.0, 512, key)
+        b = ou.simulate_parallel(params, 95.0, 1.0, 512, key)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-9)
+        assert float(b[0]) == 95.0
+
 
 class TestSignals:
     def test_signal_walk(self, params):
