@@ -426,6 +426,38 @@ class TestReviewRegressions:
 
 
 class TestShapePadding:
+    def test_nan_in_padded_slot_is_inert(self):
+        """A CF that NaNs on a PADDED quote slot must not poison the
+        member: NaN * 0 is NaN, so the mask alone can't neutralize it —
+        regression for the jnp.where(mask > 0, ...) fix in the DE
+        objective."""
+        import jax.numpy as jnp
+
+        from pde_tpu.calibrate.heston import _objective_population_gl_grouped
+
+        # (kappa=10, sigma=2, rho=-0.99, v0=1) NaNs the f32 GL pricer at
+        # T=200 (CF overflow) but prices T=0.5 fine
+        pop = jnp.asarray([[10.0, 1.0, 2.0, -0.99, 1.0]], dtype=jnp.float32)
+        strikes = jnp.asarray([90.0, 100.0, 110.0, 100.0], dtype=jnp.float32)
+        unique_T = jnp.asarray([0.5, 200.0], dtype=jnp.float32)
+        t_idx = jnp.asarray([0, 0, 0, 1])
+        market = jnp.asarray([5.0, 4.0, 3.0, 1.0], dtype=jnp.float32)
+        mask_pad = jnp.asarray([1.0, 1.0, 1.0, 0.0], dtype=jnp.float32)
+
+        def obj(mask, ti, k, mk):
+            return float(_objective_population_gl_grouped(
+                pop, k, ti, unique_T, jnp.ones(k.shape, bool), mk, mask,
+                100.0, 0.05, 0.0,
+            )[0])
+
+        padded = obj(mask_pad, t_idx, strikes, market)
+        assert np.isfinite(padded) and padded < 1e9  # not the NaN penalty
+
+        # equals the objective on the three REAL quotes alone
+        real = obj(jnp.ones(3, jnp.float32), t_idx[:3], strikes[:3], market[:3])
+        assert padded == pytest.approx(real, rel=1e-6)
+
+
     """pad_shapes: different chain sizes reuse ONE compiled pipeline (the
     padded tail is mask-weighted to zero residual), and padding does not
     change the recovered parameters."""
