@@ -10,6 +10,7 @@ trigger logic (:249-480), and the frictionless InstantExecutionHandler
 from __future__ import annotations
 
 import abc
+from dataclasses import replace
 from typing import Dict, Optional
 
 import numpy as np
@@ -130,10 +131,12 @@ class SimulatedExecutionHandler(ExecutionHandler):
         self.market_impact_coeff = market_impact_coeff
         self.adv = adv
         self.current_prices: Dict[str, float] = {}
+        self.current_times: Dict[str, object] = {}
         self.pending_orders: list[OrderEvent] = []
 
     def update_market_data(self, event: MarketEvent) -> None:
         self.current_prices[event.symbol] = event.price
+        self.current_times[event.symbol] = event.timestamp
 
     def _fill_price(self, order: OrderEvent, price: float) -> tuple[float, float]:
         sign = 1.0 if order.direction == Direction.BUY else -1.0
@@ -147,29 +150,63 @@ class SimulatedExecutionHandler(ExecutionHandler):
         if price is None or price <= 0:
             return None
 
-        # limit/stop triggering (execution.py:376-460)
+        is_buy = order.direction == Direction.BUY
+
+        def limit_ok():
+            return (is_buy and price <= order.limit_price) or (
+                not is_buy and price >= order.limit_price
+            )
+
+        def stop_hit():
+            return (is_buy and price >= order.stop_price) or (
+                not is_buy and price <= order.stop_price
+            )
+
+        # limit/stop/stop-limit triggering (execution.py:376-460)
+        enforce_limit = False
         if order.order_type == OrderType.LIMIT:
-            marketable = (
-                order.direction == Direction.BUY and price <= order.limit_price
-            ) or (order.direction == Direction.SELL and price >= order.limit_price)
-            if not marketable:
+            enforce_limit = True
+            if not limit_ok():
                 self.pending_orders.append(order)
                 return None
         elif order.order_type == OrderType.STOP:
-            triggered = (
-                order.direction == Direction.BUY and price >= order.stop_price
-            ) or (order.direction == Direction.SELL and price <= order.stop_price)
-            if not triggered:
+            if not stop_hit():
+                self.pending_orders.append(order)
+                return None
+        elif order.order_type == OrderType.STOP_LIMIT:
+            # stop leg arms the order; once armed it becomes a resting
+            # LIMIT (standard semantics) so the limit leg keeps protecting
+            # the fill price on later bars
+            if not stop_hit():
+                self.pending_orders.append(order)
+                return None
+            order = replace(order, order_type=OrderType.LIMIT)
+            enforce_limit = True
+            if not limit_ok():
                 self.pending_orders.append(order)
                 return None
 
         fill_price, slippage = self._fill_price(order, price)
+        if enforce_limit:
+            # a limit order can never fill through its limit: slippage /
+            # impact is capped at the limit price (the maker's protection)
+            capped = (
+                min(fill_price, order.limit_price)
+                if is_buy
+                else max(fill_price, order.limit_price)
+            )
+            if capped != fill_price:
+                fill_price = float(capped)
+                slippage = abs(fill_price - price) * abs(order.quantity)
+        # stamp the fill with the bar that TRIGGERED it, not the submission
+        # time — a resting order can fill months later
+        fill_time = self.current_times.get(order.symbol, order.timestamp)
         commission = self.commission_model.calculate(
-            order.quantity, fill_price, timestamp=order.timestamp
+            order.quantity, fill_price, timestamp=fill_time
         )
         fill = FillEvent(
             event_type=None,
-            timestamp=order.timestamp,
+            timestamp=fill_time,
             symbol=order.symbol,
             direction=order.direction,
             quantity=order.quantity,

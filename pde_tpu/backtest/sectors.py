@@ -214,7 +214,10 @@ class ConfidenceCalculator:
         w = self.vol_lookback
         if len(r) < 3 * w:
             return 0.5
-        vols = np.array([r[i - w : i].std(ddof=1) for i in range(w, len(r))])
+        # range end len(r)+1 so the LAST window includes today's return —
+        # otherwise the "current" vol lags one observation and a spike on
+        # the latest bar is invisible to the percentile
+        vols = np.array([r[i - w : i].std(ddof=1) for i in range(w, len(r) + 1)])
         return float(np.mean(vols <= vols[-1]))
 
 

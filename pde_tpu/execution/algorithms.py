@@ -320,6 +320,10 @@ def simulate_plan(
                 q = abs(qty[k])
                 impact = market_impact_coeff * np.sqrt(q / adv)
                 fp = px * (1.0 + side * (slippage_pct + impact))
+                if types[k] == 1.0:
+                    # limit orders never fill through their limit (same cap
+                    # as the native engine, src/cpp/pde_host.cpp)
+                    fp = min(fp, limits[k]) if side > 0 else max(fp, limits[k])
                 fills[k] = (t, fp, min(max(q * 0.005, 1.0), 0.01 * q * fp),
                             abs(fp - px) * q)
             pending = still

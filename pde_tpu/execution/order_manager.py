@@ -123,8 +123,14 @@ class OrderManager:
         if order.status in (OrderStatus.SUBMITTED, OrderStatus.ACKNOWLEDGED,
                             OrderStatus.PARTIALLY_FILLED):
             order.transition(OrderStatus.CANCELLING)
-            if self.broker is not None:
-                self.broker.cancel_order(order_id)
+            if self.broker is not None and not self.broker.cancel_order(order_id):
+                # broker refused — typically the order already filled there;
+                # marking it CANCELLED anyway would diverge the book from
+                # the broker (position drift FillReconciler would only catch
+                # later).  Leave it CANCELLING for the broker callbacks /
+                # reconciliation to resolve.
+                self._log(order, "cancel_rejected")
+                return order
             order.transition(OrderStatus.CANCELLED)
         else:
             order.transition(OrderStatus.CANCELLED)

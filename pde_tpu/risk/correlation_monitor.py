@@ -98,13 +98,18 @@ class CorrelationMonitor:
 
         current = self._rolling_corr(r1, r2, self.config.short_window)
         historical = self._rolling_corr(r1, r2, self.config.long_window)
-        change = current - historical
+        measurable = bool(np.isfinite(current) and np.isfinite(historical))
+        change = current - historical if measurable else 0.0
 
-        if current < self.config.min_correlation:
+        if not np.isfinite(current):
+            warnings.append(
+                "Correlation unmeasurable: insufficient or degenerate history"
+            )
+        elif current < self.config.min_correlation:
             warnings.append(
                 f"Correlation {current:.2f} below minimum {self.config.min_correlation}"
             )
-        if abs(change) > self.config.correlation_drop_threshold:
+        if measurable and abs(change) > self.config.correlation_drop_threshold:
             warnings.append(
                 f"Correlation changed by {change:+.2f} (from {historical:.2f} to {current:.2f})"
             )
@@ -182,14 +187,17 @@ class CorrelationMonitor:
 
     @staticmethod
     def _rolling_corr(r1: np.ndarray, r2: np.ndarray, window: int) -> float:
+        """NaN (NOT 0.0) when the correlation is unmeasurable — too little
+        history or a degenerate series.  0.0 is a real measurement that
+        reads as a broken pair and escalates to CRITICAL/'close'; absence
+        of evidence must stay distinguishable from evidence of breakdown."""
         n = min(len(r1), len(r2), window)
         if n < 3:
-            return 0.0
+            return float("nan")
         a, b = r1[-n:], r2[-n:]
         if np.std(a) == 0 or np.std(b) == 0:
-            return 0.0
-        c = np.corrcoef(a, b)[0, 1]
-        return float(0.0 if np.isnan(c) else c)
+            return float("nan")
+        return float(np.corrcoef(a, b)[0, 1])
 
     def test_cointegration(self, p1: np.ndarray, p2: np.ndarray) -> CointegrationResult:
         """Engle-Granger two-step: OLS hedge ratio then ADF on residuals
@@ -244,6 +252,10 @@ class CorrelationMonitor:
             return HealthStatus.FAILED
         if coint is not None and not coint.is_cointegrated:
             return HealthStatus.CRITICAL
+        if not np.isfinite(corr):
+            # unmeasurable is a data problem, not a broken pair: hold at
+            # WARNING ('reduce') instead of CRITICAL ('close')
+            return HealthStatus.WARNING
         if corr < self.config.min_correlation:
             return HealthStatus.CRITICAL
         if warnings:

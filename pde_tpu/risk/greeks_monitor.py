@@ -188,13 +188,19 @@ class GreeksRiskMonitor:
                 )
             )
         delta_pct = abs(g.delta_dollars) / portfolio_value if portfolio_value > 0 else 0.0
-        if delta_pct > self.config.hedge_delta_threshold_pct and not actions:
+        if not actions and (
+            delta_pct > self.config.hedge_delta_threshold_pct
+            or abs(g.delta_dollars) > self.config.delta_dollars_threshold
+        ):
             actions.append(
                 HedgeAction(
                     action_type=HedgeActionType.HEDGE_DELTA,
                     quantity=-g.delta,
                     rationale=(
                         f"Dollar delta {g.delta_dollars:,.0f} is {delta_pct:.1%} of portfolio"
+                    ),
+                    urgency=self._urgency(
+                        g.delta_dollars, self.config.delta_dollars_threshold
                     ),
                 )
             )
@@ -211,29 +217,46 @@ class GreeksRiskMonitor:
         return actions
 
     def _check_gamma(self, g: PortfolioGreeks) -> List[HedgeAction]:
-        if abs(g.gamma) <= self.config.gamma_threshold:
+        # unit-gamma OR dollar-gamma (per 1% move) over its threshold
+        if (abs(g.gamma) <= self.config.gamma_threshold
+                and abs(g.gamma_dollars) <= self.config.gamma_dollars_threshold):
             return []
+        over_d = abs(g.gamma_dollars) > self.config.gamma_dollars_threshold
         return [
             HedgeAction(
                 action_type=HedgeActionType.ALERT,
                 rationale=(
-                    f"High gamma exposure: {g.gamma:.2f}, monitor for large underlying moves"
+                    f"High gamma exposure: {g.gamma:.2f} "
+                    f"(${g.gamma_dollars:,.0f}/1%), monitor for large "
+                    "underlying moves"
                 ),
-                urgency=self._urgency(g.gamma, self.config.gamma_threshold),
+                urgency=self._urgency(
+                    g.gamma_dollars if over_d else g.gamma,
+                    self.config.gamma_dollars_threshold if over_d
+                    else self.config.gamma_threshold,
+                ),
             )
         ]
 
     def _check_vega(self, g: PortfolioGreeks) -> List[HedgeAction]:
-        if abs(g.vega) <= self.config.vega_threshold:
+        # unit-vega OR dollar-vega over its cap
+        if (abs(g.vega) <= self.config.vega_threshold
+                and abs(g.vega_dollars) <= self.config.max_vega_dollars):
             return []
+        over_d = abs(g.vega_dollars) > self.config.max_vega_dollars
         return [
             HedgeAction(
                 action_type=HedgeActionType.REDUCE_VEGA,
                 rationale=(
-                    f"Vega exposure {g.vega:.0f} exceeds threshold "
-                    f"{self.config.vega_threshold:.0f}"
+                    f"Vega exposure {g.vega:.0f} (${g.vega_dollars:,.0f}/vol-pt) "
+                    f"exceeds threshold "
+                    f"{self.config.max_vega_dollars if over_d else self.config.vega_threshold:,.0f}"
                 ),
-                urgency=self._urgency(g.vega, self.config.vega_threshold),
+                urgency=self._urgency(
+                    g.vega_dollars if over_d else g.vega,
+                    self.config.max_vega_dollars if over_d
+                    else self.config.vega_threshold,
+                ),
             )
         ]
 

@@ -117,14 +117,30 @@ class VolatilityEstimator:
         raise ValueError(f"method {self.method} needs market implied vols")
 
     def estimate_batch(self, returns: np.ndarray) -> np.ndarray:
-        """Vol for a (n_assets, n_obs) batch in one vmapped call."""
+        """Vol for a (n_assets, n_obs) batch — same estimator per method as
+        :meth:`estimate` (REALIZED/EWMA/HYBRID vectorized in one call;
+        GARCH fits per row, each a scipy optimize over the jitted
+        scan-likelihood)."""
         r = jnp.asarray(returns)
-        if self.method == VolatilityMethod.EWMA:
+
+        def realized():
+            lookback = min(returns.shape[-1], self.lookback_days)
+            daily = jnp.std(r[..., -lookback:], axis=-1, ddof=1)
+            return daily * jnp.sqrt(self.annualization_factor)
+
+        def ewma():
             var = jax.vmap(lambda x: _ewma_variance(x, self.ewma_lambda))(r)
-            return np.asarray(jnp.sqrt(var * self.annualization_factor))
-        lookback = min(returns.shape[-1], self.lookback_days)
-        daily = jnp.std(r[..., -lookback:], axis=-1, ddof=1)
-        return np.asarray(daily * jnp.sqrt(self.annualization_factor))
+            return jnp.sqrt(var * self.annualization_factor)
+
+        if self.method == VolatilityMethod.REALIZED:
+            return np.asarray(realized())
+        if self.method == VolatilityMethod.EWMA:
+            return np.asarray(ewma())
+        if self.method == VolatilityMethod.HYBRID:
+            return np.asarray(0.5 * realized() + 0.5 * ewma())
+        if self.method == VolatilityMethod.GARCH:
+            return np.array([self._garch(np.asarray(row)) for row in returns])
+        raise ValueError(f"method {self.method} needs market implied vols")
 
     def estimate_with_confidence(self, returns) -> Tuple[float, float, float]:
         """Point estimate + chi-squared 95% CI (position_sizer.py:224-261)."""

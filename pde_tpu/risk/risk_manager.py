@@ -317,9 +317,22 @@ class RiskManager:
         self.portfolio_risk = risk
         return risk
 
-    def check_all_limits(self, daily_pnl: float = 0.0) -> RiskCheckResult:
-        """Post-trade portfolio-wide audit (risk_manager.py:628-749)."""
-        risk = self.compute_portfolio_risk()
+    def check_all_limits(
+        self, daily_pnl: float = 0.0, historical_returns=None
+    ) -> RiskCheckResult:
+        """Post-trade portfolio-wide audit (risk_manager.py:628-749).
+
+        Pass ``historical_returns`` to refresh VaR as part of the audit;
+        otherwise the VaR figures of the LAST ``compute_portfolio_risk``
+        call are carried forward (recomputing without return history would
+        silently zero var_95 and make the VAR limit unbreachable).
+        """
+        prev = self.portfolio_risk
+        risk = self.compute_portfolio_risk(historical_returns=historical_returns)
+        if historical_returns is None and prev is not None:
+            risk.var_95, risk.var_99, risk.cvar_95 = (
+                prev.var_95, prev.var_99, prev.cvar_95,
+            )
         breached: List[str] = []
         breached_types: List[RiskLimitType] = []
         warnings: List[str] = []

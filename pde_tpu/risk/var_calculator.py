@@ -124,18 +124,32 @@ class VaRCalculator:
         values = np.array([position_values.get(a, 0.0) for a in asset_ids[:n_assets]])
         portfolio_value = float(np.sum(np.abs(values)))
 
+        # a supplied correlation matrix (e.g. a stressed one) overrides the
+        # historically estimated dependence; marginal vols stay historical.
+        # HISTORICAL VaR is nonparametric over the realized joint paths, so
+        # the override applies to the PARAMETRIC and MONTE_CARLO methods.
+        cov_override = None
+        if correlation_matrix is not None:
+            corr = np.asarray(correlation_matrix, dtype=np.float64)[:n_assets, :n_assets]
+            sd = returns[:, :n_assets].std(axis=0, ddof=1)
+            cov_override = corr * np.outer(sd, sd)
+
         if self.method == VaRMethod.PARAMETRIC:
-            return self._parametric(values, returns[:, :n_assets], asset_ids, portfolio_value)
+            return self._parametric(values, returns[:, :n_assets], asset_ids,
+                                    portfolio_value, cov_override)
         if self.method == VaRMethod.HISTORICAL:
             return self._historical(values, returns[:, :n_assets], asset_ids, portfolio_value)
-        return self._monte_carlo(values, returns[:, :n_assets], asset_ids, portfolio_value)
+        return self._monte_carlo(values, returns[:, :n_assets], asset_ids,
+                                 portfolio_value, cov_override)
 
     # ------------------------------------------------------------ internals
 
-    def _parametric(self, values, returns, asset_ids, portfolio_value) -> VaRResult:
+    def _parametric(self, values, returns, asset_ids, portfolio_value,
+                    cov_override=None) -> VaRResult:
         """Delta-normal VaR (var_calculator.py:241-316)."""
         mean = returns.mean(axis=0)
-        cov = np.atleast_2d(np.cov(returns, rowvar=False))
+        cov = (np.atleast_2d(cov_override) if cov_override is not None
+               else np.atleast_2d(np.cov(returns, rowvar=False)))
         mu_p = float(values @ mean) * self.time_horizon
         std_p = float(np.sqrt(max(0.0, values @ cov @ values))) * np.sqrt(self.time_horizon)
 
@@ -188,12 +202,14 @@ class VaRCalculator:
             component_var=comp,
         )
 
-    def _monte_carlo(self, values, returns, asset_ids, portfolio_value) -> VaRResult:
+    def _monte_carlo(self, values, returns, asset_ids, portfolio_value,
+                     cov_override=None) -> VaRResult:
         """Correlated multivariate-normal simulation with jax.random
         (var_calculator.py:382-469)."""
         n_assets = returns.shape[1]
         mean = returns.mean(axis=0) * self.time_horizon
-        cov = np.atleast_2d(np.cov(returns, rowvar=False)) * self.time_horizon
+        cov = (np.atleast_2d(cov_override) if cov_override is not None
+               else np.atleast_2d(np.cov(returns, rowvar=False))) * self.time_horizon
         cov = cov + np.eye(n_assets) * 1e-8
 
         key = jax.random.PRNGKey(self.seed)

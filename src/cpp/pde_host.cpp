@@ -333,7 +333,13 @@ int64_t simulate_fills(const double* tick_times, const double* tick_prices,
     auto fill_order = [&](int64_t k, double now, double price) {
         const double q = std::fabs(quantities[k]);
         const double impact = impact_coeff * std::sqrt(q / adv);
-        const double fp = price * (1.0 + sides[k] * (slippage_pct + impact));
+        double fp = price * (1.0 + sides[k] * (slippage_pct + impact));
+        if ((int)types[k] == 1) {
+            // a limit order never fills through its limit: slippage/impact
+            // is capped at the limit price (the maker's protection)
+            fp = sides[k] > 0.0 ? std::min(fp, limit_prices[k])
+                                : std::max(fp, limit_prices[k]);
+        }
         const double raw = q * 0.005;
         const double cap = 0.01 * q * fp;
         double* row = out + 4 * k;

@@ -172,6 +172,72 @@ class TestExecution:
         fills = h.process_pending()
         assert len(fills) == 1 and fills[0].fill_price == pytest.approx(94.0)
 
+    def test_limit_fill_never_crosses_limit(self):
+        """Slippage/impact cannot push a marketable limit fill through the
+        limit price (regression: BUY LIMIT 100 at market 99.99 used to fill
+        at ~100.04)."""
+        h = SimulatedExecutionHandler(ZeroCommission(), slippage_pct=0.0005,
+                                      market_impact_coeff=0.1)
+        h.current_prices["X"] = 99.99
+        f = h.execute_order(OrderEvent(event_type=None, timestamp=TS, symbol="X",
+                                       order_type=OrderType.LIMIT,
+                                       direction=Direction.BUY,
+                                       quantity=10_000, limit_price=100.0))
+        assert f is not None and f.fill_price <= 100.0
+        s = h.execute_order(OrderEvent(event_type=None, timestamp=TS, symbol="X",
+                                       order_type=OrderType.LIMIT,
+                                       direction=Direction.SELL,
+                                       quantity=10_000, limit_price=99.98))
+        assert s is not None and s.fill_price >= 99.98
+
+    def test_stop_limit_arms_then_respects_limit(self):
+        """STOP_LIMIT: no fill before the stop triggers; once armed it
+        becomes a resting limit (regression: it used to fall through both
+        branches and fill instantly as a market order)."""
+        from datetime import datetime
+
+        from pde_tpu.backtest.events import MarketEvent
+
+        h = SimulatedExecutionHandler(ZeroCommission(), slippage_pct=0.0,
+                                      market_impact_coeff=0.0)
+        h.update_market_data(MarketEvent(event_type=None, timestamp=TS,
+                                         symbol="X", price=100.0))
+        # protective sell: trigger at 90, limit 89
+        order = OrderEvent(event_type=None, timestamp=TS, symbol="X",
+                           order_type=OrderType.STOP_LIMIT,
+                           direction=Direction.SELL, quantity=10,
+                           stop_price=90.0, limit_price=89.0)
+        assert h.execute_order(order) is None        # market at 100: rests
+        t2 = datetime(2026, 3, 2)
+        h.update_market_data(MarketEvent(event_type=None, timestamp=t2,
+                                         symbol="X", price=89.5))
+        fills = h.process_pending()                   # stop hit, limit ok
+        assert len(fills) == 1
+        assert fills[0].fill_price >= 89.0            # limit leg protects
+        # fill stamped with the TRIGGERING bar, not the submission bar
+        assert fills[0].timestamp == t2
+
+    def test_stop_limit_gap_through_limit_keeps_resting(self):
+        """A gap through BOTH stop and limit arms the order but must not
+        fill beyond the limit — it rests as a limit order."""
+        from pde_tpu.backtest.events import MarketEvent
+
+        h = SimulatedExecutionHandler(ZeroCommission(), slippage_pct=0.0,
+                                      market_impact_coeff=0.0)
+        h.update_market_data(MarketEvent(event_type=None, timestamp=TS,
+                                         symbol="X", price=100.0))
+        order = OrderEvent(event_type=None, timestamp=TS, symbol="X",
+                           order_type=OrderType.STOP_LIMIT,
+                           direction=Direction.SELL, quantity=10,
+                           stop_price=90.0, limit_price=89.0)
+        h.execute_order(order)
+        h.current_prices["X"] = 80.0                  # gap through the limit
+        assert h.process_pending() == []              # armed but not filled
+        assert h.pending_orders[0].order_type == OrderType.LIMIT
+        h.current_prices["X"] = 92.0                  # recovers above limit
+        fills = h.process_pending()
+        assert len(fills) == 1 and fills[0].fill_price >= 89.0
+
     def test_instant_handler_frictionless(self):
         h = InstantExecutionHandler()
         h.current_prices["X"] = 42.0

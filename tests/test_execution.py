@@ -83,6 +83,28 @@ class TestOrderManager:
         assert om.cancel_all() == 3
         assert om.active_orders() == []
 
+    def test_cancel_rejected_by_broker_stays_cancelling(self):
+        """If the broker refuses the cancel (order already filled there),
+        the book must NOT mark it CANCELLED — that diverges from broker
+        state (regression: the boolean result was ignored)."""
+
+        class RefusingBroker:
+            def submit_order(self, order):
+                return order
+
+            def cancel_order(self, order_id):
+                return False
+
+        om = OrderManager(broker=RefusingBroker())
+        o = om.submit_order(mk_order(10), reference_price=100.0)
+        out = om.cancel_order(o.order_id)
+        assert out.status == OrderStatus.CANCELLING
+        events = [e["event"] for e in om.get_events(o.order_id)]
+        assert "cancel_rejected" in events
+        # the fill that explains the refusal can still resolve the order
+        om.process_fill(Fill(o.order_id, "SPY", OrderSide.BUY, 10, 100.0))
+        assert om.get_order(o.order_id).is_filled
+
     def test_price_deviation_check(self):
         om = OrderManager(OrderValidator(max_price_deviation_pct=0.05))
         o = Order(symbol="SPY", side=OrderSide.BUY, quantity=10,

@@ -121,6 +121,18 @@ class TestSectors:
         # all-zero metrics with fitness=0.5 falls back to no-fitness weights
         assert m2.calculate_confidence() == pytest.approx(0.25 * 0.5 + 0.15 * 0.5)
 
+    def test_vol_percentile_sees_latest_bar(self):
+        """A volatility spike ON the latest bar must move the percentile
+        (regression: the last rolling window excluded today's return, so
+        'current vol' lagged one observation)."""
+        rng = np.random.default_rng(2)
+        calm = 100 * np.exp(np.cumsum(rng.normal(0, 0.002, 200)))
+        spiked = calm.copy()
+        spiked[-1] = calm[-2] * 1.30  # 30% single-day move
+        calc = sectors.ConfidenceCalculator(vol_lookback=20)
+        assert calc._vol_percentile(spiked) > calc._vol_percentile(calm)
+        assert calc._vol_percentile(spiked) > 0.95  # spike window is the max
+
     def test_calculator_features(self, prices):
         calc = sectors.ConfidenceCalculator()
         m = calc.calculate("AAPL", prices, signal_strength=0.8, ou_half_life_days=20.0)

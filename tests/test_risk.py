@@ -72,6 +72,19 @@ class TestVolatilityEstimator:
         assert vols.shape == (4,)
         assert np.all(vols > 0)
 
+    def test_batch_matches_scalar_per_method(self, rng):
+        """estimate_batch must use the SAME estimator per method as
+        estimate() (regression: GARCH/HYBRID silently fell back to
+        realized vol in the batch path)."""
+        rets = rng.normal(0, 0.013, (3, 260))
+        for method in (VolatilityMethod.REALIZED, VolatilityMethod.EWMA,
+                       VolatilityMethod.HYBRID, VolatilityMethod.GARCH):
+            est = VolatilityEstimator(method)
+            batch = est.estimate_batch(rets)
+            scalar = np.array([est.estimate(r) for r in rets])
+            np.testing.assert_allclose(batch, scalar, rtol=1e-6,
+                                       err_msg=str(method))
+
     def test_confidence_interval(self, returns_20pct):
         v, lo, hi = VolatilityEstimator().estimate_with_confidence(returns_20pct)
         assert lo < v < hi
@@ -152,6 +165,19 @@ class TestVaR:
         res = VaRCalculator().calculate(pv, rets, ["SPY", "QQQ"])
         assert res.var_95_pct == pytest.approx(res.var_95 / 1_000_000)
 
+    def test_correlation_matrix_override_raises_var(self, market):
+        """A stressed correlation matrix must actually change the VaR
+        (regression: the parameter used to be silently ignored)."""
+        pv, rets = market
+        calc = VaRCalculator(method=VaRMethod.PARAMETRIC)
+        base = calc.calculate(pv, rets, ["SPY", "QQQ"])
+        stressed = calc.calculate(
+            pv, rets, ["SPY", "QQQ"],
+            correlation_matrix=np.array([[1.0, 0.99], [0.99, 1.0]]),
+        )
+        # both long: correlation -> 0.99 strictly increases portfolio vol
+        assert stressed.var_95 > base.var_95 * 1.05
+
     def test_stress_scenarios(self):
         st = StressTester()
         portfolio = {"SPY": 500_000.0, "TLT": 500_000.0}
@@ -216,6 +242,25 @@ class TestRiskManager:
         assert risk.exposure_by_sector == {"tech": 400_000.0, "energy": 200_000.0}
         # Herfindahl: (2/3)^2 + (1/3)^2
         assert risk.concentration_risk == pytest.approx((2 / 3) ** 2 + (1 / 3) ** 2)
+
+    def test_check_all_limits_carries_var_forward(self):
+        """check_all_limits without fresh return history must keep the
+        last computed VaR instead of silently zeroing it (regression: the
+        VAR limit could never breach)."""
+        from pde_tpu.risk.risk_manager import RiskLimit, RiskLimitType
+
+        rng = np.random.default_rng(8)
+        rm = RiskManager(total_capital=1e6)
+        rm.update_position(PositionRisk("A", 10, 500_000.0))
+        rm.update_position(PositionRisk("B", 5, 300_000.0))
+        rets = rng.normal(0, 0.03, (500, 2))  # ~3%/day vol: big VaR
+        risk = rm.compute_portfolio_risk(historical_returns=rets,
+                                         asset_ids=["A", "B"])
+        assert risk.var_95 > 0
+        rm.add_limit(RiskLimit(RiskLimitType.VAR, value=0.01,
+                               action_on_breach="reduce"))
+        res = rm.check_all_limits()
+        assert any("var" in b for b in res.breached_limits), res.breached_limits
 
     def test_check_all_limits_halts_on_drawdown(self):
         rm = RiskManager(total_capital=1e6)
@@ -337,6 +382,31 @@ class TestGreeksMonitor:
         _, actions = mon.check_rehedge_needed(g)
         assert actions[0].urgency == "critical"
 
+    def test_dollar_greek_limits_enforced(self):
+        """The dollar-Greek caps in the config must fire even when the
+        unit Greeks are under their thresholds (regression: the three
+        *_dollars fields were silently unenforced)."""
+        mon = GreeksRiskMonitor()
+        cfg = mon.config
+        # unit vega under 1000 but dollar vega 20x its cap
+        g = PortfolioGreeks(delta=0.0, gamma=0.0, vega=500.0, theta=0.0,
+                            vega_dollars=cfg.max_vega_dollars * 20)
+        needs, actions = mon.check_rehedge_needed(g)
+        assert needs
+        assert any(a.action_type == HedgeActionType.REDUCE_VEGA for a in actions)
+
+        g = PortfolioGreeks(delta=0.0, gamma=1.0, vega=0.0, theta=0.0,
+                            gamma_dollars=cfg.gamma_dollars_threshold * 5)
+        needs, actions = mon.check_rehedge_needed(g)
+        assert any(a.action_type == HedgeActionType.ALERT for a in actions)
+
+        g = PortfolioGreeks(delta=10.0, gamma=0.0, vega=0.0, theta=0.0,
+                            delta_dollars=cfg.delta_dollars_threshold * 2)
+        needs, actions = mon.check_rehedge_needed(
+            g, portfolio_value=1e9  # pct path stays quiet; dollar cap fires
+        )
+        assert any(a.action_type == HedgeActionType.HEDGE_DELTA for a in actions)
+
 
 class TestCorrelationMonitor:
     def test_healthy_cointegrated_pair(self, rng):
@@ -357,6 +427,23 @@ class TestCorrelationMonitor:
         assert health.status in (HealthStatus.CRITICAL, HealthStatus.FAILED)
         recs = mon.get_position_recommendations({"X-Y": health})
         assert recs["X-Y"] in ("close", "close_immediately")
+
+    def test_insufficient_history_is_warning_not_critical(self, rng):
+        """Too-short or degenerate history means the correlation is
+        UNMEASURABLE — the pair must not be escalated to CRITICAL/'close'
+        (regression: _rolling_corr returned 0.0, which read as a broken
+        pair)."""
+        mon = CorrelationMonitor()
+        short = mon.check_pair_health("A-B", np.array([100.0, 101.0, 100.5]),
+                                      np.array([50.0, 50.4, 50.2]))
+        assert short.status == HealthStatus.WARNING
+        recs = mon.get_position_recommendations({"A-B": short})
+        assert recs["A-B"] == "reduce"
+
+        flat = np.full(100, 100.0)
+        other = 100 * np.exp(np.cumsum(rng.normal(0, 0.01, 100)))
+        degen = mon.check_pair_health("F-G", flat, other)
+        assert degen.status != HealthStatus.CRITICAL
 
     def test_hedge_ratio_recovered(self):
         rng = np.random.default_rng(7)  # own seed: immune to suite ordering
