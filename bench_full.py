@@ -458,6 +458,56 @@ def main():
         per = time.perf_counter() - t0
         emit("fill_engine_orders_per_sec", n_orders / per, "orders/s")
 
+    # 9. serving: micro-batching pricing service (pde_tpu/serving.py).
+    # Concurrent clients -> shape-bucketed device batches; measures
+    # end-to-end request latency INCLUDING queueing + dispatch, the number
+    # a production caller actually sees.  The reference has no serving
+    # analog (callers link the OpenMP pricer in-process); baseline is its
+    # measured per-call C++ price path when available.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pde_tpu.serving import BatchPricer, MicroBatchingServer, PricingRequest
+
+    pricer = BatchPricer(buckets=(8, 32, 128, 512, 2048))
+    n_req, n_clients = _n(20_000, 64), _n(32, 4)
+    reqs = [
+        PricingRequest(
+            strike=80.0 + (i % 81) * 0.5,
+            maturity=0.1 + (i % 19) * 0.1,
+            spot=100.0,
+            params=(2.0, 0.04, 0.3, -0.7, 0.04),
+            rate=0.05,
+            dividend=0.02,
+            is_call=bool(i % 2),
+        )
+        for i in range(n_req)
+    ]
+    with MicroBatchingServer(pricer, max_wait_ms=2.0) as srv:
+        srv.pricer.warmup(greeks=False)
+        lat = np.empty(n_req)
+
+        def client(span):
+            lo, hi = span
+            for i in range(lo, hi):
+                t0 = time.perf_counter()
+                srv.price(reqs[i], timeout=120.0)
+                lat[i] = time.perf_counter() - t0
+
+        chunk = n_req // n_clients
+        spans = [(c * chunk, (c + 1) * chunk if c < n_clients - 1 else n_req)
+                 for c in range(n_clients)]
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(n_clients) as pool:
+            list(pool.map(client, spans))
+        wall = time.perf_counter() - t0
+        mean_batch = srv.stats.mean_batch
+    emit("pricing_service_requests_per_sec", n_req / wall, "req/s")
+    emit("pricing_service_p99_latency_ms",
+         float(np.percentile(lat * 1e3, 99)), "ms")
+    print(f"# serving: mean_batch={mean_batch:.1f} "
+          f"p50={np.percentile(lat * 1e3, 50):.2f}ms "
+          f"clients={n_clients}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

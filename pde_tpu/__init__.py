@@ -35,6 +35,7 @@ _OPTIONAL_SUBMODULES = [
     "execution",
     "database",
     "monitoring",
+    "serving",
     "trading_system",
     # NOT cli: `python -m pde_tpu.cli` would find it pre-imported by the
     # package and emit a runpy double-import warning; import it explicitly
