@@ -144,7 +144,6 @@ class TestMicroBatchingServer:
         srv._running = False  # freeze dispatch before it can drain
         srv._thread.join(timeout=5.0)
         srv._thread = None
-        fut_ok = None
         srv._running = True  # allow submit
         fut_ok = srv.submit(_requests(1)[0])
         srv._running = False
