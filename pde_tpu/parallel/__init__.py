@@ -9,3 +9,5 @@ from . import adi_sharded  # noqa: F401
 from .adi_sharded import sharded_bs_solve, sharded_heston_solve  # noqa: F401
 from . import comm_audit  # noqa: F401
 from .comm_audit import collective_counts  # noqa: F401
+from . import mc  # noqa: F401
+from .mc import price_american_lsm_sharded, price_european_mc_sharded  # noqa: F401

@@ -1,0 +1,182 @@
+"""Mesh-sharded Monte Carlo: path axis distributed over devices.
+
+The path axis is the framework's embarrassingly parallel MC dimension —
+except for Longstaff-Schwartz American pricing, whose per-step
+cross-sectional regression couples ALL paths.  This module shards both:
+
+* :func:`price_european_mc_sharded` — each device simulates its own path
+  shard (independently seeded via ``fold_in(key, axis_index)``); the
+  price/stderr moments are ``psum``-reduced.  Pure data parallelism.
+* :func:`price_american_lsm_sharded` — the interesting one: the LSM
+  backward induction runs under ``shard_map`` with the regression's
+  Gram/moment sums ``psum``-reduced per time step
+  (:func:`pde_tpu.solvers.lsm.lsm_backward_induction` with ``axis_name``),
+  so every device fits the GLOBAL continuation regression and applies an
+  identical exercise policy to its local paths.  Communication cost: one
+  fused psum of ~50 scalars per exercise date — the distributed
+  normal-equations pattern, same shape as the sharded calibration step's
+  J^T J reduction (parallel/mesh.py).
+
+The reference has no Monte Carlo pricer at all (SURVEY §2; its only MC is
+the backtest bootstrap) — this is the scale-out story for the MC engine
+added in models/heston_mc.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.heston import HestonParams
+from ..models.heston_mc import simulate_qe, simulate_qe_paths
+from ..solvers.lsm import lsm_backward_induction
+
+__all__ = ["price_european_mc_sharded", "price_american_lsm_sharded"]
+
+
+def _pair_fold(discounted, n_local, antithetic):
+    """Antithetic pairs are laid out [first half | mirrored half] on EACH
+    device — fold locally before the global moment reduction."""
+    if antithetic:
+        h = n_local // 2
+        return 0.5 * (discounted[:h] + discounted[h:])
+    return discounted
+
+
+def _global_mean_stderr(y, axis_name):
+    """Mean and standard error over the global (all-device) sample from
+    local values ``y``: three psum'd scalars (n, sum, sum of squares)."""
+    n = jax.lax.psum(jnp.asarray(y.shape[0], y.dtype), axis_name)
+    s1 = jax.lax.psum(jnp.sum(y), axis_name)
+    s2 = jax.lax.psum(jnp.sum(y * y), axis_name)
+    mean = s1 / n
+    var = (s2 - n * mean * mean) / (n - 1.0)
+    return mean, jnp.sqrt(jnp.maximum(var, 0.0) / n)
+
+
+def price_european_mc_sharded(
+    params: HestonParams,
+    strike,
+    maturity,
+    spot,
+    key,
+    mesh: Mesh,
+    *,
+    axis: str | None = None,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    antithetic: bool = True,
+):
+    """European vanilla via QE MC with ``n_paths`` split over ``axis``.
+
+    ``n_paths`` is the GLOBAL path count; it must divide by the axis size
+    (and by 2 per device when antithetic).  Returns ``(price, stderr)``
+    scalars.  Each device draws from ``fold_in(key, axis_index)`` — the
+    estimate differs from the single-device pricer's only statistically,
+    not systematically (cross-validated in tests).
+    """
+    axis = axis or mesh.axis_names[0]
+    ndev = mesh.shape[axis]
+    if n_paths % ndev:
+        raise ValueError(f"n_paths {n_paths} not divisible by axis size {ndev}")
+    n_local = n_paths // ndev
+    if antithetic and n_local % 2:
+        raise ValueError("antithetic sharded MC needs an even per-device count")
+
+    def local(key_global):
+        idx = jax.lax.axis_index(axis)
+        k = jax.random.fold_in(key_global, idx)
+        paths = simulate_qe(
+            params, spot, maturity, k,
+            n_steps=n_steps, n_paths=n_local,
+            rate=rate, dividend=dividend, antithetic=antithetic,
+        )
+        dtype = paths.spot.dtype
+        sign = jnp.where(jnp.asarray(is_call), 1.0, -1.0).astype(dtype)
+        disc = jnp.exp(-jnp.asarray(rate, dtype) * jnp.asarray(maturity, dtype))
+        payoff = jnp.maximum(sign * (paths.spot - jnp.asarray(strike, dtype)), 0.0)
+        y = _pair_fold(disc * payoff, n_local, antithetic)
+        return _global_mean_stderr(y, axis)
+
+    # check_vma=False: the QE scan's initial carry is built from replicated
+    # scalars while the per-device key makes the outputs device-varying —
+    # sound here (every reduction is an explicit psum), but the static
+    # varying-axes checker cannot see that through the jitted simulator.
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(), out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    price, stderr = fn(key)
+    return price, stderr
+
+
+def price_american_lsm_sharded(
+    params: HestonParams,
+    strike,
+    maturity,
+    spot,
+    key,
+    mesh: Mesh,
+    *,
+    axis: str | None = None,
+    rate=0.0,
+    dividend=0.0,
+    is_call=False,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    antithetic: bool = True,
+):
+    """American vanilla via Longstaff-Schwartz with the path axis sharded.
+
+    Semantics match :func:`pde_tpu.solvers.lsm.price_american_lsm` run on
+    the same global cross-section: the continuation regression at each
+    exercise date is fitted over ALL paths (psum-reduced normal equations),
+    so the policy quality does not degrade as devices are added — unlike
+    the naive "average P independent LSM prices" estimator, whose
+    policy-suboptimality bias grows as per-device samples shrink.
+    """
+    axis = axis or mesh.axis_names[0]
+    ndev = mesh.shape[axis]
+    if n_paths % ndev:
+        raise ValueError(f"n_paths {n_paths} not divisible by axis size {ndev}")
+    n_local = n_paths // ndev
+    if antithetic and n_local % 2:
+        raise ValueError("antithetic sharded LSM needs an even per-device count")
+
+    def local(key_global):
+        idx = jax.lax.axis_index(axis)
+        k = jax.random.fold_in(key_global, idx)
+        s_path, v_path = simulate_qe_paths(
+            params, spot, maturity, k,
+            n_steps=n_steps, n_paths=n_local,
+            rate=rate, dividend=dividend, antithetic=antithetic,
+        )
+        dtype = s_path.dtype
+        sign = jnp.where(jnp.asarray(is_call), 1.0, -1.0).astype(dtype)
+        dt = jnp.asarray(maturity, dtype) / n_steps
+        disc = jnp.exp(-jnp.asarray(rate, dtype) * dt)
+        cashflow = lsm_backward_induction(
+            s_path, v_path, strike, sign, disc, axis_name=axis
+        )
+        y = _pair_fold(cashflow * disc, n_local, antithetic)
+        return _global_mean_stderr(y, axis)
+
+    # check_vma=False: the QE scan's initial carry is built from replicated
+    # scalars while the per-device key makes the outputs device-varying —
+    # sound here (every reduction is an explicit psum), but the static
+    # varying-axes checker cannot see that through the jitted simulator.
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(), out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    price, stderr = fn(key)
+    dtype = price.dtype
+    sign = jnp.where(jnp.asarray(is_call), 1.0, -1.0).astype(dtype)
+    intrinsic = jnp.maximum(
+        sign * (jnp.asarray(spot, dtype) - jnp.asarray(strike, dtype)), 0.0
+    )
+    return jnp.maximum(price, intrinsic), stderr

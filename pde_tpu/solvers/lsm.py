@@ -42,7 +42,7 @@ from ..core.precision import result_dtype
 from ..models.heston import HestonParams
 from ..models.heston_mc import _mc_estimate, simulate_qe_paths
 
-__all__ = ["price_american_lsm"]
+__all__ = ["price_american_lsm", "lsm_backward_induction"]
 
 _RIDGE = 1e-7
 
@@ -55,6 +55,78 @@ def _basis(s_norm, v):
     return jnp.stack(
         [one, s_norm, s_norm * s_norm, s_norm**3, v, s_norm * v], axis=-1
     )
+
+
+def _reduce_sum(x, axis_name):
+    """Sum over local paths, then over the mesh axis when one is named.
+
+    Every regression moment in the backward induction is a plain sum over
+    the path cross-section, so sharding the path axis over devices costs
+    exactly one fused ``psum`` of ~50 scalars per time step — the
+    cross-sectional regression becomes a distributed normal-equations solve
+    with bit-identical policy on every shard (up to reduction order)."""
+    s = jnp.sum(x, axis=0)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+    return s
+
+
+def lsm_backward_induction(
+    s_path, v_path, strike, sign, disc, *, axis_name=None
+):
+    """Longstaff-Schwartz backward induction over stored paths.
+
+    ``s_path``/``v_path`` are ``(n_steps, n_local_paths)`` — the LOCAL shard
+    when called inside ``shard_map`` with ``axis_name`` set, in which case
+    the regression is computed over the GLOBAL cross-section via ``psum``
+    of the Gram/moment sums.  Returns the per-path cashflow at t_1
+    (discounted to t_1; callers discount the final step to t_0).
+    """
+    dtype = s_path.dtype
+    k_arr = jnp.asarray(strike, dtype)
+    sign = jnp.asarray(sign, dtype)
+
+    def payoff(s):
+        return jnp.maximum(sign * (s - k_arr), 0.0)
+
+    v_terminal = payoff(s_path[-1])
+    xs = (s_path[:-1][::-1], v_path[:-1][::-1])
+
+    def backward(cashflow, x):
+        s_t, v_t = x
+        cont = cashflow * disc  # continuation value discounted to t
+        intrinsic = payoff(s_t)
+        w = (intrinsic > 0).astype(dtype)  # regress over ITM paths only
+        phi = _basis(s_t / k_arr, v_t)
+        n_itm = jnp.maximum(_reduce_sum(w, axis_name), 1.0)
+        # standardize the non-constant features over the ITM cross-section:
+        # raw polynomial features span ~1..700, and in float32 the resulting
+        # Gram matrix is ill-conditioned enough that jnp.linalg.solve
+        # produces a garbage policy for unlucky draws (observed: an 11%
+        # price error at 2^14 paths).  On the standardized scale a
+        # scale-relative ridge is safe.
+        mu = _reduce_sum(phi * w[:, None], axis_name) / n_itm
+        var = _reduce_sum((phi - mu) ** 2 * w[:, None], axis_name) / n_itm
+        sd = jnp.sqrt(jnp.maximum(var, _RIDGE))
+        is_const = jnp.arange(phi.shape[-1]) == 0
+        mu = jnp.where(is_const, 0.0, mu)
+        sd = jnp.where(is_const, 1.0, sd)
+        phi = (phi - mu) / sd
+        wphi = phi * w[:, None]
+        gram = wphi.T @ phi  # local (k x k) Gram on the MXU ...
+        if axis_name is not None:
+            gram = jax.lax.psum(gram, axis_name)  # ... then one tiny psum
+        gram = gram / n_itm
+        ridge = 1e-4 * jnp.trace(gram) / phi.shape[-1]
+        gram = gram + ridge * jnp.eye(phi.shape[-1], dtype=dtype)
+        rhs = _reduce_sum(wphi * cont[:, None], axis_name) / n_itm
+        beta = jnp.linalg.solve(gram, rhs)
+        cont_hat = phi @ beta
+        exercise = (intrinsic > cont_hat) & (w > 0)
+        return jnp.where(exercise, intrinsic, cont), None
+
+    cashflow, _ = jax.lax.scan(backward, v_terminal, xs)
+    return cashflow
 
 
 @functools.partial(
@@ -87,51 +159,15 @@ def price_american_lsm(
         n_steps=n_steps, n_paths=n_paths,
         rate=rate, dividend=dividend, antithetic=antithetic,
     )
-    k_arr = jnp.asarray(strike, dtype)
     sign = jnp.where(jnp.asarray(is_call), 1.0, -1.0).astype(dtype)
     dt = jnp.asarray(maturity, dtype) / n_steps
     disc = jnp.exp(-jnp.asarray(rate, dtype) * dt)
 
-    def payoff(s):
-        return jnp.maximum(sign * (s - k_arr), 0.0)
-
-    v_terminal = payoff(s_path[-1])
-
-    # backward over t_{N-1} .. t_1 (time-reversed stored paths)
-    xs = (s_path[:-1][::-1], v_path[:-1][::-1])
-
-    def backward(cashflow, x):
-        s_t, v_t = x
-        cont = cashflow * disc  # continuation value discounted to t
-        intrinsic = payoff(s_t)
-        w = (intrinsic > 0).astype(dtype)  # regress over ITM paths only
-        phi = _basis(s_t / k_arr, v_t)
-        n_itm = jnp.maximum(jnp.sum(w), 1.0)
-        # standardize the non-constant features over the ITM cross-section:
-        # raw polynomial features span ~1..700, and in float32 the resulting
-        # Gram matrix is ill-conditioned enough that jnp.linalg.solve
-        # produces a garbage policy for unlucky draws (observed: an 11%
-        # price error at 2^14 paths).  On the standardized scale a
-        # scale-relative ridge is safe.
-        mu = jnp.sum(phi * w[:, None], axis=0) / n_itm
-        var = jnp.sum((phi - mu) ** 2 * w[:, None], axis=0) / n_itm
-        sd = jnp.sqrt(jnp.maximum(var, _RIDGE))
-        is_const = jnp.arange(phi.shape[-1]) == 0
-        mu = jnp.where(is_const, 0.0, mu)
-        sd = jnp.where(is_const, 1.0, sd)
-        phi = (phi - mu) / sd
-        wphi = phi * w[:, None]
-        gram = wphi.T @ phi / n_itm
-        ridge = 1e-4 * jnp.trace(gram) / phi.shape[-1]
-        gram = gram + ridge * jnp.eye(phi.shape[-1], dtype=dtype)
-        rhs = wphi.T @ cont / n_itm
-        beta = jnp.linalg.solve(gram, rhs)
-        cont_hat = phi @ beta
-        exercise = (intrinsic > cont_hat) & (w > 0)
-        return jnp.where(exercise, intrinsic, cont), None
-
-    cashflow, _ = jax.lax.scan(backward, v_terminal, xs)
+    cashflow = lsm_backward_induction(s_path, v_path, strike, sign, disc)
     discounted = cashflow * disc  # discount t_1 -> t_0
+
+    def payoff(s):
+        return jnp.maximum(sign * (s - jnp.asarray(strike, dtype)), 0.0)
     # antithetic pairs are correlated — fold before the stderr (heston_mc)
     price, stderr = _mc_estimate(discounted, n_paths, antithetic)
     # exercise at t_0 itself: deep ITM, the continuation estimate can sit

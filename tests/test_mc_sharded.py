@@ -1,0 +1,129 @@
+"""Mesh-sharded Monte Carlo (pde_tpu/parallel/mc.py) on the 8-device
+virtual CPU mesh.
+
+The load-bearing test is the exact one: the LSM backward induction run with
+the path axis sharded must reproduce the single-device induction on the
+SAME paths to float64 round-off — that proves the psum-reduced regression
+is the global regression, not eight local ones averaged.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from pde_tpu.models.heston import HestonParams
+from pde_tpu.models.heston_mc import price_european_mc, simulate_qe_paths
+from pde_tpu.parallel.mc import (
+    price_american_lsm_sharded,
+    price_european_mc_sharded,
+)
+from pde_tpu.parallel.mesh import make_mesh
+from pde_tpu.solvers.lsm import lsm_backward_induction, price_american_lsm
+
+PARAMS = HestonParams(kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7, v0=0.04)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8, axis_names=("dp",), shape=(8,))
+
+
+class TestDistributedRegressionExact:
+    def test_sharded_backward_induction_matches_unsharded_on_same_paths(self, mesh):
+        """Same stored paths, path axis sharded 8 ways: the psum-reduced
+        normal equations must give the identical exercise policy, so the
+        per-path cashflows agree to reduction-order round-off."""
+        key = jax.random.PRNGKey(7)
+        s_path, v_path = simulate_qe_paths(
+            PARAMS, 100.0, 1.0, key, n_steps=16, n_paths=4096,
+            rate=0.05, antithetic=False,
+        )
+        disc = jnp.exp(jnp.asarray(-0.05 * 1.0 / 16, s_path.dtype))
+
+        ref = lsm_backward_induction(s_path, v_path, 100.0, -1.0, disc)
+
+        spec = P(None, "dp")
+        sharded = jax.jit(jax.shard_map(
+            lambda s, v: lsm_backward_induction(
+                s, v, 100.0, -1.0, disc, axis_name="dp"
+            ),
+            mesh=mesh, in_specs=(spec, spec), out_specs=P("dp"),
+        ))(s_path, v_path)
+
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(ref), rtol=0, atol=1e-9
+        )
+
+    def test_global_regression_beats_local_averaging(self, mesh):
+        """Sanity on WHY the psum matters: 8 independent 512-path local
+        regressions disagree with the global 4096-path one (different
+        policy on at least some paths)."""
+        key = jax.random.PRNGKey(7)
+        s_path, v_path = simulate_qe_paths(
+            PARAMS, 100.0, 1.0, key, n_steps=16, n_paths=4096,
+            rate=0.05, antithetic=False,
+        )
+        disc = jnp.exp(jnp.asarray(-0.05 * 1.0 / 16, s_path.dtype))
+        spec = P(None, "dp")
+        local_only = jax.jit(jax.shard_map(
+            lambda s, v: lsm_backward_induction(s, v, 100.0, -1.0, disc),
+            mesh=mesh, in_specs=(spec, spec), out_specs=P("dp"),
+        ))(s_path, v_path)
+        global_reg = jax.jit(jax.shard_map(
+            lambda s, v: lsm_backward_induction(
+                s, v, 100.0, -1.0, disc, axis_name="dp"
+            ),
+            mesh=mesh, in_specs=(spec, spec), out_specs=P("dp"),
+        ))(s_path, v_path)
+        assert float(jnp.max(jnp.abs(local_only - global_reg))) > 1e-6
+
+
+class TestShardedEuropean:
+    def test_statistically_consistent_with_single_device(self, mesh):
+        price_1, stderr_1 = price_european_mc(
+            PARAMS, 100.0, 1.0, 100.0, jax.random.PRNGKey(3),
+            rate=0.05, n_steps=32, n_paths=16384,
+        )
+        price_8, stderr_8 = price_european_mc_sharded(
+            PARAMS, 100.0, 1.0, 100.0, jax.random.PRNGKey(3), mesh,
+            rate=0.05, n_steps=32, n_paths=16384,
+        )
+        # independent draws of the same estimand
+        tol = 4.0 * float(jnp.hypot(stderr_1, stderr_8)) + 1e-6
+        assert abs(float(price_8) - float(price_1)) < tol
+        assert 0.0 < float(stderr_8) < 1.0
+
+    def test_divisibility_validation(self, mesh):
+        with pytest.raises(ValueError, match="divisible"):
+            price_european_mc_sharded(
+                PARAMS, 100.0, 1.0, 100.0, jax.random.PRNGKey(0), mesh,
+                n_paths=1001,
+            )
+
+
+class TestShardedLSM:
+    def test_price_matches_unsharded_lsm_statistically(self, mesh):
+        price_1, stderr_1 = price_american_lsm(
+            PARAMS, 100.0, 1.0, 100.0, jax.random.PRNGKey(11),
+            rate=0.05, is_call=False, n_steps=16, n_paths=16384,
+        )
+        price_8, stderr_8 = price_american_lsm_sharded(
+            PARAMS, 100.0, 1.0, 100.0, jax.random.PRNGKey(11), mesh,
+            rate=0.05, is_call=False, n_steps=16, n_paths=16384,
+        )
+        tol = 4.0 * float(jnp.hypot(stderr_1, stderr_8)) + 1e-6
+        assert abs(float(price_8) - float(price_1)) < tol
+
+    def test_american_premium_positive(self, mesh):
+        """The sharded American put must sit above the European put."""
+        eur, _ = price_european_mc_sharded(
+            PARAMS, 100.0, 1.0, 100.0, jax.random.PRNGKey(5), mesh,
+            rate=0.05, is_call=False, n_steps=16, n_paths=16384,
+        )
+        amer, stderr = price_american_lsm_sharded(
+            PARAMS, 100.0, 1.0, 100.0, jax.random.PRNGKey(5), mesh,
+            rate=0.05, is_call=False, n_steps=16, n_paths=16384,
+        )
+        assert float(amer) > float(eur) - 4.0 * float(stderr)
