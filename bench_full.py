@@ -266,6 +266,24 @@ def main():
     per = timeit(lsm_fn, n=10)
     emit("heston_american_lsm_solve_s", per, "solve_s")
 
+    # 3d. a whole American book off ONE path set: per-strike regressions
+    # vmapped over a shared simulation (the reference would loop its PDE
+    # solver once per contract)
+    from pde_tpu.solvers.lsm import price_american_lsm_batch
+
+    B_lsm = _n(128, 4)
+    strikes_lsm = jnp.linspace(70.0, 130.0, B_lsm)
+    sides_lsm = jnp.arange(B_lsm) % 2 == 0
+    lsm_book_fn = jax.jit(
+        lambda: price_american_lsm_batch(
+            params, strikes_lsm, sides_lsm, 1.0, 100.0, mc_key, rate=0.05,
+            n_steps=mc_steps, n_paths=_n(1 << 16, 64),
+        )[0]
+    )
+    per = timeit(lsm_book_fn, n=5)
+    emit("heston_american_lsm_batch128_options_per_sec", B_lsm / per,
+         "options/s")
+
     # 4. Heston ADI ----------------------------------------------------------
     from pde_tpu.solvers import heston_adi
 

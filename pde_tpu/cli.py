@@ -280,6 +280,15 @@ def cmd_optimize_sectors(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run the micro-batching pricing service (pde_tpu/serving.py) —
+    the container entrypoint, reachable from the command line too."""
+    from .serving import run_server
+
+    run_server(host=args.host, port=args.port, max_wait_ms=args.max_wait_ms)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="pde-tpu",
                                      description="TPU-native quantitative trading framework")
@@ -363,6 +372,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--symbols", nargs="+", default=["AAPL", "MSFT", "JPM", "XOM"])
     p.add_argument("--cache", default=None)
     p.set_defaults(func=cmd_optimize_sectors)
+
+    p = sub.add_parser("serve", help="run the micro-batching pricing service")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8081)
+    p.add_argument("--max-wait-ms", type=float, default=2.0, dest="max_wait_ms")
+    p.set_defaults(func=cmd_serve, config=None)
 
     return parser
 

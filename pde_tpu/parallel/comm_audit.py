@@ -24,6 +24,11 @@ Measured shape of each program (asserted in tests/test_comm_audit.py):
 * ``sharded_calibration_step`` — ``all-reduce``s of the J^T J / J^T r /
   cost contractions over the quotes axis (5x5 + 5 + scalars per surface,
   mesh-size-independent payload).
+* ``price_american_lsm_sharded`` — 4 ``all-reduce`` instructions total:
+  XLA fuses the backward step's ~6 logical psums (ITM count, feature
+  means/variances, Gram, rhs) into a couple of all-reduces inside the scan
+  body, plus one for the final price/stderr moments — ~50 scalars per
+  exercise date regardless of path count or mesh size.
 
 All counts are static instruction counts in the compiled program — a
 ``lax.scan`` emits its body ONCE inside a while loop, so a count of 2
@@ -110,6 +115,18 @@ def audit_table(mesh_sizes=(2, 4, 8)) -> dict[str, dict[int, dict[str, int]]]:
         rhs = jnp.arange(n, dtype=jnp.float32)
         out.setdefault("dist_tridiagonal_solve", {})[k] = collective_counts(
             lambda: dist_tridiagonal_solve(lower, diag, upper, rhs, gm)
+        )
+
+        from ..models.heston import HestonParams
+        from .mc import price_american_lsm_sharded
+
+        dm = make_mesh(k, axis_names=("dp",), shape=(k,))
+        out.setdefault("price_american_lsm_sharded", {})[k] = collective_counts(
+            lambda: price_american_lsm_sharded(
+                HestonParams(2.0, 0.04, 0.3, -0.7, 0.04), 100.0, 0.5, 100.0,
+                jax.random.PRNGKey(0), dm,
+                rate=0.05, n_steps=4, n_paths=128 * k,
+            )[0]
         )
 
         if k >= 2:

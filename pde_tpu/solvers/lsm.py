@@ -42,7 +42,11 @@ from ..core.precision import result_dtype
 from ..models.heston import HestonParams
 from ..models.heston_mc import _mc_estimate, simulate_qe_paths
 
-__all__ = ["price_american_lsm", "lsm_backward_induction"]
+__all__ = [
+    "price_american_lsm",
+    "price_american_lsm_batch",
+    "lsm_backward_induction",
+]
 
 _RIDGE = 1e-7
 
@@ -174,3 +178,57 @@ def price_american_lsm(
     # below intrinsic — the American holder would exercise immediately
     price = jnp.maximum(price, payoff(jnp.asarray(spot, dtype)))
     return price, stderr
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_steps", "n_paths", "antithetic")
+)
+def price_american_lsm_batch(
+    params: HestonParams,
+    strikes,
+    is_call,
+    maturity,
+    spot,
+    key,
+    *,
+    rate=0.0,
+    dividend=0.0,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    antithetic: bool = True,
+):
+    """A whole American book off ONE path set: per-strike LSM regressions
+    vmapped over a shared QE simulation.
+
+    The expensive part of LSM is the simulation; the per-strike backward
+    induction is a handful of (n_paths x 6) contractions.  Sharing paths
+    across the book prices B strikes for ~the cost of one plus B cheap
+    regression sweeps — the MC analog of the lane-batched fused ADI march
+    (each contract still gets its OWN exercise-policy regression; only the
+    underlying paths are common, which correlates the estimates across
+    strikes but biases none of them).  ``strikes`` and ``is_call`` broadcast
+    to the book shape.  Returns ``(prices, stderrs)`` with that shape.
+    """
+    strikes = jnp.atleast_1d(jnp.asarray(strikes))
+    sign = jnp.where(jnp.asarray(is_call), 1.0, -1.0)
+    strikes, sign = jnp.broadcast_arrays(strikes, sign)
+    dtype = result_dtype(spot, maturity, strikes, params.kappa)
+
+    s_path, v_path = simulate_qe_paths(
+        params, spot, maturity, key,
+        n_steps=n_steps, n_paths=n_paths,
+        rate=rate, dividend=dividend, antithetic=antithetic,
+    )
+    dt = jnp.asarray(maturity, dtype) / n_steps
+    disc = jnp.exp(-jnp.asarray(rate, dtype) * dt)
+
+    def one(k, sg):
+        cashflow = lsm_backward_induction(s_path, v_path, k, sg, disc)
+        price, stderr = _mc_estimate(cashflow * disc, n_paths, antithetic)
+        intrinsic = jnp.maximum(sg * (jnp.asarray(spot, dtype) - k), 0.0)
+        return jnp.maximum(price, intrinsic), stderr
+
+    prices, stderrs = jax.vmap(one)(
+        strikes.astype(dtype).ravel(), sign.astype(dtype).ravel()
+    )
+    return prices.reshape(strikes.shape), stderrs.reshape(strikes.shape)

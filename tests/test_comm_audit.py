@@ -72,6 +72,7 @@ class TestMeshSizeInvariance:
         assert set(table) == {
             "sharded_bs_solve", "sharded_heston_solve",
             "dist_tridiagonal_solve", "sharded_calibration_step",
+            "price_american_lsm_sharded",
         }
         for prog, by_k in table.items():
             counts = list(by_k.values())
@@ -79,3 +80,27 @@ class TestMeshSizeInvariance:
             total = sum(counts[0].values())
             # a handful of collectives per program, not O(devices)
             assert 1 <= total <= 8, (prog, counts[0])
+
+    def test_lsm_moment_reductions_fuse(self):
+        """The LSM backward step issues 6+ logical psums (ITM count, means,
+        variances, Gram, rhs, plus the final moment reduction) — XLA must
+        fuse them into a handful of all-reduce instructions, and the count
+        must not scale with the mesh."""
+        from pde_tpu.models.heston import HestonParams
+        from pde_tpu.parallel.mc import price_american_lsm_sharded
+        from pde_tpu.parallel.mesh import make_mesh
+
+        def counts(k):
+            dm = make_mesh(k, axis_names=("dp",), shape=(k,))
+            return collective_counts(
+                lambda: price_american_lsm_sharded(
+                    HestonParams(2.0, 0.04, 0.3, -0.7, 0.04),
+                    100.0, 0.5, 100.0, jax.random.PRNGKey(0), dm,
+                    rate=0.05, n_steps=4, n_paths=128 * k,
+                )[0]
+            )
+
+        c2, c8 = counts(2), counts(8)
+        assert c2 == c8
+        assert c2["collective-permute"] == 0
+        assert 1 <= c2["all-reduce"] <= 8, c2

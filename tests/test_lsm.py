@@ -13,7 +13,7 @@ import pytest
 from pde_tpu.models import heston
 from pde_tpu.models.heston import HestonParams
 from pde_tpu.solvers import heston_adi
-from pde_tpu.solvers.lsm import price_american_lsm
+from pde_tpu.solvers.lsm import price_american_lsm, price_american_lsm_batch
 
 PARAMS = HestonParams(2.0, 0.04, 0.3, -0.7, 0.04)
 S0, R, T = 100.0, 0.05, 1.0
@@ -102,3 +102,36 @@ class TestAmericanLSM:
         np.testing.assert_allclose(
             np.maximum(np.asarray(s_path).max(axis=0), S0),
             np.asarray(terminal.s_max), rtol=1e-12)
+
+
+class TestLSMBatch:
+    def test_batch_matches_single_exactly(self):
+        """Same key => same paths => the vmapped per-strike regression must
+        reproduce the single-contract pricer bit-for-bit per strike."""
+        strikes = jnp.array([90.0, 100.0, 110.0])
+        prices_b, se_b = price_american_lsm_batch(
+            PARAMS, strikes, False, T, S0, KEY, rate=R,
+            n_steps=16, n_paths=1 << 12,
+        )
+        for i, k in enumerate([90.0, 100.0, 110.0]):
+            p1, se1 = price_american_lsm(
+                PARAMS, k, T, S0, KEY, rate=R, n_steps=16, n_paths=1 << 12,
+            )
+            np.testing.assert_allclose(float(prices_b[i]), float(p1),
+                                       rtol=1e-12)
+            np.testing.assert_allclose(float(se_b[i]), float(se1), rtol=1e-12)
+
+    def test_mixed_calls_and_puts_monotone(self):
+        """One book, mixed sides: put prices increase in strike, call prices
+        decrease (shared paths cannot break per-contract monotonicity)."""
+        strikes = jnp.array([85.0, 95.0, 105.0, 115.0])
+        puts, _ = price_american_lsm_batch(
+            PARAMS, strikes, False, T, S0, KEY, rate=R,
+            n_steps=16, n_paths=1 << 13,
+        )
+        calls, _ = price_american_lsm_batch(
+            PARAMS, strikes, True, T, S0, KEY, rate=R,
+            n_steps=16, n_paths=1 << 13,
+        )
+        assert bool(jnp.all(jnp.diff(puts) > 0))
+        assert bool(jnp.all(jnp.diff(calls) < 0))

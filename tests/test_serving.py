@@ -157,6 +157,18 @@ class TestMicroBatchingServer:
             srv.submit(_requests(1)[0])
 
 
+class TestCLIWiring:
+    def test_serve_subcommand_registered(self):
+        from pde_tpu.cli import build_parser, cmd_serve
+
+        args = build_parser().parse_args(
+            ["serve", "--port", "9000", "--max-wait-ms", "5"]
+        )
+        assert args.func is cmd_serve
+        assert args.port == 9000
+        assert args.max_wait_ms == 5.0
+
+
 class TestPricingAPI:
     def test_http_roundtrip(self):
         pytest.importorskip("aiohttp")
