@@ -197,22 +197,36 @@ def price_american_lsm_batch(
     n_paths: int = 65536,
     antithetic: bool = True,
 ):
-    """A whole American book off ONE path set: per-strike LSM regressions
-    vmapped over a shared QE simulation.
+    """A whole American book off ONE path set, with the book axis on the MXU.
 
-    The expensive part of LSM is the simulation; the per-strike backward
-    induction is a handful of (n_paths x 6) contractions.  Sharing paths
-    across the book prices B strikes for ~the cost of one plus B cheap
-    regression sweeps — the MC analog of the lane-batched fused ADI march
-    (each contract still gets its OWN exercise-policy regression; only the
-    underlying paths are common, which correlates the estimates across
-    strikes but biases none of them).  ``strikes`` and ``is_call`` broadcast
-    to the book shape.  Returns ``(prices, stderrs)`` with that shape.
+    The naive batching (vmap the single-contract induction over strikes)
+    materializes a weighted ``(n_paths, 6)`` feature copy PER STRIKE every
+    step — measured only ~3.7x faster than looping singles at B=128.  This
+    implementation instead keeps one strike-independent feature matrix
+    ``phi (n_paths, 6)`` per step (the regression prediction is invariant
+    to scaling the spot feature, and standardization absorbs the per-strike
+    S/K normalization exactly), and computes EVERY contract's regression
+    moments as three matmuls with the book axis as the MXU M dimension:
+
+        Sraw = w^T  @ (phi ⊗ phi)   (B, 6, 6)  all Gram matrices at once
+        m1   = w^T  @ phi           (B, 6)     all ITM feature means
+        Sc   = (w·cont)^T @ phi     (B, 6)     all regression targets
+
+    followed by the closed-form standardization algebra, one batched 6x6
+    solve, and one ``phi @ gamma^T`` matmul broadcasting every fitted
+    continuation back over all paths.  Each contract still gets its OWN
+    exercise-policy regression over its OWN ITM set; only the underlying
+    paths are shared (which correlates estimates across strikes but biases
+    none of them).  ``strikes``/``is_call`` broadcast to the book shape;
+    returns ``(prices, stderrs)`` with that shape.
     """
     strikes = jnp.atleast_1d(jnp.asarray(strikes))
-    sign = jnp.where(jnp.asarray(is_call), 1.0, -1.0)
-    strikes, sign = jnp.broadcast_arrays(strikes, sign)
+    sign_in = jnp.where(jnp.asarray(is_call), 1.0, -1.0)
+    strikes_b, sign_b = jnp.broadcast_arrays(strikes, sign_in)
+    book_shape = strikes_b.shape
     dtype = result_dtype(spot, maturity, strikes, params.kappa)
+    k_vec = strikes_b.astype(dtype).ravel()          # (B,)
+    sg_vec = sign_b.astype(dtype).ravel()            # (B,)
 
     s_path, v_path = simulate_qe_paths(
         params, spot, maturity, key,
@@ -221,14 +235,62 @@ def price_american_lsm_batch(
     )
     dt = jnp.asarray(maturity, dtype) / n_steps
     disc = jnp.exp(-jnp.asarray(rate, dtype) * dt)
+    s0 = jnp.asarray(spot, dtype)
+    F = 6
 
-    def one(k, sg):
-        cashflow = lsm_backward_induction(s_path, v_path, k, sg, disc)
-        price, stderr = _mc_estimate(cashflow * disc, n_paths, antithetic)
-        intrinsic = jnp.maximum(sg * (jnp.asarray(spot, dtype) - k), 0.0)
-        return jnp.maximum(price, intrinsic), stderr
+    def payoff(s):  # (P,) -> (P, B)
+        return jnp.maximum(sg_vec[None, :] * (s[:, None] - k_vec[None, :]), 0.0)
 
-    prices, stderrs = jax.vmap(one)(
-        strikes.astype(dtype).ravel(), sign.astype(dtype).ravel()
-    )
-    return prices.reshape(strikes.shape), stderrs.reshape(strikes.shape)
+    v_terminal = payoff(s_path[-1])
+    xs = (s_path[:-1][::-1], v_path[:-1][::-1])
+
+    def backward(cashflow, x):  # cashflow (P, B)
+        s_t, v_t = x
+        cont = cashflow * disc
+        intrinsic = payoff(s_t)                      # (P, B)
+        w = (intrinsic > 0).astype(dtype)            # (P, B)
+        phi = _basis(s_t / s0, v_t)                  # (P, F) — shared
+        n_itm = jnp.maximum(jnp.sum(w, axis=0), 1.0)  # (B,)
+
+        outer = (phi[:, :, None] * phi[:, None, :]).reshape(-1, F * F)
+        sraw = (w.T @ outer).reshape(-1, F, F)       # (B, F, F)
+        m1 = w.T @ phi                               # (B, F)
+        sc_vec = (w * cont).T @ phi                  # (B, F)
+        sc_sum = jnp.sum(w * cont, axis=0)           # (B,)
+        sum_w = jnp.sum(w, axis=0)                   # (B,) unclamped
+
+        mu = m1 / n_itm[:, None]
+        var = jnp.diagonal(sraw, axis1=1, axis2=2) / n_itm[:, None] - mu * mu
+        sd = jnp.sqrt(jnp.maximum(var, _RIDGE))
+        is_const = jnp.arange(F) == 0
+        mu = jnp.where(is_const[None, :], 0.0, mu)
+        sd = jnp.where(is_const[None, :], 1.0, sd)
+
+        # standardized Gram/rhs from the raw sums — the full bilinear
+        # expansion sum w (phi_a - mu_a)(phi_b - mu_b) with EXPLICIT first
+        # moments m1 (the const column's mu is forced to 0 above, so the
+        # shortcut Sraw - n mu mu^T would be wrong in its row/column);
+        # exactly the per-strike (phi-mu)/sd regression of the
+        # single-contract path:
+        gram = (sraw
+                - mu[:, :, None] * m1[:, None, :]
+                - mu[:, None, :] * m1[:, :, None]
+                + sum_w[:, None, None] * mu[:, :, None] * mu[:, None, :])
+        gram = gram / (n_itm[:, None, None] * sd[:, :, None] * sd[:, None, :])
+        ridge = 1e-4 * jnp.trace(gram, axis1=1, axis2=2) / F
+        gram = gram + ridge[:, None, None] * jnp.eye(F, dtype=dtype)[None]
+        rhs = (sc_vec - mu * sc_sum[:, None]) / (sd * n_itm[:, None])
+
+        beta = jnp.linalg.solve(gram, rhs[..., None])[..., 0]  # (B, F)
+        gamma = beta / sd                                      # (B, F)
+        c = -jnp.sum(mu * gamma, axis=-1)                      # (B,)
+        cont_hat = phi @ gamma.T + c[None, :]                  # (P, B)
+
+        exercise = (intrinsic > cont_hat) & (w > 0)
+        return jnp.where(exercise, intrinsic, cont), None
+
+    cashflow, _ = jax.lax.scan(backward, v_terminal, xs)
+    prices, stderrs = _mc_estimate(cashflow * disc, n_paths, antithetic)
+    intrinsic0 = jnp.maximum(sg_vec * (s0 - k_vec), 0.0)
+    prices = jnp.maximum(prices, intrinsic0)
+    return prices.reshape(book_shape), stderrs.reshape(book_shape)
