@@ -199,6 +199,18 @@ def main():
     per = timeit(gp_fn, n=200)
     emit("heston_pricing_grouped_options_per_sec", n_opts / per, "options/s")
 
+    # 1c. rough Heston smile: fractional-Riccati CF (implicit
+    # product-trapezoidal scan) + converged-GL Carr-Madan.  No reference
+    # counterpart — the model family itself is beyond the reference.
+    from pde_tpu.models.rough_heston import RoughHestonParams, price_rough
+
+    rpar = RoughHestonParams(0.1, 2.0, 0.04, 0.3, -0.7, 0.04)
+    ks_r = jnp.asarray(np.linspace(80.0, 120.0, 64))
+    rough_fn = jax.jit(lambda: price_rough(
+        rpar, ks_r, 0.25, 100.0, 0.05, 0.02, n_steps=_n(192, 16)))
+    per = timeit(rough_fn, n=20)
+    emit("rough_heston_smile64_price_s", per, "smile_s")
+
     # 2. SABR throughput -----------------------------------------------------
     from pde_tpu.models import sabr
 

@@ -1,6 +1,7 @@
-"""Pricing models: Heston, SABR, OU, Black-Scholes."""
+"""Pricing models: Heston (classic + rough), SABR, OU, Black-Scholes."""
 
-from . import black_scholes, heston, heston_mc, ou, sabr  # noqa: F401
+from . import black_scholes, heston, heston_mc, ou, rough_heston, sabr  # noqa: F401
 from .heston import HestonParams  # noqa: F401
 from .ou import OUParams  # noqa: F401
+from .rough_heston import RoughHestonParams  # noqa: F401
 from .sabr import SABRParams  # noqa: F401
