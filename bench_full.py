@@ -211,6 +211,31 @@ def main():
     per = timeit(rough_fn, n=20)
     emit("rough_heston_smile64_price_s", per, "smile_s")
 
+    # 1d. rough Heston 6-parameter surface calibration (LM + jacfwd through
+    # the fractional-Riccati scan) — 3 maturities x 9 strikes
+    from pde_tpu.calibrate.rough import RoughHestonCalibrator
+
+    rdata = RoughHestonCalibrator.generate_synthetic_surface(
+        n_steps=_n(96, 8))
+    rcal = RoughHestonCalibrator(n_steps=_n(96, 8), max_iter=_n(40, 2))
+    t0 = time.perf_counter()
+    rres = rcal.calibrate(rdata["strikes"], rdata["maturities"],
+                          rdata["mid_prices"], rdata["S0"], rdata["r"],
+                          rdata["q"])  # warm: compile
+    rcal_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_reps = _n(3, 1)
+    for _ in range(n_reps):
+        rres = rcal.calibrate(rdata["strikes"], rdata["maturities"],
+                              rdata["mid_prices"], rdata["S0"], rdata["r"],
+                              rdata["q"])
+    per = (time.perf_counter() - t0) / n_reps
+    if not SMOKE:
+        assert rres.rmse < 1e-4, rres
+    emit("rough_heston_surface_calibration_s", per, "s")
+    print(f"# rough calibration: compile {rcal_compile_s:.1f}s "
+          f"rmse={rres.rmse:.1e} iters={rres.n_iter}", file=sys.stderr)
+
     # 2. SABR throughput -----------------------------------------------------
     from pde_tpu.models import sabr
 

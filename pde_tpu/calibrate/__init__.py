@@ -1,7 +1,8 @@
 """Calibration engine: jitted DE + batched LM, model calibrators, orchestrator."""
 
-from . import de, heston, lm, ou, sabr  # noqa: F401
+from . import de, heston, lm, ou, rough, sabr  # noqa: F401
 from .heston import HestonCalibrator  # noqa: F401
 from .orchestrator import CalibrationOrchestrator  # noqa: F401
 from .ou import OUFitter  # noqa: F401
+from .rough import RoughHestonCalibrator  # noqa: F401
 from .sabr import SABRCalibrator  # noqa: F401

@@ -1,0 +1,165 @@
+"""Rough Heston surface calibration.
+
+Fits (hurst, lam, theta, nu, rho, v0) to an option surface with the same
+in-house bounded Levenberg-Marquardt the classic calibrator uses
+(calibrate/lm.py) — the pricer (models/rough_heston.price_rough) is a pure
+jittable function, so the Jacobian comes from ``jax.jacfwd`` straight
+through the fractional-Riccati scan.  The whole fit is ONE jitted XLA
+program per surface shape.
+
+Identification note: a single smile cannot separate H from nu (both steepen
+the short end); the fitter wants >= 2 maturities, ideally including a short
+one where the T^{H-1/2} skew term dominates.  ``fit_quality`` mirrors the
+classic calibrator's RMSE/max-error report
+(reference: calibration/heston_calibrator.py:588).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.rough_heston import RoughHestonParams, price_rough
+from .lm import levenberg_marquardt
+
+__all__ = ["RoughHestonCalibrator", "RoughCalibrationResult"]
+
+# (hurst, lam, theta, nu, rho, v0)
+_LOWER = np.array([0.02, 0.1, 0.005, 0.05, -0.95, 0.005])
+_UPPER = np.array([0.5, 10.0, 1.0, 2.0, 0.0, 1.0])
+
+
+@dataclass
+class RoughCalibrationResult:
+    params: RoughHestonParams
+    rmse: float
+    converged: bool
+    n_iter: int
+    fit_quality: Dict[str, float] = field(default_factory=dict)
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "max_iter"))
+def _fit(strikes, maturities, mids, S0, r, q, x0, lower, upper,
+         n_steps: int, max_iter: int):
+    """strikes/mids: (n_mat, n_k); maturities: (n_mat,).  One LM run."""
+
+    def residuals(x):
+        p = RoughHestonParams(x[0], x[1], x[2], x[3], x[4], x[5])
+
+        def smile(args):
+            k_row, T = args
+            return price_rough(p, k_row, T, S0, r, q, n_steps=n_steps)
+
+        model = jax.lax.map(smile, (strikes, maturities))
+        return ((model - mids) / jnp.maximum(mids, 1e-8)).ravel()
+
+    return levenberg_marquardt(residuals, x0, lower, upper,
+                               max_iter=max_iter)
+
+
+class RoughHestonCalibrator:
+    """LM surface fit of the rough Heston model.
+
+    Same shape as the classic ``HestonCalibrator`` minus the DE global
+    stage: rough fits are typically warm-started from the classic fit
+    (H = 0.5, lam = kappa, nu = sigma) and refined — which is also the
+    default here when no ``x0`` is given and classic parameters are passed.
+    """
+
+    def __init__(self, n_steps: int = 96, max_iter: int = 40):
+        self.n_steps = int(n_steps)
+        self.max_iter = int(max_iter)
+        self.bounds = {
+            k: (float(lo), float(hi))
+            for k, lo, hi in zip(
+                ("hurst", "lam", "theta", "nu", "rho", "v0"), _LOWER, _UPPER
+            )
+        }
+
+    def calibrate(
+        self,
+        strikes,
+        maturities,
+        mid_prices,
+        S0: float,
+        r: float = 0.0,
+        q: float = 0.0,
+        x0: Optional[RoughHestonParams] = None,
+        classic_params=None,
+    ) -> RoughCalibrationResult:
+        """Fit to a regular surface: ``strikes``/``mid_prices`` of shape
+        (n_maturities, n_strikes), ``maturities`` (n_maturities,).
+
+        ``classic_params`` (a models.heston.HestonParams) seeds the start
+        at the classic fit with H = 0.25; an explicit ``x0`` wins.
+        """
+        strikes = jnp.asarray(strikes, jnp.float64)
+        mids = jnp.asarray(mid_prices, jnp.float64)
+        mats = jnp.asarray(maturities, jnp.float64)
+        if strikes.ndim != 2 or mids.shape != strikes.shape:
+            raise ValueError("strikes/mid_prices must be (n_mat, n_k)")
+        if mats.shape != (strikes.shape[0],):
+            raise ValueError("maturities must match the surface rows")
+
+        if x0 is not None:
+            start = jnp.asarray(
+                [x0.hurst, x0.lam, x0.theta, x0.nu, x0.rho, x0.v0],
+                jnp.float64,
+            )
+        elif classic_params is not None:
+            cp = classic_params
+            start = jnp.asarray(
+                [0.25, cp.kappa, cp.theta, cp.sigma, cp.rho, cp.v0],
+                jnp.float64,
+            )
+        else:
+            start = jnp.asarray([0.2, 2.0, 0.04, 0.4, -0.5, 0.04],
+                                jnp.float64)
+
+        res = _fit(
+            strikes, mats, mids, float(S0), float(r), float(q),
+            start, jnp.asarray(_LOWER), jnp.asarray(_UPPER),
+            n_steps=self.n_steps, max_iter=self.max_iter,
+        )
+        x = np.asarray(res.x)
+        params = RoughHestonParams(*[float(v) for v in x])
+        n_quotes = strikes.size
+        rmse = float(np.sqrt(2.0 * float(res.cost) / n_quotes))
+        return RoughCalibrationResult(
+            params=params,
+            rmse=rmse,
+            converged=bool(res.converged),
+            n_iter=int(res.n_iter),
+            fit_quality={"rel_rmse": rmse, "n_quotes": float(n_quotes)},
+        )
+
+    @staticmethod
+    def generate_synthetic_surface(
+        hurst=0.15, lam=2.0, theta=0.04, nu=0.3, rho=-0.65, v0=0.04,
+        S0=100.0, r=0.02, q=0.0,
+        strikes=None, maturities=(0.05, 0.25, 1.0), n_steps: int = 96,
+    ):
+        """Synthetic rough-Heston surface for recovery tests (the analog of
+        HestonCalibrator.generate_synthetic_data, reference
+        heston_calibrator.py:736)."""
+        p = RoughHestonParams(hurst, lam, theta, nu, rho, v0)
+        ks = np.linspace(85.0, 115.0, 9) if strikes is None else np.asarray(strikes)
+        mats = np.asarray(maturities, dtype=np.float64)
+        k_grid = jnp.asarray(np.tile(ks, (len(mats), 1)))
+        mids = jax.lax.map(
+            lambda args: price_rough(p, args[0], args[1], S0, r, q,
+                                     n_steps=n_steps),
+            (k_grid, jnp.asarray(mats)),
+        )
+        return {
+            "strikes": np.tile(ks, (len(mats), 1)),
+            "maturities": mats,
+            "mid_prices": np.asarray(mids),
+            "S0": S0, "r": r, "q": q, "true_params": p,
+        }
