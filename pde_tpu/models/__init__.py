@@ -1,6 +1,14 @@
 """Pricing models: Heston (classic + rough), SABR, OU, Black-Scholes."""
 
-from . import black_scholes, heston, heston_mc, ou, rough_heston, sabr  # noqa: F401
+from . import (  # noqa: F401
+    black_scholes,
+    heston,
+    heston_mc,
+    ou,
+    rough_heston,
+    rough_heston_mc,
+    sabr,
+)
 from .heston import HestonParams  # noqa: F401
 from .ou import OUParams  # noqa: F401
 from .rough_heston import RoughHestonParams  # noqa: F401
