@@ -47,6 +47,7 @@ class CalibrationConfig:
     calibrate_heston: bool = True
     calibrate_sabr: bool = True
     calibrate_ou: bool = False  # needs spread series, opt-in
+    calibrate_rough: bool = False  # rough Heston refinement, opt-in
     max_options_per_underlying: int = 100
     min_options_required: int = 5
     use_warm_start: bool = True
@@ -66,6 +67,7 @@ class CalibrationRunResult:
     heston_result: Optional[Any] = None
     sabr_result: Optional[Any] = None
     ou_result: Optional[Any] = None
+    rough_result: Optional[Any] = None
     errors: List[str] = field(default_factory=list)
     run_time: float = 0.0
     timestamp: datetime = field(default_factory=lambda: datetime.now(timezone.utc))
@@ -85,12 +87,21 @@ class CalibrationOrchestrator:
         heston_calibrator: Optional[HestonCalibrator] = None,
         sabr_calibrator: Optional[SABRCalibrator] = None,
         ou_fitter: Optional[OUFitter] = None,
+        rough_calibrator=None,
     ):
         self.config = config or CalibrationConfig()
         self.db = db
         self.heston = heston_calibrator or HestonCalibrator(db=db)
         self.sabr = sabr_calibrator or SABRCalibrator(db_session=db)
         self.ou = ou_fitter or OUFitter(db_session=db)
+        if rough_calibrator is not None:
+            self.rough = rough_calibrator
+        elif self.config.calibrate_rough:
+            from .rough import RoughHestonCalibrator
+
+            self.rough = RoughHestonCalibrator()
+        else:
+            self.rough = None  # built lazily if the flag is flipped later
         # warm-start caches: previous successful parameters per underlying
         self._heston_warm: Dict[str, Dict[str, float]] = {}
         self._sabr_warm: Dict[str, Dict[float, Dict[str, float]]] = {}
@@ -183,12 +194,35 @@ class CalibrationOrchestrator:
             except Exception as exc:  # noqa: BLE001
                 errors.append(f"ou: {exc}")
 
+        rough_result = None
+        if self.config.calibrate_rough:
+            try:
+                if self.rough is None:
+                    from .rough import RoughHestonCalibrator
+
+                    self.rough = RoughHestonCalibrator()
+                # warm-start the 6-parameter rough fit from today's classic
+                # fit (H seeded at 0.25) — the rough surface refines the
+                # classic one rather than re-searching the whole space
+                classic = getattr(heston_result, "params", None)
+                rough_result = self.rough.calibrate_quotes(
+                    market_options, S0=S0, r=r, q=q, classic_params=classic,
+                )
+                if rough_result.rmse > self.config.max_rmse:
+                    errors.append(
+                        f"rough quality gate failed: rmse={rough_result.rmse:.4f}"
+                    )
+            except Exception as exc:  # noqa: BLE001 - per-model isolation
+                errors.append(f"rough: {exc}")
+
         n_requested = (
             int(self.config.calibrate_heston)
             + int(self.config.calibrate_sabr)
             + int(self.config.calibrate_ou and spread_series is not None)
+            + int(self.config.calibrate_rough)
         )
-        n_ok = sum(x is not None for x in (heston_result, sabr_result, ou_result))
+        n_ok = sum(x is not None for x in
+                   (heston_result, sabr_result, ou_result, rough_result))
         if n_ok == n_requested and not errors:
             status = CalibrationStatus.SUCCESS
         elif n_ok > 0:
@@ -202,6 +236,7 @@ class CalibrationOrchestrator:
             heston_result=heston_result,
             sabr_result=sabr_result,
             ou_result=ou_result,
+            rough_result=rough_result,
             errors=errors,
             run_time=time.time() - start,
         )

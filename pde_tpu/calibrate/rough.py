@@ -63,6 +63,30 @@ def _fit(strikes, maturities, mids, S0, r, q, x0, lower, upper,
                                max_iter=max_iter)
 
 
+@functools.partial(jax.jit, static_argnames=("n_steps", "max_iter"))
+def _fit_flat(strikes, t_idx, unique_T, is_call, mids, S0, r, q,
+              x0, lower, upper, n_steps: int, max_iter: int):
+    """Flat quote-vector fit (the classic calibrator's input convention):
+    strikes/mids/is_call (n_quotes,), t_idx maps each quote to its row in
+    unique_T.  Each unique maturity prices the WHOLE strike vector once
+    (the Riccati solve is per-maturity, shared across strikes), then each
+    quote selects its own maturity row."""
+
+    def residuals(x):
+        p = RoughHestonParams(x[0], x[1], x[2], x[3], x[4], x[5])
+
+        def per_t(T):
+            return price_rough(p, strikes, T, S0, r, q,
+                               is_call=is_call, n_steps=n_steps)
+
+        grid = jax.lax.map(per_t, unique_T)          # (n_T, n_quotes)
+        model = jnp.take_along_axis(grid, t_idx[None, :], axis=0)[0]
+        return (model - mids) / jnp.maximum(mids, 1e-8)
+
+    return levenberg_marquardt(residuals, x0, lower, upper,
+                               max_iter=max_iter)
+
+
 class RoughHestonCalibrator:
     """LM surface fit of the rough Heston model.
 
@@ -107,29 +131,67 @@ class RoughHestonCalibrator:
         if mats.shape != (strikes.shape[0],):
             raise ValueError("maturities must match the surface rows")
 
-        if x0 is not None:
-            start = jnp.asarray(
-                [x0.hurst, x0.lam, x0.theta, x0.nu, x0.rho, x0.v0],
-                jnp.float64,
-            )
-        elif classic_params is not None:
-            cp = classic_params
-            start = jnp.asarray(
-                [0.25, cp.kappa, cp.theta, cp.sigma, cp.rho, cp.v0],
-                jnp.float64,
-            )
-        else:
-            start = jnp.asarray([0.2, 2.0, 0.04, 0.4, -0.5, 0.04],
-                                jnp.float64)
-
+        start = self._start(x0, classic_params)
         res = _fit(
             strikes, mats, mids, float(S0), float(r), float(q),
             start, jnp.asarray(_LOWER), jnp.asarray(_UPPER),
             n_steps=self.n_steps, max_iter=self.max_iter,
         )
+        return self._package(res, strikes.size)
+
+    def calibrate_quotes(
+        self,
+        data,
+        S0: float,
+        r: float = 0.0,
+        q: float = 0.0,
+        x0: Optional[RoughHestonParams] = None,
+        classic_params=None,
+    ) -> RoughCalibrationResult:
+        """Fit to a FLAT quote vector — the classic calibrator's input
+        convention (dict with 'strike', 'maturity', 'mid_price', optional
+        'is_call' arrays), so irregular market chains work unchanged and
+        the orchestrator can drive both calibrators with one dataset."""
+        from ..models.heston import group_maturities
+
+        strikes = np.asarray(data["strike"], np.float64)
+        mats = np.asarray(data["maturity"], np.float64)
+        mids = np.asarray(data["mid_price"], np.float64)
+        is_call = np.asarray(data.get("is_call", np.ones(strikes.shape, bool)))
+        if not (strikes.shape == mats.shape == mids.shape == is_call.shape):
+            raise ValueError("quote arrays must share one flat shape")
+        unique_T, t_idx = group_maturities(mats)
+
+        start = self._start(x0, classic_params)
+        res = _fit_flat(
+            jnp.asarray(strikes), jnp.asarray(t_idx),
+            jnp.asarray(np.asarray(unique_T, np.float64)),
+            jnp.asarray(is_call), jnp.asarray(mids),
+            float(S0), float(r), float(q),
+            start, jnp.asarray(_LOWER), jnp.asarray(_UPPER),
+            n_steps=self.n_steps, max_iter=self.max_iter,
+        )
+        return self._package(res, strikes.size)
+
+    @staticmethod
+    def _start(x0, classic_params):
+        if x0 is not None:
+            return jnp.asarray(
+                [x0.hurst, x0.lam, x0.theta, x0.nu, x0.rho, x0.v0],
+                jnp.float64,
+            )
+        if classic_params is not None:
+            cp = classic_params
+            return jnp.asarray(
+                [0.25, cp.kappa, cp.theta, cp.sigma, cp.rho, cp.v0],
+                jnp.float64,
+            )
+        return jnp.asarray([0.2, 2.0, 0.04, 0.4, -0.5, 0.04], jnp.float64)
+
+    @staticmethod
+    def _package(res, n_quotes) -> RoughCalibrationResult:
         x = np.asarray(res.x)
         params = RoughHestonParams(*[float(v) for v in x])
-        n_quotes = strikes.size
         rmse = float(np.sqrt(2.0 * float(res.cost) / n_quotes))
         return RoughCalibrationResult(
             params=params,

@@ -558,3 +558,68 @@ class TestParameterSensitivities:
         big = np.abs(actual) > 1e-7
         assert big.any()
         np.testing.assert_allclose(pred[big], actual[big], rtol=2e-2)
+
+
+class TestOrchestratorRough:
+    @pytest.mark.slow
+    def test_rough_opt_in_runs_and_reports(self):
+        """calibrate_rough=True adds a rough-Heston refinement seeded from
+        the classic fit; data generated by the CONVERGED classic pricer must
+        fit with H near the classic limit and tiny residuals.  (The classic
+        generator's reference-parity quadrature truncates at u = 10.24 — a
+        deliberate price-definition difference the rough pricer does not
+        share, so model-consistent data must come from price_accurate.)"""
+        from pde_tpu.calibrate.rough import RoughHestonCalibrator
+        from pde_tpu.models import heston as heston_model
+
+        data = HestonCalibrator.generate_synthetic_data(
+            S0=100.0, r=0.05, q=0.0, n_strikes=7, n_maturities=2
+        )
+        hp = heston_model.HestonParams(2.0, 0.04, 0.3, -0.7, 0.04)
+        data["mid_price"] = np.asarray(heston_model.price_accurate(
+            hp, jnp.asarray(data["strike"]), jnp.asarray(data["maturity"]),
+            100.0, 0.05, 0.0, is_call=jnp.asarray(data["is_call"]),
+        ))
+        orch = CalibrationOrchestrator(
+            config=CalibrationConfig(
+                calibrate_sabr=False, calibrate_rough=True,
+                risk_free_rate=0.05, dividend_yield=0.0,
+            ),
+            heston_calibrator=HestonCalibrator(global_maxiter=20, global_popsize=6),
+            rough_calibrator=RoughHestonCalibrator(n_steps=48, max_iter=25),
+        )
+        res = orch.run_daily_calibration("TEST", data, S0=100.0)
+        assert res.rough_result is not None
+        # the fit quality is the contract; the PARAMETERS are not — a
+        # 2-maturity surface cannot separate (H, lam, nu), so the rough
+        # model may land on a different-but-equivalent point (observed:
+        # H=0.29, lam=0.14 repricing the H=0.5, lam=2.0 surface to 2e-4)
+        assert res.rough_result.rmse < 1e-3
+        assert 0.02 <= res.rough_result.params.hurst <= 0.5
+        assert res.status in (CalibrationStatus.SUCCESS, CalibrationStatus.PARTIAL)
+
+    def test_rough_failure_is_isolated(self):
+        """A rough-stage exception degrades to PARTIAL, never poisons the
+        classic results (per-model isolation, reference orchestrator
+        semantics)."""
+
+        class Boom:
+            def calibrate_quotes(self, *a, **k):
+                raise RuntimeError("boom")
+
+        data = HestonCalibrator.generate_synthetic_data(
+            S0=100.0, r=0.05, q=0.0, n_strikes=7, n_maturities=2
+        )
+        orch = CalibrationOrchestrator(
+            config=CalibrationConfig(
+                calibrate_sabr=False, calibrate_rough=True,
+                risk_free_rate=0.05, dividend_yield=0.0,
+            ),
+            heston_calibrator=HestonCalibrator(global_maxiter=15, global_popsize=6),
+            rough_calibrator=Boom(),
+        )
+        res = orch.run_daily_calibration("TEST", data, S0=100.0)
+        assert res.heston_result is not None
+        assert res.rough_result is None
+        assert any("rough" in e for e in res.errors)
+        assert res.status == CalibrationStatus.PARTIAL
