@@ -320,7 +320,9 @@ def _sensitivities_impl(x, strikes, t_idx, unique_T, is_calls, market_prices,
     Jm = jax.jacfwd(model)(x)                        # (N, 5) dm/dx
     w = mask / market_prices
     J = Jm * w[:, None]                              # (N, 5) dr/dx
-    JTJ = J.T @ J
+    # HIGHEST: the TPU's default f32 matmul accumulates in bfloat16 — too
+    # coarse for ill-conditioned normal equations (see calibrate/lm.py)
+    JTJ = jnp.matmul(J.T, J, precision=jax.lax.Precision.HIGHEST)
     drdp = -mask * m / (market_prices ** 2)          # (N,) dr_i/dp_i
     rhs = J.T * drdp[None, :]                        # (5, N)
     ridge = 1e-12 * jnp.trace(JTJ) * jnp.eye(5, dtype=JTJ.dtype)

@@ -71,8 +71,15 @@ def levenberg_marquardt(
     def normal_eqs(x):
         r = residual_fn(x)
         J = jax.jacfwd(residual_fn)(x)
-        JTJ = J.T @ J
-        JTr = J.T @ r
+        # HIGHEST precision: on TPU the default f32 matmul runs the MXU in
+        # bfloat16 (8 mantissa bits) — at the Jacobians' 1e8-ish condition
+        # numbers that turns J^T J into noise and the march stalls far from
+        # the optimum (observed: the same start that reaches 1e-3 cost on
+        # CPU-f32 plateaued at 5e-2 on the chip).  The matrices are tiny, so
+        # full-precision accumulation costs nothing.
+        hi = jax.lax.Precision.HIGHEST
+        JTJ = jnp.matmul(J.T, J, precision=hi)
+        JTr = jnp.matmul(J.T, r, precision=hi)
         if axis_name is not None:
             JTJ = jax.lax.psum(JTJ, axis_name)
             JTr = jax.lax.psum(JTr, axis_name)

@@ -44,10 +44,26 @@ class RoughCalibrationResult:
     fit_quality: Dict[str, float] = field(default_factory=dict)
 
 
+def _best_of_starts(residuals, x0s, lower, upper, max_iter):
+    """Multistart LM: run the same bounded LM from every row of ``x0s`` and
+    keep the lowest-cost run.  The float32 TPU path needs this — a single
+    LM can stall in a bad damping cycle from an unlucky start (observed:
+    the same start that reaches 1e-3 on CPU-f32 plateaued at 5e-2 on the
+    chip), and the classic calibrator's pipeline is multistart for the
+    same reason."""
+    run = jax.vmap(
+        lambda s: levenberg_marquardt(residuals, s, lower, upper,
+                                      max_iter=max_iter)
+    )
+    res = run(x0s)
+    i = jnp.argmin(res.cost)
+    return jax.tree_util.tree_map(lambda a: a[i], res)
+
+
 @functools.partial(jax.jit, static_argnames=("n_steps", "max_iter"))
-def _fit(strikes, maturities, mids, S0, r, q, x0, lower, upper,
+def _fit(strikes, maturities, mids, S0, r, q, x0s, lower, upper,
          n_steps: int, max_iter: int):
-    """strikes/mids: (n_mat, n_k); maturities: (n_mat,).  One LM run."""
+    """strikes/mids: (n_mat, n_k); maturities: (n_mat,); x0s: (k, 6)."""
 
     def residuals(x):
         p = RoughHestonParams(x[0], x[1], x[2], x[3], x[4], x[5])
@@ -59,8 +75,7 @@ def _fit(strikes, maturities, mids, S0, r, q, x0, lower, upper,
         model = jax.lax.map(smile, (strikes, maturities))
         return ((model - mids) / jnp.maximum(mids, 1e-8)).ravel()
 
-    return levenberg_marquardt(residuals, x0, lower, upper,
-                               max_iter=max_iter)
+    return _best_of_starts(residuals, x0s, lower, upper, max_iter)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "max_iter"))
@@ -83,8 +98,7 @@ def _fit_flat(strikes, t_idx, unique_T, is_call, mids, S0, r, q,
         model = jnp.take_along_axis(grid, t_idx[None, :], axis=0)[0]
         return (model - mids) / jnp.maximum(mids, 1e-8)
 
-    return levenberg_marquardt(residuals, x0, lower, upper,
-                               max_iter=max_iter)
+    return _best_of_starts(residuals, x0, lower, upper, max_iter)
 
 
 class RoughHestonCalibrator:
@@ -175,18 +189,25 @@ class RoughHestonCalibrator:
 
     @staticmethod
     def _start(x0, classic_params):
+        """Bank of LM starts (k, 6): the primary guess plus deterministic
+        H / mean-reversion variations — multistart keeps the f32 TPU path
+        out of single-run damping stalls."""
         if x0 is not None:
-            return jnp.asarray(
-                [x0.hurst, x0.lam, x0.theta, x0.nu, x0.rho, x0.v0],
-                jnp.float64,
-            )
-        if classic_params is not None:
+            primary = [x0.hurst, x0.lam, x0.theta, x0.nu, x0.rho, x0.v0]
+        elif classic_params is not None:
             cp = classic_params
-            return jnp.asarray(
-                [0.25, cp.kappa, cp.theta, cp.sigma, cp.rho, cp.v0],
-                jnp.float64,
-            )
-        return jnp.asarray([0.2, 2.0, 0.04, 0.4, -0.5, 0.04], jnp.float64)
+            primary = [0.25, cp.kappa, cp.theta, cp.sigma, cp.rho, cp.v0]
+        else:
+            primary = [0.2, 2.0, 0.04, 0.4, -0.5, 0.04]
+        h, lam, th, nu, rho, v0 = primary
+        starts = [
+            primary,
+            [0.1, lam, th, nu, rho, v0],
+            [0.4, 0.5 * lam, th, 0.7 * nu, rho, v0],
+            [min(max(h, 0.05), 0.45), 2.0 * lam, th, 1.3 * nu, rho, v0],
+        ]
+        bank = np.clip(np.asarray(starts, np.float64), _LOWER, _UPPER)
+        return jnp.asarray(bank)
 
     @staticmethod
     def _package(res, n_quotes) -> RoughCalibrationResult:

@@ -170,8 +170,10 @@ def sharded_calibration_step(mesh: Mesh, lower, upper):
         def one_underlying(xi, ki, ti, yi, lam_i):
             res = residuals_one(xi, ki, ti, yi)
             J = jax.jacfwd(residuals_one)(xi, ki, ti, yi)  # (Q, 5)
-            JTJ = J.T @ J  # contraction over sharded Q -> all-reduce
-            JTr = J.T @ res
+            hi = jax.lax.Precision.HIGHEST  # bf16 MXU default is too
+            # coarse for normal equations (see calibrate/lm.py)
+            JTJ = jnp.matmul(J.T, J, precision=hi)  # sharded Q -> all-reduce
+            JTr = jnp.matmul(J.T, res, precision=hi)
             A = JTJ + lam_i * jnp.diag(jnp.maximum(jnp.diag(JTJ), 1e-12))
             delta = -jnp.linalg.solve(A + 1e-14 * jnp.eye(5, dtype=xi.dtype), JTr)
             x_new = jnp.clip(xi + delta, lower, upper)
