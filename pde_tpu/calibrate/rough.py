@@ -137,9 +137,12 @@ class RoughHestonCalibrator:
         ``classic_params`` (a models.heston.HestonParams) seeds the start
         at the classic fit with H = 0.25; an explicit ``x0`` wins.
         """
-        strikes = jnp.asarray(strikes, jnp.float64)
-        mids = jnp.asarray(mid_prices, jnp.float64)
-        mats = jnp.asarray(maturities, jnp.float64)
+        from ..core.precision import default_float
+
+        dt = default_float()
+        strikes = jnp.asarray(strikes, dt)
+        mids = jnp.asarray(mid_prices, dt)
+        mats = jnp.asarray(maturities, dt)
         if strikes.ndim != 2 or mids.shape != strikes.shape:
             raise ValueError("strikes/mid_prices must be (n_mat, n_k)")
         if mats.shape != (strikes.shape[0],):
@@ -206,8 +209,10 @@ class RoughHestonCalibrator:
             [0.4, 0.5 * lam, th, 0.7 * nu, rho, v0],
             [min(max(h, 0.05), 0.45), 2.0 * lam, th, 1.3 * nu, rho, v0],
         ]
+        from ..core.precision import default_float
+
         bank = np.clip(np.asarray(starts, np.float64), _LOWER, _UPPER)
-        return jnp.asarray(bank)
+        return jnp.asarray(bank, default_float())
 
     @staticmethod
     def _package(res, n_quotes) -> RoughCalibrationResult:

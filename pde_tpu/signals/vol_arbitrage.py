@@ -102,10 +102,12 @@ class VolArbitrageConfig:
 class VolSurfaceArbitrageSignal:
     """Model-vs-market IV mispricing detector."""
 
-    def __init__(self, config: Optional[VolArbitrageConfig] = None, use_sabr=True, use_heston=True):
+    def __init__(self, config: Optional[VolArbitrageConfig] = None, use_sabr=True,
+                 use_heston=True, use_rough=True):
         self.config = config or VolArbitrageConfig()
         self.use_sabr = use_sabr
         self.use_heston = use_heston
+        self.use_rough = use_rough  # active only when a rough_result is passed
 
     # ------------------------------------------------------------------ API
 
@@ -117,6 +119,7 @@ class VolSurfaceArbitrageSignal:
         q: float,
         heston_result=None,
         sabr_result=None,
+        rough_result=None,
     ) -> List[VolArbitrageSignal]:
         """Evaluate a whole option chain in one vectorized pass.
 
@@ -124,8 +127,9 @@ class VolSurfaceArbitrageSignal:
         and optional 'underlying'/'expiration'/'option_type'/'bid'/'ask'/
         'volume' (same schema as the reference).
         """
-        if heston_result is None and sabr_result is None:
-            raise ValueError("At least one model result (heston or sabr) required")
+        if heston_result is None and sabr_result is None and rough_result is None:
+            raise ValueError(
+                "At least one model result (heston, sabr or rough) required")
 
         col = self._getter(market_data)
         strikes = np.asarray(col("strike"), dtype=np.float64)
@@ -154,7 +158,8 @@ class VolSurfaceArbitrageSignal:
 
         # ---- model IV for the whole chain ----
         model_iv = self._model_iv_vector(
-            strikes, T, is_call, S0, r, q, heston_result, sabr_result
+            strikes, T, is_call, S0, r, q, heston_result, sabr_result,
+            rough_result,
         )
         mask &= np.isfinite(model_iv) & (model_iv > 0)
 
@@ -165,7 +170,7 @@ class VolSurfaceArbitrageSignal:
         )
 
         # ---- confidence (40% fit, 40% liquidity, 20% maturity) ----
-        rmse = self._calibration_rmse(heston_result, sabr_result)
+        rmse = self._calibration_rmse(heston_result, sabr_result, rough_result)
         fit_score = 1.0 - min(rmse, self.config.max_model_rmse) / self.config.max_model_rmse
         if bid is not None and ask is not None:
             mid = 0.5 * (bid + ask)
@@ -222,13 +227,29 @@ class VolSurfaceArbitrageSignal:
 
     # ------------------------------------------------------------ internals
 
-    def _model_iv_vector(self, strikes, T, is_call, S0, r, q, heston_result, sabr_result):
+    def _model_iv_vector(self, strikes, T, is_call, S0, r, q, heston_result,
+                         sabr_result, rough_result=None):
         """Model IV for every quote in one jitted evaluation.
 
-        SABR params are interpolated per maturity (as the reference does);
-        Heston IVs come from true price inversion, not the reference's
-        sqrt((v0+theta)/2) shortcut.
+        Rough Heston wins when its calibration is supplied — it is the only
+        model here whose short-maturity skew has the market's T^{H-1/2}
+        steepening, exactly the regime where vol-arb divergences
+        concentrate.  Otherwise SABR params are interpolated per maturity
+        (as the reference does); Heston IVs come from true price inversion,
+        not the reference's sqrt((v0+theta)/2) shortcut.
         """
+        if self.use_rough and rough_result is not None:
+            from ..models.rough_heston import implied_vol_rough
+
+            out = np.empty_like(T)
+            for t in np.unique(T):
+                m = T == t
+                out[m] = np.asarray(implied_vol_rough(
+                    rough_result.params, strikes[m], float(t), S0, r, q,
+                    is_call=jnp.asarray(is_call[m]),
+                ))
+            return out
+
         if self.use_sabr and sabr_result is not None and sabr_result.params_by_maturity:
             from ..calibrate.sabr import SABRCalibrator
 
@@ -262,7 +283,9 @@ class VolSurfaceArbitrageSignal:
         return np.full(len(strikes), np.nan)
 
     @staticmethod
-    def _calibration_rmse(heston_result, sabr_result) -> float:
+    def _calibration_rmse(heston_result, sabr_result, rough_result=None) -> float:
+        if rough_result is not None:
+            return float(rough_result.rmse)
         if sabr_result is not None:
             return float(sabr_result.total_rmse)
         if heston_result is not None:

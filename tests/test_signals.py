@@ -282,3 +282,67 @@ class TestAggregator:
         total = sum(s.suggested_position_size for s in kept)
         assert total <= 0.15 * 1_000_000 + 1e-6
         assert len(kept) < len(sigs)
+
+
+class TestVolArbitrageRough:
+    def chain(self, market_iv, T=60 / 365):
+        n = len(market_iv)
+        return {
+            "underlying": ["TEST"] * n,
+            "strike": np.linspace(90, 110, n),
+            "T": np.full(n, T),
+            "implied_vol": np.asarray(market_iv),
+            "option_type": ["call"] * n,
+        }
+
+    def _rough_result(self, rmse=0.005):
+        from pde_tpu.calibrate.rough import RoughCalibrationResult
+        from pde_tpu.models.rough_heston import RoughHestonParams
+
+        return RoughCalibrationResult(
+            params=RoughHestonParams(0.15, 2.0, 0.04, 0.3, -0.7, 0.04),
+            rmse=rmse, converged=True, n_iter=10,
+        )
+
+    def test_rough_model_wins_when_supplied(self):
+        """rough_result present => model IVs come from the rough smile;
+        a cheap market yields BUY signals with the rough fit's rmse in the
+        confidence path."""
+        gen = VolSurfaceArbitrageSignal(use_sabr=False)
+        signals = gen.generate_signals(
+            self.chain([0.13] * 5), S0=100.0, r=0.05, q=0.02,
+            rough_result=self._rough_result(),
+        )
+        assert signals
+        assert all(s.signal_type == SignalType.BUY for s in signals)
+
+    def test_rough_iv_differs_from_heston_iv_short_maturity(self):
+        """At short maturity the rough (H=0.15) model IVs must differ from
+        classic Heston's — that difference IS the reason to wire it in."""
+        gen = VolSurfaceArbitrageSignal(use_sabr=False)
+        chain = self.chain([0.2] * 5, T=0.05)
+        strikes = np.asarray(chain["strike"], float)
+        T = np.asarray(chain["T"], float)
+        is_call = np.ones(5, bool)
+        hr = make_heston_result()
+        iv_heston = gen._model_iv_vector(
+            strikes, T, is_call, 100.0, 0.05, 0.02, hr, None)
+        iv_rough = gen._model_iv_vector(
+            strikes, T, is_call, 100.0, 0.05, 0.02, hr, None,
+            self._rough_result())
+        assert np.all(np.isfinite(iv_rough))
+        assert np.max(np.abs(iv_rough - iv_heston)) > 0.003
+
+    def test_use_rough_false_ignores_rough_result(self):
+        gen = VolSurfaceArbitrageSignal(use_sabr=False, use_rough=False)
+        chain = self.chain([0.2] * 5)
+        strikes = np.asarray(chain["strike"], float)
+        T = np.asarray(chain["T"], float)
+        is_call = np.ones(5, bool)
+        hr = make_heston_result()
+        iv_plain = gen._model_iv_vector(
+            strikes, T, is_call, 100.0, 0.05, 0.02, hr, None)
+        iv_with = gen._model_iv_vector(
+            strikes, T, is_call, 100.0, 0.05, 0.02, hr, None,
+            self._rough_result())
+        np.testing.assert_allclose(iv_with, iv_plain, rtol=0, atol=0)
