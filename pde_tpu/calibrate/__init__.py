@@ -1,6 +1,7 @@
 """Calibration engine: jitted DE + batched LM, model calibrators, orchestrator."""
 
-from . import de, heston, lm, ou, rough, sabr  # noqa: F401
+from . import bates, de, heston, lm, ou, rough, sabr  # noqa: F401
+from .bates import BatesCalibrator  # noqa: F401
 from .heston import HestonCalibrator  # noqa: F401
 from .orchestrator import CalibrationOrchestrator  # noqa: F401
 from .ou import OUFitter  # noqa: F401

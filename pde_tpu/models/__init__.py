@@ -1,6 +1,7 @@
-"""Pricing models: Heston (classic + rough), SABR, OU, Black-Scholes."""
+"""Pricing models: Heston (classic + rough), Bates, SABR, OU, Black-Scholes."""
 
 from . import (  # noqa: F401
+    bates,
     black_scholes,
     heston,
     heston_mc,
@@ -9,6 +10,7 @@ from . import (  # noqa: F401
     rough_heston_mc,
     sabr,
 )
+from .bates import BatesParams  # noqa: F401
 from .heston import HestonParams  # noqa: F401
 from .ou import OUParams  # noqa: F401
 from .rough_heston import RoughHestonParams  # noqa: F401

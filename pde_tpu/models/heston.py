@@ -135,6 +135,12 @@ def characteristic_function(params: HestonParams, u, maturity, spot, rate=0.0, d
 
     drift = (rate - dividend) * i * u * T
     phi = jnp.exp(C + D * v0 + i * u * jnp.log(jnp.asarray(spot, dtype=rdt)) + drift)
+    # Affine extensions (e.g. Bates jumps, models/bates.py) multiply the CF
+    # by a compensated factor that is 1 at u = -i, so the forward — and
+    # with it the whole forward-moneyness pricing machinery — is unchanged.
+    extra = getattr(params, "cf_reduced_extra", None)
+    if extra is not None:
+        phi = phi * extra(u, T, rdt, cdt)
     # T <= 0 edge case: phi = exp(i u log S0)   (heston.cpp:77-79)
     phi0 = jnp.exp(i * u * jnp.log(jnp.asarray(spot, dtype=rdt)))
     return jnp.where(T <= 0.0, phi0, phi)
@@ -162,7 +168,16 @@ def _cf_reduced(params, u, T, rdt, cdt):
     exp_mdT = jnp.exp(-d * T)
     C = (kappa * th / sigma2) * ((xi - d) * T - 2.0 * jnp.log((1.0 - g * exp_mdT) / (1.0 - g)))
     D = ((xi - d) / sigma2) * ((1.0 - exp_mdT) / (1.0 - g * exp_mdT))
-    return jnp.exp(C + D * v0)
+    core = jnp.exp(C + D * v0)
+    # Affine extensions hook (trace-time dispatch on the params pytree):
+    # a params type carrying ``cf_reduced_extra(u, T, rdt, cdt)`` — e.g.
+    # BatesParams' compensated jump factor — multiplies in here, and every
+    # quadrature/FFT pricer in this module prices the extended model with
+    # no further changes.  The factor must equal 1 at u = -i (martingale).
+    extra = getattr(params, "cf_reduced_extra", None)
+    if extra is not None:
+        core = core * extra(u, T, rdt, cdt)
+    return core
 
 
 def _carr_madan_integrand_sum(

@@ -339,6 +339,7 @@ def price_path_payoff_mc(
     n_paths: int = 65536,
     antithetic: bool = True,
     control_variate: bool = False,
+    simulate_fn=None,
 ):
     """Price an arbitrary path payoff ``payoff_fn(MCPaths) -> (n_paths, ...)``.
 
@@ -346,8 +347,14 @@ def price_path_payoff_mc(
     discounted terminal spot (a discrete martingale under the corrected QE
     scheme, with known mean ``S0 e^{-q T}``) is regressed out of the payoff,
     which typically cuts the variance of delta-one-ish payoffs by 5-50x.
+
+    ``simulate_fn`` swaps the path generator (same signature as
+    :func:`simulate_qe`) — e.g. the Bates jump-overlay simulator
+    (models/bates.py); the estimator machinery is model-agnostic, and the
+    control variate stays valid for any generator whose discounted terminal
+    spot is a martingale (compensated jumps are).
     """
-    paths = simulate_qe(
+    paths = (simulate_fn or simulate_qe)(
         params, spot, maturity, key,
         n_steps=n_steps, n_paths=n_paths, rate=rate, dividend=dividend,
         antithetic=antithetic,
@@ -394,6 +401,7 @@ def price_european_mc(
     n_paths: int = 65536,
     antithetic: bool = True,
     control_variate: bool = True,
+    simulate_fn=None,
 ):
     """European vanilla via QE MC.  Cross-validates the Carr-Madan pricer
     (models/heston.py, reference heston.cpp:94-151).  Returns (price, stderr)
@@ -411,6 +419,7 @@ def price_european_mc(
         params, payoff, spot, maturity, key,
         rate=rate, dividend=dividend, n_steps=n_steps, n_paths=n_paths,
         antithetic=antithetic, control_variate=control_variate,
+        simulate_fn=simulate_fn,
     )
     if jnp.ndim(strikes) == 0:
         return price[0], stderr[0]
@@ -431,6 +440,7 @@ def price_asian_mc(
     n_paths: int = 65536,
     antithetic: bool = True,
     control_variate: bool = True,
+    simulate_fn=None,
 ):
     """Arithmetic-average (Asian) option, averaging over the ``n_steps``
     equispaced monitoring dates t_1..t_N = T.  Returns (price, stderr)."""
@@ -448,6 +458,7 @@ def price_asian_mc(
         params, payoff, spot, maturity, key,
         rate=rate, dividend=dividend, n_steps=n_steps, n_paths=n_paths,
         antithetic=antithetic, control_variate=control_variate,
+        simulate_fn=simulate_fn,
     )
     if jnp.ndim(strikes) == 0:
         return price[0], stderr[0]
@@ -469,6 +480,7 @@ def price_barrier_mc(
     n_steps: int = 64,
     n_paths: int = 65536,
     antithetic: bool = True,
+    simulate_fn=None,
 ):
     """Discretely monitored barrier option (monitoring at the ``n_steps``
     simulation dates, including t_0 for the running extrema).
@@ -496,6 +508,7 @@ def price_barrier_mc(
         params, payoff, spot, maturity, key,
         rate=rate, dividend=dividend, n_steps=n_steps, n_paths=n_paths,
         antithetic=antithetic, control_variate=False,
+        simulate_fn=simulate_fn,
     )
 
 
@@ -512,6 +525,7 @@ def price_lookback_mc(
     n_steps: int = 64,
     n_paths: int = 65536,
     antithetic: bool = True,
+    simulate_fn=None,
 ):
     """Lookback option on the discretely monitored extremum.
 
@@ -533,4 +547,5 @@ def price_lookback_mc(
         params, payoff, spot, maturity, key,
         rate=rate, dividend=dividend, n_steps=n_steps, n_paths=n_paths,
         antithetic=antithetic, control_variate=False,
+        simulate_fn=simulate_fn,
     )
