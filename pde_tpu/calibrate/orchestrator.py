@@ -48,6 +48,7 @@ class CalibrationConfig:
     calibrate_sabr: bool = True
     calibrate_ou: bool = False  # needs spread series, opt-in
     calibrate_rough: bool = False  # rough Heston refinement, opt-in
+    calibrate_bates: bool = False  # Bates jump-diffusion refinement, opt-in
     max_options_per_underlying: int = 100
     min_options_required: int = 5
     use_warm_start: bool = True
@@ -68,6 +69,7 @@ class CalibrationRunResult:
     sabr_result: Optional[Any] = None
     ou_result: Optional[Any] = None
     rough_result: Optional[Any] = None
+    bates_result: Optional[Any] = None
     errors: List[str] = field(default_factory=list)
     run_time: float = 0.0
     timestamp: datetime = field(default_factory=lambda: datetime.now(timezone.utc))
@@ -88,6 +90,7 @@ class CalibrationOrchestrator:
         sabr_calibrator: Optional[SABRCalibrator] = None,
         ou_fitter: Optional[OUFitter] = None,
         rough_calibrator=None,
+        bates_calibrator=None,
     ):
         self.config = config or CalibrationConfig()
         self.db = db
@@ -102,6 +105,14 @@ class CalibrationOrchestrator:
             self.rough = RoughHestonCalibrator()
         else:
             self.rough = None  # built lazily if the flag is flipped later
+        if bates_calibrator is not None:
+            self.bates = bates_calibrator
+        elif self.config.calibrate_bates:
+            from .bates import BatesCalibrator
+
+            self.bates = BatesCalibrator()
+        else:
+            self.bates = None  # built lazily if the flag is flipped later
         # warm-start caches: previous successful parameters per underlying
         self._heston_warm: Dict[str, Dict[str, float]] = {}
         self._sabr_warm: Dict[str, Dict[float, Dict[str, float]]] = {}
@@ -215,14 +226,49 @@ class CalibrationOrchestrator:
             except Exception as exc:  # noqa: BLE001 - per-model isolation
                 errors.append(f"rough: {exc}")
 
+        bates_result = None
+        if self.config.calibrate_bates:
+            try:
+                if self.bates is None:
+                    from .bates import BatesCalibrator
+
+                    self.bates = BatesCalibrator()
+                # seed the 8-parameter fit from today's classic fit with
+                # small jumps attached (near the lam=0 Heston limit) so the
+                # jump/diffusion identification trap can't capture the start;
+                # skipping the calibrator's own warm-start Heston fit avoids
+                # paying the 5-parameter pipeline twice in one daily run
+                ks, ts, ps, ic = self._quote_arrays(market_options)
+                x0 = None
+                classic = getattr(heston_result, "params", None)
+                if classic is not None:
+                    from ..models.bates import BatesParams
+
+                    x0 = BatesParams(
+                        float(classic.kappa), float(classic.theta),
+                        float(classic.sigma), float(classic.rho),
+                        float(classic.v0), 0.2, -0.05, 0.15,
+                    )
+                bates_result = self.bates.calibrate(
+                    ks, ts, ps, S0=S0, r=r, q=q, is_calls=ic, x0=x0,
+                )
+                if bates_result.rmse > self.config.max_rmse:
+                    errors.append(
+                        f"bates quality gate failed: rmse={bates_result.rmse:.4f}"
+                    )
+            except Exception as exc:  # noqa: BLE001 - per-model isolation
+                errors.append(f"bates: {exc}")
+
         n_requested = (
             int(self.config.calibrate_heston)
             + int(self.config.calibrate_sabr)
             + int(self.config.calibrate_ou and spread_series is not None)
             + int(self.config.calibrate_rough)
+            + int(self.config.calibrate_bates)
         )
         n_ok = sum(x is not None for x in
-                   (heston_result, sabr_result, ou_result, rough_result))
+                   (heston_result, sabr_result, ou_result, rough_result,
+                    bates_result))
         if n_ok == n_requested and not errors:
             status = CalibrationStatus.SUCCESS
         elif n_ok > 0:
@@ -237,6 +283,7 @@ class CalibrationOrchestrator:
             sabr_result=sabr_result,
             ou_result=ou_result,
             rough_result=rough_result,
+            bates_result=bates_result,
             errors=errors,
             run_time=time.time() - start,
         )
@@ -314,6 +361,27 @@ class CalibrationOrchestrator:
                 and np.shape(np.asarray(v))[0] == len(strikes) else v)
             for k, v in market_options.items()
         }
+
+    @staticmethod
+    def _quote_arrays(market_options):
+        """Flat (strikes, maturities, mid_prices, is_calls) arrays from a
+        quote table (DataFrame or dict-of-arrays), the input convention the
+        flat-surface calibrators (bates, rough ``calibrate_quotes``) take."""
+        if hasattr(market_options, "columns"):
+            get = lambda c: market_options[c].to_numpy()  # noqa: E731
+            has = lambda c: c in market_options.columns  # noqa: E731
+        else:
+            get = lambda c: np.asarray(market_options[c])  # noqa: E731
+            has = lambda c: c in market_options  # noqa: E731
+        strikes = get("strike").astype(float)
+        mats = get("maturity").astype(float)
+        prices = get("mid_price").astype(float)
+        is_calls = (
+            get("is_call").astype(bool)
+            if has("is_call")
+            else np.ones(len(strikes), dtype=bool)
+        )
+        return strikes, mats, prices, is_calls
 
     def _to_sabr_input(self, market_options, S0, r, q):
         """Build the SABR (strike, T, implied_vol) table from option prices

@@ -167,6 +167,74 @@ class TestBatesMC:
             discount_bates, discount_heston)
 
 
+class TestOrchestratorBates:
+    def test_bates_failure_is_isolated(self):
+        """A bates-stage exception degrades to PARTIAL and never poisons the
+        classic results (per-model isolation, reference orchestrator
+        semantics)."""
+        from pde_tpu.calibrate import HestonCalibrator
+        from pde_tpu.calibrate.orchestrator import (
+            CalibrationConfig,
+            CalibrationOrchestrator,
+            CalibrationStatus,
+        )
+
+        class Boom:
+            def calibrate(self, *a, **k):
+                raise RuntimeError("boom")
+
+        data = HestonCalibrator.generate_synthetic_data(
+            S0=100.0, r=0.05, q=0.0, n_strikes=7, n_maturities=2
+        )
+        orch = CalibrationOrchestrator(
+            config=CalibrationConfig(
+                calibrate_sabr=False, calibrate_bates=True,
+                risk_free_rate=0.05, dividend_yield=0.0,
+            ),
+            heston_calibrator=HestonCalibrator(global_maxiter=15, global_popsize=6),
+            bates_calibrator=Boom(),
+        )
+        res = orch.run_daily_calibration("TEST", data, S0=100.0)
+        assert res.heston_result is not None
+        assert res.bates_result is None
+        assert any("bates" in e for e in res.errors)
+        assert res.status == CalibrationStatus.PARTIAL
+
+    @pytest.mark.slow
+    def test_bates_opt_in_runs_and_reports(self):
+        """calibrate_bates=True adds an 8-parameter jump refinement seeded
+        from the classic fit; data generated by the Bates pricer itself must
+        fit with tiny residuals."""
+        from pde_tpu.calibrate import HestonCalibrator
+        from pde_tpu.calibrate.bates import BatesCalibrator
+        from pde_tpu.calibrate.orchestrator import (
+            CalibrationConfig,
+            CalibrationOrchestrator,
+            CalibrationStatus,
+        )
+
+        data = BatesCalibrator.generate_synthetic_data(
+            S0=100.0, r=0.05, q=0.0,
+            lam=0.5, mu_j=-0.1, sigma_j=0.15,
+            n_strikes=7, n_maturities=2,
+        )
+        orch = CalibrationOrchestrator(
+            config=CalibrationConfig(
+                calibrate_sabr=False, calibrate_bates=True,
+                risk_free_rate=0.05, dividend_yield=0.0,
+            ),
+            heston_calibrator=HestonCalibrator(global_maxiter=20, global_popsize=6),
+            bates_calibrator=BatesCalibrator(
+                global_maxiter=25, global_popsize=12, local_max_iter=30,
+                warm_start_heston=False,  # x0 comes from the orchestrator
+            ),
+        )
+        res = orch.run_daily_calibration("TEST", data, S0=100.0)
+        assert res.bates_result is not None
+        assert res.bates_result.rmse < 5e-3
+        assert res.status in (CalibrationStatus.SUCCESS, CalibrationStatus.PARTIAL)
+
+
 @pytest.mark.slow
 class TestBatesCalibration:
     def test_recovers_synthetic_surface(self):
