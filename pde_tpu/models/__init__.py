@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     rough_heston,
     rough_heston_mc,
     sabr,
+    varswap,
 )
 from .bates import BatesParams  # noqa: F401
 from .heston import HestonParams  # noqa: F401

@@ -88,6 +88,27 @@ class BatesParams(NamedTuple):
         phi_j = jnp.exp(i * u * mu_j - 0.5 * (u * u) * (sj * sj))
         return jnp.exp(lam * T * (phi_j - 1.0) - i * u * (lam * kbar) * T)
 
+    # -- quadratic-variation hooks (consumed by models/varswap.py) ----------
+    def qv_rate_extra(self):
+        """Expected jump quadratic variation per year: lam * E[J^2]
+        = lam * (mu_j^2 + sigma_j^2).  Adds to the variance-swap strike."""
+        mu_j = jnp.asarray(self.mu_j)
+        sj = jnp.asarray(self.sigma_j)
+        return jnp.asarray(self.lam) * (mu_j * mu_j + sj * sj)
+
+    def qv_laplace_extra(self, s, T):
+        """Laplace transform of the jump QV sum_{k<=N_T} J_k^2: the compound
+        Poisson exp(lam T (E[e^{-s J^2}] - 1)) with the Gaussian-square
+        transform E[e^{-s J^2}] = exp(-s mu_j^2/(1+2 s sigma_j^2)) /
+        sqrt(1 + 2 s sigma_j^2).  Independent of the diffusion, so it
+        multiplies the CIR factor in varswap.integrated_variance_laplace."""
+        lam = jnp.asarray(self.lam, dtype=jnp.asarray(s).dtype)
+        mu_j = jnp.asarray(self.mu_j, dtype=jnp.asarray(s).dtype)
+        sj = jnp.asarray(self.sigma_j, dtype=jnp.asarray(s).dtype)
+        denom = 1.0 + 2.0 * s * sj * sj
+        ej2 = jnp.exp(-s * mu_j * mu_j / denom) / jnp.sqrt(denom)
+        return jnp.exp(lam * T * (ej2 - 1.0))
+
     # -- conveniences --------------------------------------------------------
     def heston(self) -> HestonParams:
         """The diffusion part (drops the jump parameters)."""
