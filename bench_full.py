@@ -237,6 +237,35 @@ def main():
     print(f"# rough calibration: compile {rcal_compile_s:.1f}s "
           f"rmse={rres.rmse:.1e} iters={rres.n_iter}", file=sys.stderr)
 
+    # 1e. Bates smile through the affine-extension hook: the compensated
+    # jump factor multiplies into the CF, so this is the SAME grouped-GL
+    # program as classic Heston plus a few VPU flops per node.  No reference
+    # counterpart — model family beyond the reference.
+    from pde_tpu.models.bates import BatesParams
+
+    bpar = BatesParams(2.0, 0.04, 0.3, -0.7, 0.04, 0.6, -0.08, 0.18)
+    bates_fn = jax.jit(lambda: heston.price_carr_madan_gl_grouped(
+        bpar, strikes, idxb_j, uTb_j, 100.0, 0.05, 0.02))
+    per = timeit(bates_fn, n=200)
+    emit("bates_pricing_grouped_options_per_sec", n_opts / per, "options/s")
+
+    # 1f. volatility derivatives: VIX-style strip on a dense OTM chain and
+    # the exact vol-swap strike (Laplace-transform Gauss-Legendre)
+    from pde_tpu.models import varswap
+
+    n_k = _n(1024, 64)
+    fwd = 100.0 * float(np.exp(0.02 * 0.5))
+    ks_v = jnp.asarray(np.linspace(0.3 * fwd, 3.0 * fwd, n_k), f32)
+    q_v = jax.jit(lambda: heston.price_carr_madan(
+        params, ks_v, 0.5, 100.0, 0.03, 0.01, is_call=ks_v > fwd))()
+    strip_fn = jax.jit(lambda: varswap.strip_variance(
+        ks_v, q_v, fwd, 0.5, 0.03))
+    per = timeit(strip_fn, n=400)
+    emit("varswap_strip_evals_per_sec", 1.0 / per, "strips/s")
+    volswap_fn = jax.jit(lambda: varswap.fair_volatility_strike(bpar, 0.5))
+    per = timeit(volswap_fn, n=200)
+    emit("volswap_exact_strike_s", per, "s")
+
     # 2. SABR throughput -----------------------------------------------------
     from pde_tpu.models import sabr
 
