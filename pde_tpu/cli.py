@@ -128,6 +128,49 @@ def cmd_price(args) -> int:
     return 0
 
 
+def cmd_varswap(args) -> int:
+    """Variance/volatility-swap fair strikes from model parameters
+    (models/varswap.py) — jumps included when --lam > 0."""
+    import numpy as np
+
+    from .models import varswap
+    from .models.heston import HestonParams
+
+    if args.lam > 0:
+        from .models.bates import BatesParams
+
+        params = BatesParams(args.kappa, args.theta, args.sigma, args.rho,
+                             args.v0, args.lam, args.mu_j, args.sigma_j)
+        model = "bates"
+    else:
+        params = HestonParams(args.kappa, args.theta, args.sigma, args.rho,
+                              args.v0)
+        model = "heston"
+
+    rows = []
+    for T in args.maturities:
+        kvar = float(varswap.fair_variance_strike(params, T))
+        kvol = float(varswap.fair_volatility_strike(params, T))
+        rows.append({
+            "maturity": T,
+            "variance_strike": kvar,
+            "variance_strike_vol_points": float(np.sqrt(kvar)) * 100.0,
+            "volatility_strike_exact": kvol,
+            "volatility_strike_approx": float(
+                varswap.volatility_convexity_approx(params, T)),
+            "convexity_discount_vol_points": (np.sqrt(kvar) - kvol) * 100.0,
+        })
+    out = {"model": model, "strikes": rows}
+    if len(args.maturities) >= 2:
+        t1, t2 = args.maturities[0], args.maturities[-1]
+        out["forward_variance"] = {
+            "t1": t1, "t2": t2,
+            "strike": float(varswap.forward_variance(params, t1, t2)),
+        }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_status(args) -> int:
     system = TradingSystem(load_config(args.config))
     status = system.initialize()
@@ -337,6 +380,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--put", action="store_true", help="price puts instead of calls")
     p.add_argument("--american", action="store_true", help="PDE method: American exercise")
     p.set_defaults(func=cmd_price, config=None)
+
+    p = sub.add_parser("varswap", help="variance/vol-swap fair strikes (Heston/Bates)")
+    p.add_argument("--maturities", type=float, nargs="+", default=[0.25, 0.5, 1.0])
+    p.add_argument("--kappa", type=float, default=2.0)
+    p.add_argument("--theta", type=float, default=0.04)
+    p.add_argument("--sigma", type=float, default=0.3)
+    p.add_argument("--rho", type=float, default=-0.7)
+    p.add_argument("--v0", type=float, default=0.04)
+    p.add_argument("--lam", type=float, default=0.0, help="jump intensity (Bates when > 0)")
+    p.add_argument("--mu-j", dest="mu_j", type=float, default=-0.1)
+    p.add_argument("--sigma-j", dest="sigma_j", type=float, default=0.15)
+    p.set_defaults(func=cmd_varswap, config=None)
 
     p = sub.add_parser("status", help="system component status")
     p.set_defaults(func=cmd_status, config=None)

@@ -182,6 +182,28 @@ class TestCLI:
         assert rc == 0
         assert os.path.exists(cache)
 
+    def test_varswap_command(self, capsys):
+        rc = cli_main(["varswap", "--maturities", "0.25", "1.0",
+                       "--lam", "0.6", "--mu-j", "-0.08", "--sigma-j", "0.18"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["model"] == "bates"
+        rows = out["strikes"]
+        assert len(rows) == 2
+        for row in rows:
+            # Jensen: exact vol strike strictly below sqrt(variance strike)
+            assert 0 < row["volatility_strike_exact"] < np.sqrt(
+                row["variance_strike"])
+            assert row["convexity_discount_vol_points"] > 0
+        assert "forward_variance" in out
+        # pure-diffusion default drops the jump loading
+        rc = cli_main(["varswap", "--maturities", "0.25"])
+        assert rc == 0
+        heston_out = json.loads(capsys.readouterr().out)
+        assert heston_out["model"] == "heston"
+        assert (heston_out["strikes"][0]["variance_strike"]
+                < rows[0]["variance_strike"])
+
     def test_price_command_cf(self, capsys):
         rc = cli_main(["price", "--method", "cf", "--strikes", "90", "100", "110"])
         assert rc == 0
