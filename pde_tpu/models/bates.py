@@ -240,6 +240,85 @@ def simulate_qe(
     return MCPaths(jnp.exp(ln_s), v, s_sum / n_steps, s_max, s_min)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_steps", "n_paths", "antithetic",
+                              "martingale_correction"),
+)
+def simulate_qe_paths(
+    params: BatesParams,
+    spot,
+    maturity,
+    key,
+    *,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    rate=0.0,
+    dividend=0.0,
+    antithetic: bool = True,
+    martingale_correction: bool = True,
+):
+    """Full stored-path Bates simulation: ``(S, v)`` with shape
+    ``(n_steps, n_paths)`` at t_1..t_N (t_0 deterministic, not stored).
+
+    The jump-overlay twin of
+    :func:`pde_tpu.models.heston_mc.simulate_qe_paths`; feeds
+    backward-induction algorithms — American exercise under jumps via
+    :func:`pde_tpu.solvers.lsm.price_american_lsm` with
+    ``simulate_paths_fn=``this.
+    """
+    dtype = result_dtype(spot, maturity, params.kappa)
+    if antithetic and n_paths % 2:
+        raise ValueError("antithetic sampling needs an even n_paths")
+    n_draw = n_paths // 2 if antithetic else n_paths
+
+    dt = jnp.asarray(maturity, dtype) / n_steps
+    diffusion = params.heston()
+    E, c1, c2, k0_plain, k1, k2, k3, k4 = _qe_constants(diffusion, dt, dtype)
+    theta = jnp.asarray(params.theta, dtype)
+    lam = jnp.asarray(params.lam, dtype)
+    mu_j = jnp.asarray(params.mu_j, dtype)
+    sigma_j = jnp.asarray(params.sigma_j, dtype)
+    kbar = jnp.exp(mu_j + 0.5 * sigma_j * sigma_j) - 1.0
+    drift = (
+        jnp.asarray(rate, dtype) - jnp.asarray(dividend, dtype) - lam * kbar
+    ) * dt
+
+    qe_step = _make_qe_step(
+        E, c1, c2, theta, k0_plain, k1, k2, k3, k4, drift,
+        n_draw, antithetic, martingale_correction, dtype,
+    )
+    ln_s0 = jnp.full((n_paths,), jnp.log(jnp.asarray(spot, dtype)), dtype)
+    v0 = jnp.full((n_paths,), jnp.asarray(params.v0, dtype), dtype)
+
+    def step(state, k_t):
+        ln_s, v = state
+        k_diff, k_n, k_j = jax.random.split(k_t, 3)
+        ln_s_new, v_new = qe_step(ln_s, v, k_diff)
+        n_jumps = jax.random.poisson(k_n, lam * dt, (n_paths,)).astype(dtype)
+        z_j = jax.random.normal(k_j, (n_paths,), dtype)
+        ln_s_new = ln_s_new + n_jumps * mu_j + jnp.sqrt(n_jumps) * sigma_j * z_j
+        return (ln_s_new, v_new), (ln_s_new, v_new)
+
+    _, (ln_s_path, v_path) = jax.lax.scan(
+        step, (ln_s0, v0), jax.random.split(key, n_steps)
+    )
+    return jnp.exp(ln_s_path), v_path
+
+
+def price_american_mc(params: BatesParams, strike, maturity, spot, key,
+                      **kwargs):
+    """American vanilla under Bates via Longstaff-Schwartz on the
+    jump-overlay paths.  Returns ``(price, stderr)`` — early exercise under
+    jump risk, unreachable by the CF pricers and (without a PIDE solver)
+    by the grid methods."""
+    from ..solvers import lsm
+
+    return lsm.price_american_lsm(
+        params, strike, maturity, spot, key,
+        simulate_paths_fn=simulate_qe_paths, **kwargs,
+    )
+
+
 def price_path_payoff_mc(params: BatesParams, payoff_fn, spot, maturity, key,
                          **kwargs):
     """Bates path-payoff pricing: heston_mc's estimator machinery (control

@@ -134,7 +134,8 @@ def lsm_backward_induction(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_steps", "n_paths", "antithetic")
+    jax.jit,
+    static_argnames=("n_steps", "n_paths", "antithetic", "simulate_paths_fn"),
 )
 def price_american_lsm(
     params: HestonParams,
@@ -149,6 +150,7 @@ def price_american_lsm(
     n_steps: int = 64,
     n_paths: int = 65536,
     antithetic: bool = True,
+    simulate_paths_fn=None,
 ):
     """American vanilla via Longstaff-Schwartz.  Returns ``(price, stderr)``.
 
@@ -156,9 +158,15 @@ def price_american_lsm(
     Bermudan approximation converging to the American price as ``n_steps``
     grows (the ADI solver's time grid makes the same approximation,
     reference heston_pde.hpp:143-150).
+
+    ``simulate_paths_fn`` swaps the path generator (same signature as
+    :func:`~pde_tpu.models.heston_mc.simulate_qe_paths`) — e.g. the Bates
+    jump-overlay stored-path simulator (models/bates.py), giving American
+    exercise under jump risk; the regression/backward-induction machinery
+    is model-agnostic in (S, v) paths.
     """
     dtype = result_dtype(spot, maturity, strike, params.kappa)
-    s_path, v_path = simulate_qe_paths(
+    s_path, v_path = (simulate_paths_fn or simulate_qe_paths)(
         params, spot, maturity, key,
         n_steps=n_steps, n_paths=n_paths,
         rate=rate, dividend=dividend, antithetic=antithetic,

@@ -167,6 +167,49 @@ class TestBatesMC:
             discount_bates, discount_heston)
 
 
+class TestBatesAmerican:
+    def test_lam_zero_matches_heston_lsm(self):
+        """Jump-overlay LSM at lam = 0 must agree with the plain Heston LSM
+        within MC noise (different key-split trees => different draws, so
+        the comparison is statistical, not bitwise)."""
+        from pde_tpu.solvers import lsm
+
+        bp0 = BP._replace(lam=jnp.asarray(0.0))
+        hp = HestonParams(BP.kappa, BP.theta, BP.sigma, BP.rho, BP.v0)
+        kw = dict(rate=0.04, dividend=0.0, n_steps=32, n_paths=32768)
+        p_b, se_b = bates.price_american_mc(
+            bp0, 105.0, 0.5, 100.0, jax.random.PRNGKey(5), **kw)
+        p_h, se_h = lsm.price_american_lsm(
+            hp, 105.0, 0.5, 100.0, jax.random.PRNGKey(6), **kw)
+        tol = 4.0 * float(jnp.sqrt(se_b**2 + se_h**2)) + 0.02
+        assert abs(float(p_b) - float(p_h)) < tol
+
+    def test_early_exercise_premium_under_jumps(self):
+        """American put >= European put (CF) under Bates, and the premium is
+        positive for an ITM put with positive rates."""
+        key = jax.random.PRNGKey(9)
+        K, T, S0, r = 110.0, 1.0, 100.0, 0.06
+        am, se = bates.price_american_mc(
+            BP, K, T, S0, key, rate=r, n_steps=50, n_paths=32768)
+        eu = float(bates.price_accurate(BP, K, T, S0, r, 0.0, is_call=False))
+        assert float(am) > eu - 3.0 * float(se)
+        assert float(am) >= K - S0  # >= intrinsic by construction
+        premium = float(am) - eu
+        assert premium > 0.05, (float(am), eu)
+
+    def test_jumps_raise_american_put_value(self):
+        """Downward jumps fatten the left tail: the Bates American put must
+        exceed the pure-diffusion American put (same diffusion params)."""
+        from pde_tpu.solvers import lsm
+
+        hp = HestonParams(BP.kappa, BP.theta, BP.sigma, BP.rho, BP.v0)
+        key = jax.random.PRNGKey(13)
+        kw = dict(rate=0.03, n_steps=32, n_paths=32768)
+        p_b, se_b = bates.price_american_mc(BP, 95.0, 0.5, 100.0, key, **kw)
+        p_h, se_h = lsm.price_american_lsm(hp, 95.0, 0.5, 100.0, key, **kw)
+        assert float(p_b) > float(p_h) + 2.0 * float(se_b)
+
+
 class TestOrchestratorBates:
     def test_bates_failure_is_isolated(self):
         """A bates-stage exception degrades to PARTIAL and never poisons the
