@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     black_scholes,
     heston,
     heston_mc,
+    local_vol,
     ou,
     rough_heston,
     rough_heston_mc,

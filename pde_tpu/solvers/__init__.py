@@ -1,3 +1,4 @@
-"""PDE solvers: Crank-Nicolson 1D, Douglas ADI 2D (In 't Hout-Foulon boundaries), HJB optimal stopping."""
+"""PDE solvers: Crank-Nicolson 1D (constant + local vol), Douglas ADI 2D
+(In 't Hout-Foulon boundaries), HJB optimal stopping, Longstaff-Schwartz."""
 
-from . import bs_pde, heston_adi, heston_adi_ref, hjb, lsm  # noqa: F401
+from . import bs_pde, heston_adi, heston_adi_ref, hjb, local_vol_pde, lsm  # noqa: F401
