@@ -337,6 +337,7 @@ class TestVectorized:
 
 
 class TestAnalysis:
+    @pytest.mark.slow
     def test_walk_forward(self):
         data = SyntheticDataHandler(["A"], n_bars=800, annual_vol=0.3, seed=4)
         wf = analysis.WalkForwardAnalysis(
@@ -365,6 +366,7 @@ class TestAnalysis:
         assert all(w.is_start == 0 for w in res.windows)
 
     @pytest.mark.parametrize("method", ["shuffle", "block", "parametric"])
+    @pytest.mark.slow
     def test_monte_carlo_methods(self, method, rng):
         rets = rng.normal(0.0005, 0.01, 500)
         mc = analysis.MonteCarloSimulator(n_simulations=200, method=method, seed=1)
@@ -380,6 +382,7 @@ class TestAnalysis:
         with pytest.raises(ValueError):
             analysis.MonteCarloSimulator(method="nope").run(np.zeros(10))
 
+    @pytest.mark.slow
     def test_parameter_sensitivity(self):
         data = SyntheticDataHandler(["A"], n_bars=400, seed=8)
         out = analysis.parameter_sensitivity(

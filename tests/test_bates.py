@@ -114,6 +114,7 @@ class TestBatesCF:
 
 
 class TestBatesMC:
+    @pytest.mark.slow
     def test_european_mc_vs_cf(self):
         """QE + jump-overlay MC must agree with the CF quadrature price."""
         K = jnp.asarray([85.0, 100.0, 115.0])
@@ -126,6 +127,7 @@ class TestBatesMC:
         tol = 4.0 * np.asarray(stderr) + 0.03
         assert np.all(err < tol), (err, np.asarray(stderr))
 
+    @pytest.mark.slow
     def test_forward_martingale(self):
         """Discounted terminal spot must have mean S0 e^{-qT}: the jump
         compensator in the simulator is doing its job."""
@@ -136,6 +138,7 @@ class TestBatesMC:
         target = 100.0 * np.exp(-0.02)
         assert abs(mean_disc - target) / target < 0.01
 
+    @pytest.mark.slow
     def test_exotics_sanity(self):
         """Path-payoff estimators see the jumps: the knock-out DISCOUNT
         (vanilla minus down-and-out barrier) must be larger under heavy
@@ -167,6 +170,7 @@ class TestBatesMC:
             discount_bates, discount_heston)
 
 
+@pytest.mark.slow
 class TestBatesAmerican:
     def test_lam_zero_matches_heston_lsm(self):
         """Jump-overlay LSM at lam = 0 must agree with the plain Heston LSM

@@ -284,6 +284,7 @@ class TestDatabase:
         src.close()
         dst.close()
 
+    @pytest.mark.slow
     def test_backup_restore_scripts(self, tmp_path):
         import subprocess
 

@@ -44,6 +44,7 @@ class TestDupireExtraction:
                 iv_fn, K, 0.75, S0, R, Q))
             np.testing.assert_allclose(lv, sig, rtol=1e-8)
 
+    @pytest.mark.slow
     def test_price_and_implied_forms_agree_on_heston(self):
         """Both Dupire forms on the SAME Heston surface must agree — the
         price form differentiates the CF quadrature, the implied form the

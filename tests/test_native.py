@@ -141,6 +141,7 @@ class TestOracles:
         )
         np.testing.assert_allclose(cpp, jx, atol=1e-10)
 
+    @pytest.mark.slow
     def test_sabr_oracle_matches_jax(self):
         import jax.numpy as jnp
 
@@ -301,6 +302,7 @@ class TestCppUnitTests:
     """Build + run the native assert-suite (src/cpp/pde_host_test.cpp) —
     the analog of the reference's GTest layer (tests/cpp, 57 TEST cases)."""
 
+    @pytest.mark.slow
     def test_cpp_suite_passes(self, tmp_path):
         import subprocess
         from pathlib import Path

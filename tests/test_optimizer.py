@@ -30,6 +30,7 @@ class TestSignalFamilies:
         assert pos[60] == 1.0
         assert pos[65] == 0.0  # back at the middle -> flat
 
+    @pytest.mark.slow
     def test_all_families_produce_valid_positions(self, prices):
         p = jnp.asarray(prices)
         for name, spec in opt.STRATEGY_FAMILIES.items():
@@ -49,6 +50,7 @@ class TestStrategyOptimizer:
             assert np.isfinite(fr.fitness)
             assert fr.params  # chosen a grid point
 
+    @pytest.mark.slow
     def test_run_optimization_with_cache(self, prices, tmp_path):
         # Cache round-trip semantics don't depend on series length: a short
         # window keeps the grid search cheap (the full-length fitness math is
@@ -66,6 +68,7 @@ class TestStrategyOptimizer:
         loaded = opt.StrategyOptimizer.load(cache)
         assert loaded["tech"]["ma_crossover"].params == res["tech"]["ma_crossover"].params
 
+    @pytest.mark.slow
     def test_best_strategy_selection(self, prices):
         o = opt.StrategyOptimizer(
             strategies={

@@ -106,6 +106,7 @@ class TestSimulation:
     def test_half_life(self, params):
         assert abs(float(params.half_life()) - np.log(2) / 5.0) < 1e-12
 
+    @pytest.mark.slow
     def test_parallel_matches_scan(self, params):
         """simulate_parallel is the same recurrence reassociated: same key
         gives the same path to float roundoff, at log instead of linear

@@ -126,6 +126,7 @@ class TestSimulation:
 
 
 class TestRoughAmerican:
+    @pytest.mark.slow
     def test_american_put_dominates_european(self):
         eur, _ = price_european_rough_mc(
             ROUGH, 100.0, 0.5, 100.0, KEY, rate=0.05, is_call=False,

@@ -84,6 +84,7 @@ class TestIdentities:
 
 
 class TestSensitivities:
+    @pytest.mark.slow
     def test_ad_matches_finite_difference(self, params):
         """AD sensitivities agree with the reference's FD scheme (sabr.cpp:250-280)."""
         d_alpha, d_rho, d_nu = sabr.volatility_sensitivities(105.0, 100.0, 1.0, params)

@@ -64,6 +64,7 @@ class TestSteps:
             if status == "candidate":
                 assert db.query_signals(asset=sym)
 
+    @pytest.mark.slow
     def test_calibration_step_runs_orchestrator(self, provider, db):
         out = services.calibration_step(provider=provider, db=db, symbols=["SPY"])
         assert out["SPY"] in ("SUCCESS", "PARTIAL", "FAILED")

@@ -300,6 +300,7 @@ class TestHestonADI:
                 100.0, interpret=True,
             )
 
+    @pytest.mark.slow
     def test_greeks_ad_match_fd(self):
         """Adjoint Greeks through the ADI march match central differences;
         remat=True gives the identical adjoint."""

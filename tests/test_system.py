@@ -167,6 +167,7 @@ class TestCLI:
         rows = json.loads(capsys.readouterr().out)
         assert rows[0]["sector"] in ("technology", "energy")
 
+    @pytest.mark.slow
     def test_rolling_backtest_command(self, capsys):
         rc = cli_main(["rolling-backtest", "--symbol", "SPY", "--days", "320",
                        "--opt-window", "150", "--trade-window", "80",
@@ -220,6 +221,7 @@ class TestCLI:
         out = json.loads(capsys.readouterr().out)
         assert out["american"] and out["prices"][0] >= 10.0  # >= intrinsic
 
+    @pytest.mark.slow
     def test_price_command_greeks(self, capsys):
         rc = cli_main(["price", "--method", "greeks", "--strikes", "100"])
         assert rc == 0

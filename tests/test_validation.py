@@ -115,6 +115,7 @@ class TestStatisticalTests:
         oos_s = rng.normal(0, 0.1, (20, 10)); oos_s[:, 3] += 5
         assert det.probability_of_backtest_overfitting(is_s, oos_s)["pbo"] < 0.2
 
+    @pytest.mark.slow
     def test_bootstrap_cis(self, profitable):
         boot = st.BootstrapAnalysis(n_bootstrap=500)
         point, lo, hi = boot.sharpe_confidence_interval(profitable)
