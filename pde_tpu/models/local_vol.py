@@ -158,6 +158,73 @@ def local_vol_from_implied_fn(iv_fn, strike, maturity, spot, rate=0.0,
     return jnp.where(ok, jnp.sqrt(var), jnp.nan)
 
 
+def simulate_local_vol(vol_fn, spot, maturity, key, *, n_steps: int = 64,
+                       n_paths: int = 65536, rate=0.0, dividend=0.0,
+                       antithetic: bool = True):
+    """Log-Euler Monte Carlo under a local-vol surface: per step
+
+        ln S += (r - q - 0.5 sigma^2(S, t)) dt + sigma(S, t) sqrt(dt) Z
+
+    with ``vol_fn(s_array, t_scalar)`` (a :class:`SurfaceInterpolator` or
+    any closure).  Returns :class:`~pde_tpu.models.heston_mc.MCPaths`, so
+    the whole exotic-payoff estimator stack (Asian/barrier/lookback,
+    control variates) prices under SMILE-CONSISTENT dynamics:
+
+        heston_mc.price_barrier_mc(None, ..., simulate_fn=functools.partial(
+            simulate_local_vol_as_qe, interp))
+
+    or through the :func:`lv_simulate_fn` adapter.  The discounted spot is
+    a martingale under the exact dynamics (log-Euler bias is O(dt)), so the
+    delta-one control variate remains valid.  Not jitted here — ``vol_fn``
+    is a closure; wrap the caller in ``jax.jit``.
+    """
+    from .heston_mc import MCPaths
+
+    dtype = result_dtype(spot, maturity)
+    if antithetic and n_paths % 2:
+        raise ValueError("antithetic sampling needs an even n_paths")
+    n_draw = n_paths // 2 if antithetic else n_paths
+
+    dt_step = jnp.asarray(maturity, dtype) / n_steps
+    sq_dt = jnp.sqrt(dt_step)
+    drift_rq = (jnp.asarray(rate, dtype) - jnp.asarray(dividend, dtype))
+    s0 = jnp.asarray(spot, dtype)
+    state0 = (
+        jnp.full((n_paths,), jnp.log(s0), dtype),
+        jnp.zeros((n_paths,), dtype),
+        jnp.full((n_paths,), s0, dtype),
+        jnp.full((n_paths,), s0, dtype),
+    )
+
+    def step(state, inp):
+        ln_s, s_sum, s_max, s_min = state
+        t, k_t = inp
+        z = jax.random.normal(k_t, (n_draw,), dtype)
+        z = jnp.concatenate([z, -z]) if antithetic else z
+        sig = vol_fn(jnp.exp(ln_s), t)
+        ln_s = ln_s + (drift_rq - 0.5 * sig * sig) * dt_step + sig * sq_dt * z
+        s = jnp.exp(ln_s)
+        return (ln_s, s_sum + s, jnp.maximum(s_max, s),
+                jnp.minimum(s_min, s)), None
+
+    ts = dt_step * jnp.arange(n_steps, dtype=dtype)  # left-point evaluation
+    keys = jax.random.split(key, n_steps)
+    (ln_s, s_sum, s_max, s_min), _ = jax.lax.scan(step, state0, (ts, keys))
+    spot_T = jnp.exp(ln_s)
+    sig_T = vol_fn(spot_T, jnp.asarray(maturity, dtype))
+    return MCPaths(spot_T, sig_T * sig_T, s_sum / n_steps, s_max, s_min)
+
+
+def lv_simulate_fn(vol_fn):
+    """Adapter making :func:`simulate_local_vol` a drop-in ``simulate_fn``
+    for the :mod:`pde_tpu.models.heston_mc` estimators (which pass a params
+    pytree first — ignored here; the surface IS the model)."""
+    def fn(params, spot, maturity, key, **kwargs):
+        del params
+        return simulate_local_vol(vol_fn, spot, maturity, key, **kwargs)
+    return fn
+
+
 class SurfaceInterpolator:
     """Bilinear interpolation of a precomputed local-vol grid in
     (ln K, T) — the standard way to feed a Dupire surface to a PDE march

@@ -100,6 +100,61 @@ class TestSurfaceInterpolator:
             float(interp(jnp.asarray([40.0]), 2.0)[0]), grid[1, 0], rtol=1e-6)
 
 
+class TestLocalVolMC:
+    def test_flat_surface_matches_black_scholes(self):
+        sig = 0.25
+        vol_fn = lambda s, t: jnp.full_like(s, sig)  # noqa: E731
+        fn = local_vol.lv_simulate_fn(vol_fn)
+        from pde_tpu.models import heston_mc
+
+        price, stderr = heston_mc.price_european_mc(
+            None, 100.0, 0.75, S0, jax.random.PRNGKey(2), rate=R, dividend=Q,
+            n_steps=48, n_paths=32768, simulate_fn=fn)
+        closed = float(bs.price(S0, 100.0, R, Q, 0.75, sig))
+        assert abs(float(price) - closed) < 4.0 * float(stderr) + 0.05
+
+    def test_barrier_under_smile_dynamics(self):
+        """Exotics price under the Dupire surface through the standard
+        estimator stack; knock-out <= vanilla pathwise (same key)."""
+        from pde_tpu.models import heston_mc
+
+        Ks = jnp.asarray(np.exp(np.linspace(np.log(60.0), np.log(170.0), 24)))
+        Ts = jnp.asarray([0.05, 0.15, 0.3, 0.6])
+        surf = local_vol.dupire_surface(HP, Ks, Ts, S0, R, Q)
+        fn = local_vol.lv_simulate_fn(
+            local_vol.SurfaceInterpolator(Ks, Ts, surf))
+        key = jax.random.PRNGKey(4)
+        kw = dict(rate=R, dividend=Q, n_steps=32, n_paths=16384)
+        b_px, _ = heston_mc.price_barrier_mc(
+            None, 100.0, 80.0, 0.5, S0, key, barrier_type="down-and-out",
+            simulate_fn=fn, **kw)
+        v_px, _ = heston_mc.price_european_mc(
+            None, 100.0, 0.5, S0, key, control_variate=False,
+            simulate_fn=fn, **kw)
+        assert 0.0 < float(b_px) < float(v_px)
+
+    @pytest.mark.slow
+    def test_dupire_mc_reprices_heston_vanillas(self):
+        """MC under the extracted surface agrees with the generating
+        model's CF prices — the round trip again, through a different
+        numerical method (log-Euler paths instead of the CN PDE)."""
+        from pde_tpu.models import heston_mc
+
+        Ks = jnp.asarray(np.exp(np.linspace(np.log(40.0), np.log(250.0), 50)))
+        Ts = jnp.asarray([0.01, 0.03, 0.07, 0.15, 0.3, 0.5, 0.75, 1.0, 1.2])
+        surf = local_vol.dupire_surface(HP, Ks, Ts, S0, R, Q)
+        fn = local_vol.lv_simulate_fn(
+            local_vol.SurfaceInterpolator(Ks, Ts, surf))
+        strikes = jnp.asarray([90.0, 100.0, 115.0])
+        price, stderr = heston_mc.price_european_mc(
+            None, strikes, 1.0, S0, jax.random.PRNGKey(8), rate=R, dividend=Q,
+            n_steps=100, n_paths=65536, simulate_fn=fn)
+        cf = np.asarray(heston.price_accurate(HP, strikes, 1.0, S0, R, Q))
+        err = np.abs(np.asarray(price) - cf)
+        tol = 4.0 * np.asarray(stderr) + 0.06  # + O(dt) Euler bias headroom
+        assert np.all(err < tol), (np.asarray(price), cf, np.asarray(stderr))
+
+
 class TestLocalVolPDE:
     def test_constant_vol_matches_black_scholes(self):
         sig = 0.25
