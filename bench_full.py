@@ -266,6 +266,28 @@ def main():
     per = timeit(volswap_fn, n=200)
     emit("volswap_exact_strike_s", per, "s")
 
+    # 1g. Dupire local vol: AD surface extraction (3 derivatives of the
+    # converged-GL pricer per node) + the local-vol CN PDE march
+    from pde_tpu.models import local_vol
+
+    n_lk, n_lt = _n(24, 4), _n(6, 2)
+    ks_lv = jnp.asarray(np.exp(np.linspace(np.log(60.0), np.log(170.0), n_lk)))
+    ts_lv = jnp.asarray(np.linspace(0.05, 1.0, n_lt))
+    dup_fn = jax.jit(lambda: local_vol.dupire_surface(
+        params, ks_lv, ts_lv, 100.0, 0.04, 0.01))
+    per = timeit(dup_fn, n=20)
+    emit("dupire_surface_nodes_per_sec", (n_lk * n_lt) / per, "nodes/s")
+    surf_lv = dup_fn()
+    interp_lv = local_vol.SurfaceInterpolator(ks_lv, ts_lv, surf_lv)
+    from pde_tpu.solvers import local_vol_pde
+
+    lv_ns, lv_nt = _n(200, 16), _n(100, 4)
+    lv_fn = jax.jit(lambda: local_vol_pde.solve(
+        interp_lv, 100.0, K=100.0, T=1.0, r=0.04, q=0.01, is_call=True,
+        n_space=lv_ns, n_time=lv_nt).price)
+    per = timeit(lv_fn, n=50)
+    emit("local_vol_pde_solve_s", per, "solve_s")
+
     # 2. SABR throughput -----------------------------------------------------
     from pde_tpu.models import sabr
 
