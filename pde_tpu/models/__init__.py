@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     rough_heston,
     rough_heston_mc,
     sabr,
+    slv,
     varswap,
 )
 from .bates import BatesParams  # noqa: F401
