@@ -141,15 +141,27 @@ def _make_slv_step(params, dt, n_draw, antithetic, dtype, drift):
     return step
 
 
-def _bin_expectation(ln_s, v, edges, n_bins, min_count=8):
+def _bin_expectation(ln_s, v, edges, n_bins, min_count=8, axis_name=None):
     """E[v | S in bin] by masked segment mean; thin bins fall back to the
-    global mean (they carry negligible leverage-pricing weight)."""
+    global mean (they carry negligible leverage-pricing weight).
+
+    With ``axis_name`` the bin sums are ``psum``-reduced over a sharded
+    path axis, so every device sees the GLOBAL conditional expectation —
+    the distributed particle method costs one fused psum of ~2*n_bins
+    scalars per step (parallel/mc.py:calibrate_leverage_sharded)."""
     idx = jnp.clip(jnp.searchsorted(edges, ln_s) - 1, 0, n_bins - 1)
     ones = jnp.ones_like(v)
     counts = jax.ops.segment_sum(ones, idx, num_segments=n_bins)
     sums = jax.ops.segment_sum(v, idx, num_segments=n_bins)
+    v_sum = jnp.sum(v)
+    n_tot = jnp.asarray(v.shape[0], v.dtype)
+    if axis_name is not None:
+        counts = jax.lax.psum(counts, axis_name)
+        sums = jax.lax.psum(sums, axis_name)
+        v_sum = jax.lax.psum(v_sum, axis_name)
+        n_tot = jax.lax.psum(n_tot, axis_name)
     ev = sums / jnp.maximum(counts, 1.0)
-    return jnp.where(counts >= min_count, ev, jnp.mean(v)), idx
+    return jnp.where(counts >= min_count, ev, v_sum / n_tot), idx
 
 
 def calibrate_leverage(
@@ -168,6 +180,7 @@ def calibrate_leverage(
     span_sigmas: float = 4.5,
     l_min: float = 0.05,
     l_max: float = 20.0,
+    axis_name: str | None = None,
 ):
     """One-sweep particle calibration of the leverage surface to the target
     local vol ``vol_fn(s_array, t) -> sigma_loc`` (e.g. a
@@ -210,7 +223,8 @@ def calibrate_leverage(
     def body(state, inp):
         ln_s, v, s_sum, s_max, s_min = state
         t_k, k_t = inp
-        ev, idx = _bin_expectation(ln_s, v, edges, n_bins)
+        ev, idx = _bin_expectation(ln_s, v, edges, n_bins,
+                                   axis_name=axis_name)
         # midpoint time evaluation of the target: measurably less
         # discretization bias than the left point (wing error ~-15% at
         # 32 steps in the mixed-dynamics validation)

@@ -29,6 +29,12 @@ Measured shape of each program (asserted in tests/test_comm_audit.py):
   means/variances, Gram, rhs) into a couple of all-reduces inside the scan
   body, plus one for the final price/stderr moments — ~50 scalars per
   exercise date regardless of path count or mesh size.
+* ``calibrate_leverage_sharded`` — 3 ``all-reduce`` instructions total:
+  the distributed particle method's per-step bin statistics (counts +
+  v-sums + global-mean fallback, ~2*n_bins + 2 scalars) fuse into one
+  all-reduce inside the scan body, plus two for the validation price
+  moments — the conditional expectation E[v|S] is global at every step
+  for the cost of one fused psum.
 
 All counts are static instruction counts in the compiled program — a
 ``lax.scan`` emits its body ONCE inside a while loop, so a count of 2
@@ -127,6 +133,19 @@ def audit_table(mesh_sizes=(2, 4, 8)) -> dict[str, dict[int, dict[str, int]]]:
                 jax.random.PRNGKey(0), dm,
                 rate=0.05, n_steps=4, n_paths=128 * k,
             )[0]
+        )
+
+        from .mc import calibrate_leverage_sharded
+
+        out.setdefault("calibrate_leverage_sharded", {})[k] = (
+            collective_counts(
+                lambda: calibrate_leverage_sharded(
+                    HestonParams(2.0, 0.04, 0.3, -0.7, 0.04),
+                    lambda s, t: jnp.full_like(s, 0.2), 100.0, 0.5,
+                    jax.random.PRNGKey(1), dm,
+                    rate=0.05, n_steps=4, n_paths=128 * k, n_bins=9,
+                )[1]
+            )
         )
 
         if k >= 2:

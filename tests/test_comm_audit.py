@@ -65,14 +65,14 @@ class TestMeshSizeInvariance:
 
     @pytest.mark.slow
     def test_full_audit_table_invariant(self):
-        """All four sharded programs keep their collective instruction
+        """All the sharded programs keep their collective instruction
         counts constant across 2/4/8-device meshes (the PDE marches compile
         a full scan each, hence the slow tier)."""
         table = audit_table(mesh_sizes=(2, 4, 8))
         assert set(table) == {
             "sharded_bs_solve", "sharded_heston_solve",
             "dist_tridiagonal_solve", "sharded_calibration_step",
-            "price_american_lsm_sharded",
+            "price_american_lsm_sharded", "calibrate_leverage_sharded",
         }
         for prog, by_k in table.items():
             counts = list(by_k.values())
@@ -104,3 +104,33 @@ class TestMeshSizeInvariance:
         assert c2 == c8
         assert c2["collective-permute"] == 0
         assert 1 <= c2["all-reduce"] <= 8, c2
+
+
+class TestSLVCalibrationComm:
+    def test_slv_particle_calibration_counts_invariant(self):
+        """The distributed particle method compiles to THREE all-reduce
+        instructions total (the per-step bin-statistics psum lives inside
+        the scan body and is counted once in HLO; the other two are the
+        validation price/stderr moments) — no gathers, no permutes, and
+        the counts are mesh-size invariant."""
+        from pde_tpu.models.heston import HestonParams
+        from pde_tpu.parallel.mc import calibrate_leverage_sharded
+        from pde_tpu.parallel.mesh import make_mesh
+
+        def counts(k):
+            dm = make_mesh(k, axis_names=("dp",), shape=(k,))
+            return collective_counts(
+                lambda: calibrate_leverage_sharded(
+                    HestonParams(2.0, 0.04, 0.3, -0.7, 0.04),
+                    lambda s, t: jnp.full_like(s, 0.2), 100.0, 0.5,
+                    jax.random.PRNGKey(1), dm,
+                    rate=0.05, n_steps=4, n_paths=128 * k, n_bins=9,
+                )[1]
+            )
+
+        c2, c8 = counts(2), counts(8)
+        assert c2 == c8
+        assert c2["all-reduce"] == 3
+        assert c2["all-gather"] == 0
+        assert c2["collective-permute"] == 0
+        assert c2["all-to-all"] == 0
