@@ -288,6 +288,19 @@ def main():
     per = timeit(lv_fn, n=50)
     emit("local_vol_pde_solve_s", per, "solve_s")
 
+    # 1h. SLV particle calibration: leveraged-QE step + binned E[v|S] per
+    # step, one lax.scan end to end
+    from pde_tpu.models import slv as slv_mod
+
+    slv_paths, slv_steps = _n(65536, 512), _n(48, 4)
+    slv_fn = jax.jit(lambda: slv_mod.calibrate_leverage(
+        params, lambda s, t: jnp.full_like(s, 0.2), 100.0, 0.5,
+        jax.random.PRNGKey(0), n_steps=slv_steps, n_paths=slv_paths,
+        n_bins=31, rate=0.05)[0].values)
+    per = timeit(slv_fn, n=20)
+    emit("slv_calibration_particle_steps_per_sec",
+         slv_paths * slv_steps / per, "particle-steps/s")
+
     # 2. SABR throughput -----------------------------------------------------
     from pde_tpu.models import sabr
 
