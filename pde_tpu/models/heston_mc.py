@@ -42,6 +42,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core import qmc
 from ..core.precision import result_dtype
 from .heston import HestonParams
 
@@ -155,9 +156,31 @@ def _qe_k0_star(v, a, b2, p, beta, is_quad, k1, k2, k3, k4):
     return k0 - (k1 + 0.5 * k3) * v
 
 
+def _sampler_scan_inputs(sampler, key, n_steps, antithetic):
+    """Per-step scan inputs for a sampler: PRNG keys (pseudo) or scrambled
+    Sobol direction-number slices + digital shifts (sobol; Matousek LMS+shift
+    randomization keyed by ``key``, dims (2t, 2t+1) feed step t)."""
+    if sampler == "sobol":
+        if antithetic:
+            raise ValueError(
+                "sampler='sobol' already stratifies; antithetic sampling "
+                "does not compose with it — pass antithetic=False"
+            )
+        dv = qmc.sobol_direction_numbers(2 * n_steps)
+        k_lms, k_shift = jax.random.split(key)
+        dv_s = qmc.scramble_direction_numbers(dv, k_lms)
+        shifts = jax.random.bits(k_shift, (2 * n_steps,), dtype=jnp.uint32)
+        return (dv_s.reshape(n_steps, 2, -1), shifts.reshape(n_steps, 2))
+    if sampler != "pseudo":
+        raise ValueError(f"unknown sampler {sampler!r}")
+    return jax.random.split(key, n_steps)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n_steps", "n_paths", "antithetic", "martingale_correction"),
+    static_argnames=(
+        "n_steps", "n_paths", "antithetic", "martingale_correction", "sampler",
+    ),
 )
 def simulate_qe(
     params: HestonParams,
@@ -171,11 +194,15 @@ def simulate_qe(
     dividend=0.0,
     antithetic: bool = True,
     martingale_correction: bool = True,
+    sampler: str = "pseudo",
 ) -> MCPaths:
     """Simulate ``n_paths`` Heston paths to ``maturity`` with the QE scheme.
 
     With ``antithetic=True`` the second half of the path axis mirrors the
     first (``Z -> -Z``, ``U -> 1 - U``); ``n_paths`` must then be even.
+    ``sampler="sobol"`` draws each path as one point of a randomized
+    ``2*n_steps``-dimensional Sobol sequence instead (requires
+    ``antithetic=False``; ``key`` selects the randomization).
     Returns terminal state plus running average/max/min statistics — enough
     for European, Asian, barrier, and lookback payoffs with O(paths) memory.
     """
@@ -198,11 +225,12 @@ def simulate_qe(
         jnp.full((n_paths,), s0, dtype),  # running max (includes S_0)
         jnp.full((n_paths,), s0, dtype),  # running min
     )
-    step_keys = jax.random.split(key, n_steps)
+    step_xs = _sampler_scan_inputs(sampler, key, n_steps, antithetic)
 
     qe_step = _make_qe_step(
         E, c1, c2, theta, k0_plain, k1, k2, k3, k4, drift,
         n_draw, antithetic, martingale_correction, dtype,
+        sampler=sampler, n_paths=n_paths,
     )
 
     def step(state, k_t):
@@ -217,25 +245,40 @@ def simulate_qe(
             jnp.minimum(s_min, s),
         ), None
 
-    (ln_s, v, s_sum, s_max, s_min), _ = jax.lax.scan(step, state0, step_keys)
+    (ln_s, v, s_sum, s_max, s_min), _ = jax.lax.scan(step, state0, step_xs)
     return MCPaths(jnp.exp(ln_s), v, s_sum / n_steps, s_max, s_min)
 
 
 def _make_qe_step(
     E, c1, c2, theta, k0_plain, k1, k2, k3, k4, drift,
     n_draw, antithetic, martingale_correction, dtype,
+    sampler="pseudo", n_paths=None,
 ):
-    """One QE transition (ln_s, v, key) -> (ln_s', v') as a scan-body
+    """One QE transition (ln_s, v, xs_t) -> (ln_s', v') as a scan-body
     closure, shared between the accumulator simulation (:func:`simulate_qe`)
-    and the stored-path simulation (:func:`simulate_qe_paths`)."""
+    and the stored-path simulation (:func:`simulate_qe_paths`).
 
-    def qe_step(ln_s, v, k_t):
-        k_u, k_z = jax.random.split(k_t)
-        u = jax.random.uniform(k_u, (n_draw,), dtype)
-        z_s = jax.random.normal(k_z, (n_draw,), dtype)
-        if antithetic:
-            u = jnp.concatenate([u, 1.0 - u])
-            z_s = jnp.concatenate([z_s, -z_s])
+    ``xs_t`` is the per-step scan input: a PRNG key under the pseudo-random
+    sampler, or a ``(dv_slice (2, 32), shift (2,))`` pair of scrambled Sobol
+    direction numbers + digital shift under ``sampler="sobol"`` (one QMC
+    dimension pair per time step; the path index is the point index).
+    """
+    if sampler == "sobol":
+        g = qmc.gray_codes(n_paths)  # hoisted: point index == path index
+
+    def qe_step(ln_s, v, xs_t):
+        if sampler == "sobol":
+            dv_t, shift_t = xs_t
+            x = qmc.sobol_uint32_from_gray(g, dv_t, shift_t)
+            u = qmc.to_unit(x[:, 0], dtype)
+            z_s = jax.scipy.special.ndtri(qmc.to_unit(x[:, 1], dtype))
+        else:
+            k_u, k_z = jax.random.split(xs_t)
+            u = jax.random.uniform(k_u, (n_draw,), dtype)
+            z_s = jax.random.normal(k_z, (n_draw,), dtype)
+            if antithetic:
+                u = jnp.concatenate([u, 1.0 - u])
+                z_s = jnp.concatenate([z_s, -z_s])
 
         v_new, a, b2, p, beta, is_quad = _qe_variance_draw(
             v, u, E, c1, c2, theta, PSI_CRIT, dtype
@@ -253,7 +296,9 @@ def _make_qe_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_steps", "n_paths", "antithetic", "martingale_correction"),
+    static_argnames=(
+        "n_steps", "n_paths", "antithetic", "martingale_correction", "sampler",
+    ),
 )
 def simulate_qe_paths(
     params: HestonParams,
@@ -267,6 +312,7 @@ def simulate_qe_paths(
     dividend=0.0,
     antithetic: bool = True,
     martingale_correction: bool = True,
+    sampler: str = "pseudo",
 ):
     """Full stored-path QE simulation: returns ``(S, v)`` with shape
     ``(n_steps, n_paths)`` at the monitoring dates t_1 .. t_N = maturity
@@ -290,18 +336,19 @@ def simulate_qe_paths(
     qe_step = _make_qe_step(
         E, c1, c2, theta, k0_plain, k1, k2, k3, k4, drift,
         n_draw, antithetic, martingale_correction, dtype,
+        sampler=sampler, n_paths=n_paths,
     )
 
     ln_s0 = jnp.full((n_paths,), jnp.log(jnp.asarray(spot, dtype)), dtype)
     v0 = jnp.full((n_paths,), jnp.asarray(params.v0, dtype), dtype)
 
-    def step(state, k_t):
+    def step(state, xs_t):
         ln_s, v = state
-        ln_s_new, v_new = qe_step(ln_s, v, k_t)
+        ln_s_new, v_new = qe_step(ln_s, v, xs_t)
         return (ln_s_new, v_new), (ln_s_new, v_new)
 
     _, (ln_s_path, v_path) = jax.lax.scan(
-        step, (ln_s0, v0), jax.random.split(key, n_steps)
+        step, (ln_s0, v0), _sampler_scan_inputs(sampler, key, n_steps, antithetic)
     )
     return jnp.exp(ln_s_path), v_path
 
@@ -326,6 +373,36 @@ def _mc_estimate(discounted, n_paths, antithetic=False):
     return price, stderr
 
 
+def _discounted_payoff(
+    paths, payoff_fn, spot, maturity, rate, dividend, control_variate
+):
+    """Discounted (and optionally control-variate-adjusted) payoff matrix.
+
+    Returns ``(y, squeeze)`` with ``y`` always 2-D ``(n, k)``; ``squeeze``
+    records whether the payoff was scalar-per-path.
+    """
+    dtype = paths.spot.dtype
+    disc = jnp.exp(-jnp.asarray(rate, dtype) * jnp.asarray(maturity, dtype))
+    payoff = jnp.asarray(payoff_fn(paths), dtype)
+    y = disc * payoff
+    squeeze = y.ndim == 1
+    if squeeze:
+        y = y[:, None]
+
+    if control_variate:
+        x = disc * paths.spot
+        x_mean_true = jnp.asarray(spot, dtype) * jnp.exp(
+            -jnp.asarray(dividend, dtype) * jnp.asarray(maturity, dtype)
+        )
+        x_c = x - jnp.mean(x)
+        var_x = jnp.mean(x_c * x_c)
+        b = jnp.mean(x_c[:, None] * (y - jnp.mean(y, axis=0)), axis=0) / (
+            var_x + _TINY
+        )
+        y = y - b[None, :] * (x[:, None] - x_mean_true)
+    return y, squeeze
+
+
 def price_path_payoff_mc(
     params: HestonParams,
     payoff_fn: Callable[[MCPaths], jnp.ndarray],
@@ -340,6 +417,8 @@ def price_path_payoff_mc(
     antithetic: bool = True,
     control_variate: bool = False,
     simulate_fn=None,
+    sampler: str = "pseudo",
+    n_replicates: int = 8,
 ):
     """Price an arbitrary path payoff ``payoff_fn(MCPaths) -> (n_paths, ...)``.
 
@@ -348,39 +427,63 @@ def price_path_payoff_mc(
     scheme, with known mean ``S0 e^{-q T}``) is regressed out of the payoff,
     which typically cuts the variance of delta-one-ish payoffs by 5-50x.
 
+    ``sampler="sobol"`` switches to replicated randomized QMC: the path
+    budget is split into ``n_replicates`` independently scrambled Sobol
+    batches (antithetic is ignored — the net stratification replaces it);
+    the price is the replicate mean and the standard error is estimated
+    across replicate means, which is the statistically sound error estimate
+    for QMC (per-path variance formulas are meaningless for correlated
+    low-discrepancy points).
+
     ``simulate_fn`` swaps the path generator (same signature as
     :func:`simulate_qe`) — e.g. the Bates jump-overlay simulator
     (models/bates.py); the estimator machinery is model-agnostic, and the
     control variate stays valid for any generator whose discounted terminal
-    spot is a martingale (compensated jumps are).
+    spot is a martingale (compensated jumps are).  A ``simulate_fn`` must
+    accept the ``sampler`` keyword to be used with QMC.
     """
-    paths = (simulate_fn or simulate_qe)(
+    sim = simulate_fn or simulate_qe
+    if sampler == "sobol":
+        if n_paths % n_replicates:
+            raise ValueError(
+                f"n_paths={n_paths} not divisible by n_replicates={n_replicates}"
+            )
+        m = n_paths // n_replicates
+
+        squeeze_box = []
+
+        def replicate_mean(k):
+            paths = sim(
+                params, spot, maturity, k,
+                n_steps=n_steps, n_paths=m, rate=rate, dividend=dividend,
+                antithetic=False, sampler="sobol",
+            )
+            y, sq = _discounted_payoff(
+                paths, payoff_fn, spot, maturity, rate, dividend,
+                control_variate,
+            )
+            squeeze_box.append(sq)  # static: identical across replicates
+            return jnp.mean(y, axis=0)
+
+        keys = jax.random.split(key, n_replicates)
+        means = jax.vmap(replicate_mean)(keys)
+        squeeze = squeeze_box[0]
+        price = jnp.mean(means, axis=0)
+        stderr = jnp.std(means, axis=0, ddof=1) / jnp.sqrt(
+            float(n_replicates)
+        )
+        if squeeze:
+            return price[0], stderr[0]
+        return price, stderr
+
+    paths = sim(
         params, spot, maturity, key,
         n_steps=n_steps, n_paths=n_paths, rate=rate, dividend=dividend,
         antithetic=antithetic,
     )
-    dtype = paths.spot.dtype
-    disc = jnp.exp(-jnp.asarray(rate, dtype) * jnp.asarray(maturity, dtype))
-    payoff = jnp.asarray(payoff_fn(paths), dtype)
-    y = disc * payoff
-    if y.ndim == 1:
-        y = y[:, None]
-        squeeze = True
-    else:
-        squeeze = False
-
-    if control_variate:
-        x = disc * paths.spot
-        x_mean_true = jnp.asarray(spot, dtype) * jnp.exp(
-            -jnp.asarray(dividend, dtype) * jnp.asarray(maturity, dtype)
-        )
-        x_c = x - jnp.mean(x)
-        var_x = jnp.mean(x_c * x_c)
-        b = jnp.mean(x_c[:, None] * (y - jnp.mean(y, axis=0)), axis=0) / (
-            var_x + _TINY
-        )
-        y = y - b[None, :] * (x[:, None] - x_mean_true)
-
+    y, squeeze = _discounted_payoff(
+        paths, payoff_fn, spot, maturity, rate, dividend, control_variate
+    )
     price, stderr = _mc_estimate(y, n_paths, antithetic)
     if squeeze:
         return price[0], stderr[0]
@@ -402,6 +505,8 @@ def price_european_mc(
     antithetic: bool = True,
     control_variate: bool = True,
     simulate_fn=None,
+    sampler: str = "pseudo",
+    n_replicates: int = 8,
 ):
     """European vanilla via QE MC.  Cross-validates the Carr-Madan pricer
     (models/heston.py, reference heston.cpp:94-151).  Returns (price, stderr)
@@ -419,7 +524,7 @@ def price_european_mc(
         params, payoff, spot, maturity, key,
         rate=rate, dividend=dividend, n_steps=n_steps, n_paths=n_paths,
         antithetic=antithetic, control_variate=control_variate,
-        simulate_fn=simulate_fn,
+        simulate_fn=simulate_fn, sampler=sampler, n_replicates=n_replicates,
     )
     if jnp.ndim(strikes) == 0:
         return price[0], stderr[0]
@@ -441,6 +546,8 @@ def price_asian_mc(
     antithetic: bool = True,
     control_variate: bool = True,
     simulate_fn=None,
+    sampler: str = "pseudo",
+    n_replicates: int = 8,
 ):
     """Arithmetic-average (Asian) option, averaging over the ``n_steps``
     equispaced monitoring dates t_1..t_N = T.  Returns (price, stderr)."""
@@ -458,7 +565,7 @@ def price_asian_mc(
         params, payoff, spot, maturity, key,
         rate=rate, dividend=dividend, n_steps=n_steps, n_paths=n_paths,
         antithetic=antithetic, control_variate=control_variate,
-        simulate_fn=simulate_fn,
+        simulate_fn=simulate_fn, sampler=sampler, n_replicates=n_replicates,
     )
     if jnp.ndim(strikes) == 0:
         return price[0], stderr[0]
@@ -481,6 +588,8 @@ def price_barrier_mc(
     n_paths: int = 65536,
     antithetic: bool = True,
     simulate_fn=None,
+    sampler: str = "pseudo",
+    n_replicates: int = 8,
 ):
     """Discretely monitored barrier option (monitoring at the ``n_steps``
     simulation dates, including t_0 for the running extrema).
@@ -508,7 +617,7 @@ def price_barrier_mc(
         params, payoff, spot, maturity, key,
         rate=rate, dividend=dividend, n_steps=n_steps, n_paths=n_paths,
         antithetic=antithetic, control_variate=False,
-        simulate_fn=simulate_fn,
+        simulate_fn=simulate_fn, sampler=sampler, n_replicates=n_replicates,
     )
 
 
@@ -526,6 +635,8 @@ def price_lookback_mc(
     n_paths: int = 65536,
     antithetic: bool = True,
     simulate_fn=None,
+    sampler: str = "pseudo",
+    n_replicates: int = 8,
 ):
     """Lookback option on the discretely monitored extremum.
 
@@ -547,5 +658,5 @@ def price_lookback_mc(
         params, payoff, spot, maturity, key,
         rate=rate, dividend=dividend, n_steps=n_steps, n_paths=n_paths,
         antithetic=antithetic, control_variate=False,
-        simulate_fn=simulate_fn,
+        simulate_fn=simulate_fn, sampler=sampler, n_replicates=n_replicates,
     )
