@@ -30,6 +30,7 @@ __all__ = [
     "rho",
     "greeks",
     "implied_vol",
+    "barrier_price",
 ]
 
 
@@ -126,6 +127,89 @@ def greeks(spot, strike, rate, dividend, maturity, vol, is_call=True):
         "theta": theta(spot, strike, rate, dividend, maturity, vol, is_call),
         "rho": rho(spot, strike, rate, dividend, maturity, vol, is_call),
     }
+
+
+@functools.partial(jax.jit, static_argnames=("barrier_type",))
+def barrier_price(
+    spot,
+    strike,
+    barrier,
+    rate,
+    dividend,
+    maturity,
+    vol,
+    barrier_type: str = "up-and-out",
+    is_call=True,
+):
+    """Continuously monitored single-barrier option (Reiner-Rubinstein 1991).
+
+    Zero rebate.  ``barrier_type`` is one of up/down-and-in/out; all model
+    arguments broadcast.  Options already beyond the barrier at t=0 are
+    treated as knocked (out -> 0, in -> vanilla).  The framework's oracle
+    for the Heston barrier PDE (solvers/barrier_pde.py) in the small
+    vol-of-vol limit and a pricing surface the reference platform (which has
+    no exotics engine — its closest is the vanilla chain pricer in
+    data/options.py:118-455) does not offer.
+    """
+    direction, _, inout = barrier_type.partition("-and-")
+    if direction not in ("up", "down") or inout not in ("in", "out"):
+        raise ValueError(f"unknown barrier_type {barrier_type!r}")
+
+    S, K, B, T, sig = jnp.broadcast_arrays(
+        *map(jnp.asarray, (spot, strike, barrier, maturity, vol))
+    )
+    is_call = jnp.broadcast_to(jnp.asarray(is_call), S.shape)
+    phi = jnp.where(is_call, 1.0, -1.0)
+    eta = 1.0 if direction == "down" else -1.0
+
+    vs = sig * jnp.sqrt(T)
+    mu = (rate - dividend) / (sig * sig) - 0.5
+    df_r = jnp.exp(-rate * T)
+    df_q = jnp.exp(-dividend * T)
+
+    x1 = jnp.log(S / K) / vs + (1.0 + mu) * vs
+    x2 = jnp.log(S / B) / vs + (1.0 + mu) * vs
+    y1 = jnp.log(B * B / (S * K)) / vs + (1.0 + mu) * vs
+    y2 = jnp.log(B / S) / vs + (1.0 + mu) * vs
+    pow1 = (B / S) ** (2.0 * (mu + 1.0))
+    pow2 = (B / S) ** (2.0 * mu)
+
+    def _plain(x):
+        return phi * S * df_q * norm_cdf(phi * x) - phi * K * df_r * norm_cdf(
+            phi * (x - vs)
+        )
+
+    def _refl(y):
+        return phi * S * df_q * pow1 * norm_cdf(eta * y) - phi * K * df_r * (
+            pow2 * norm_cdf(eta * (y - vs))
+        )
+
+    A = _plain(x1)
+    Bv = _plain(x2)
+    C = _refl(y1)
+    D = _refl(y2)
+
+    k_above = K > B  # strike above the barrier level
+    if direction == "down":
+        in_val = jnp.where(
+            is_call,
+            jnp.where(k_above, C, A - Bv + D),
+            jnp.where(k_above, Bv - C + D, A),
+        )
+    else:
+        in_val = jnp.where(
+            is_call,
+            jnp.where(k_above, A, Bv - C + D),
+            jnp.where(k_above, A - Bv + D, C),
+        )
+
+    vanilla = price(S, K, rate, dividend, T, sig, is_call)
+    in_val = jnp.clip(in_val, 0.0, vanilla)
+    knocked = (S >= B) if direction == "up" else (S <= B)
+    in_val = jnp.where(knocked, vanilla, in_val)
+    if inout == "in":
+        return in_val
+    return vanilla - in_val
 
 
 def _brenner_subrahmanyam_init(target, spot, strike, rate, dividend, maturity):

@@ -1,4 +1,13 @@
 """PDE solvers: Crank-Nicolson 1D (constant + local vol), Douglas ADI 2D
-(In 't Hout-Foulon boundaries), HJB optimal stopping, Longstaff-Schwartz."""
+(In 't Hout-Foulon boundaries), absorbing-boundary barriers, HJB optimal
+stopping, Longstaff-Schwartz."""
 
-from . import bs_pde, heston_adi, heston_adi_ref, hjb, local_vol_pde, lsm  # noqa: F401
+from . import (  # noqa: F401
+    barrier_pde,
+    bs_pde,
+    heston_adi,
+    heston_adi_ref,
+    hjb,
+    local_vol_pde,
+    lsm,
+)
