@@ -55,6 +55,9 @@ __all__ = [
     "price_barrier_mc",
     "price_lookback_mc",
     "price_path_payoff_mc",
+    "price_forward_start_mc",
+    "price_cliquet_mc",
+    "greeks_european_mc",
 ]
 
 PSI_CRIT = 1.5  # Andersen's psi_c switching threshold (section 3.2.4)
@@ -321,7 +324,13 @@ def _make_qe_step(
             k0 = _qe_k0_star(v, a, b2, p, beta, is_quad, k1, k2, k3, k4)
         else:
             k0 = k0_plain
-        vol = jnp.sqrt(jnp.maximum(k3 * v + k4 * v_new, 0.0))
+        # Safe sqrt: on Feller-violating paths the variance is absorbed at
+        # exactly 0 and sqrt'(0) = inf would turn every parameter tangent
+        # into NaN under jvp (greeks_european_mc).  The double-where keeps
+        # the primal identical and gives the a.e.-correct 0 tangent there.
+        var_s = k3 * v + k4 * v_new
+        pos = var_s > 0.0
+        vol = jnp.where(pos, jnp.sqrt(jnp.where(pos, var_s, 1.0)), 0.0)
         ln_s_new = ln_s + drift + k0 + k1 * v + k2 * v_new + vol * z_s
         return ln_s_new, v_new
 
@@ -720,3 +729,223 @@ def price_lookback_mc(
         antithetic=antithetic, control_variate=False,
         simulate_fn=simulate_fn, sampler=sampler, n_replicates=n_replicates,
     )
+
+
+def _fixing_indices(n_steps: int, maturity, times):
+    """Map fixing times onto the stored-path row grid t_1 .. t_N.
+
+    ``maturity`` and ``times`` must be static Python numbers: fixing dates
+    are contract schedule, not traced data.  Raises if a fixing does not lie
+    (to 1e-9 relative) on the simulation grid — silently snapping would bias
+    the forward-vol exposure the contract is meant to isolate.
+    """
+    mat = float(maturity)
+    idx = []
+    for t in times:
+        frac = float(t) / mat
+        i = int(round(frac * n_steps))
+        if i < 1 or i > n_steps or abs(i / n_steps - frac) > 1e-9:
+            raise ValueError(
+                f"fixing t={t} not on the n_steps={n_steps} grid of "
+                f"maturity={mat}; choose n_steps a multiple of the fixing "
+                "schedule"
+            )
+        idx.append(i - 1)  # stored rows are t_1..t_N
+    return idx
+
+
+def price_forward_start_mc(
+    params: HestonParams,
+    rel_strikes,
+    fixing,
+    maturity,
+    spot,
+    key,
+    *,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    notional=1.0,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    antithetic: bool = True,
+    simulate_paths_fn=None,
+):
+    """Forward-start vanilla: pays ``notional * (S_T/S_{t0} - k)^+`` at T.
+
+    The reference platform prices only spot-started vanillas
+    (src/cpp/models/heston.cpp:94-151); forward-starts are the canonical
+    forward-smile instrument (cliquet legs) and need either the
+    forward characteristic function or a path simulation — here the QE
+    engine, with ``fixing`` (= t0) snapped onto the time grid.
+
+    Because the QE log-spot recursion's increments do not depend on the
+    level, ``S_T/S_{t0}`` is exactly spot-homogeneous: the returned price is
+    independent of ``spot`` (a property test pins this).  Returns
+    ``(price, stderr)`` shaped like ``rel_strikes``.
+    """
+    dtype = result_dtype(spot, maturity, params.kappa)
+    sim = simulate_paths_fn or simulate_qe_paths
+    s_path, _ = sim(
+        params, spot, maturity, key,
+        n_steps=n_steps, n_paths=n_paths, rate=rate, dividend=dividend,
+        antithetic=antithetic,
+    )
+    (i_fix,) = _fixing_indices(n_steps, maturity, [fixing])
+    ratio = s_path[-1] / s_path[i_fix]  # (n_paths,)
+
+    k = jnp.atleast_1d(jnp.asarray(rel_strikes, dtype))
+    sign = jnp.broadcast_to(
+        jnp.where(jnp.asarray(is_call), 1.0, -1.0), k.shape
+    ).astype(dtype)
+    disc = jnp.exp(-jnp.asarray(rate, dtype) * jnp.asarray(maturity, dtype))
+    y = (
+        jnp.asarray(notional, dtype)
+        * disc
+        * jnp.maximum(sign[None, :] * (ratio[:, None] - k[None, :]), 0.0)
+    )
+    price, stderr = _mc_estimate(y, n_paths, antithetic)
+    if jnp.ndim(rel_strikes) == 0:
+        return price[0], stderr[0]
+    return price, stderr
+
+
+def price_cliquet_mc(
+    params: HestonParams,
+    maturity,
+    spot,
+    key,
+    *,
+    n_periods: int = 12,
+    local_floor=0.0,
+    local_cap=0.08,
+    global_floor=0.0,
+    global_cap=None,
+    notional=1.0,
+    rate=0.0,
+    dividend=0.0,
+    n_steps: int | None = None,
+    n_paths: int = 65536,
+    antithetic: bool = True,
+    simulate_paths_fn=None,
+):
+    """Cliquet (ratchet) note: capped/floored sum of period returns.
+
+    Pays ``notional * clip(sum_j clip(S_j/S_{j-1} - 1, lf, lc), gf, gc)`` at
+    maturity over ``n_periods`` equal fixing periods.  The local cap/floor
+    make this a strip of forward-start call spreads — the classic
+    forward-smile-sensitive exotic the reference's spot-started pricers
+    (src/cpp/models/heston.cpp:94-151) cannot express.
+
+    ``n_steps`` defaults to the smallest multiple of ``n_periods`` that is
+    >= 64 so every fixing lies on the simulation grid.  Returns
+    ``(price, stderr)`` scalars.
+    """
+    if n_steps is None:
+        n_steps = max(64, n_periods)
+        n_steps = ((n_steps + n_periods - 1) // n_periods) * n_periods
+    if n_steps % n_periods:
+        raise ValueError(
+            f"n_steps={n_steps} must be a multiple of n_periods={n_periods}"
+        )
+    dtype = result_dtype(spot, maturity, params.kappa)
+    sim = simulate_paths_fn or simulate_qe_paths
+    s_path, _ = sim(
+        params, spot, maturity, key,
+        n_steps=n_steps, n_paths=n_paths, rate=rate, dividend=dividend,
+        antithetic=antithetic,
+    )
+    spp = n_steps // n_periods
+    fix = s_path[spp - 1 :: spp]  # (n_periods, n_paths) at t_1..t_P
+    prev = jnp.concatenate(
+        [jnp.full((1, n_paths), jnp.asarray(spot, dtype), dtype), fix[:-1]],
+        axis=0,
+    )
+    rets = jnp.clip(
+        fix / prev - 1.0,
+        jnp.asarray(local_floor, dtype),
+        jnp.asarray(local_cap, dtype),
+    )
+    total = jnp.sum(rets, axis=0)
+    total = jnp.maximum(total, jnp.asarray(global_floor, dtype))
+    if global_cap is not None:
+        total = jnp.minimum(total, jnp.asarray(global_cap, dtype))
+    disc = jnp.exp(-jnp.asarray(rate, dtype) * jnp.asarray(maturity, dtype))
+    y = jnp.asarray(notional, dtype) * disc * total
+    price, stderr = _mc_estimate(y[:, None], n_paths, antithetic)
+    return price[0], stderr[0]
+
+
+def greeks_european_mc(
+    params: HestonParams,
+    strikes,
+    maturity,
+    spot,
+    key,
+    *,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    antithetic: bool = True,
+    control_variate: bool = True,
+):
+    """Pathwise (AD) Greeks of the QE Monte Carlo European price.
+
+    Forward-mode differentiation of the *whole simulation* — 7 tangents
+    (spot, rate, and the five Heston parameters) ride one pass through the
+    ``lax.scan``, so the marginal cost over pricing is ~7 elementwise
+    streams, with none of the FD truncation error or 2x-per-greek repricing
+    of the reference's bump-and-reprice (src/cpp/models/heston.cpp:169-218).
+
+    Delta is an exact pathwise estimator (the payoff is Lipschitz in spot
+    and the QE log-increments are level-independent).  Parameter greeks
+    (``vega`` = dV/dv0, ``d_kappa``/``d_theta``/``d_sigma``/``d_rho``)
+    differentiate through the QE branch *selection* but not the branch
+    indicator itself, so they carry a small O(discretization) bias — the CF
+    pricer's :func:`pde_tpu.models.heston.greeks_ad` is the exact check.
+    Second-order greeks (gamma) are NOT valid pathwise on a kinked payoff;
+    use ``greeks_ad``.
+
+    Returns a dict of arrays shaped like ``strikes``:
+    ``price, stderr, delta, rho, vega, d_kappa, d_theta, d_sigma, d_rho``.
+    """
+    strikes_a = jnp.atleast_1d(jnp.asarray(strikes))
+    dtype = result_dtype(spot, maturity, params.kappa)
+    p_cast = params._replace(
+        **{f: jnp.asarray(getattr(params, f), dtype) for f in params._fields}
+    )
+
+    def price_fn(spot_, params_, rate_):
+        p, _ = price_european_mc(
+            params_, strikes_a, maturity, spot_, key,
+            rate=rate_, dividend=dividend, is_call=is_call,
+            n_steps=n_steps, n_paths=n_paths, antithetic=antithetic,
+            control_variate=control_variate,
+        )
+        return jnp.atleast_1d(p)
+
+    price, stderr = price_european_mc(
+        p_cast, strikes_a, maturity, spot, key,
+        rate=rate, dividend=dividend, is_call=is_call,
+        n_steps=n_steps, n_paths=n_paths, antithetic=antithetic,
+        control_variate=control_variate,
+    )
+    d_spot, d_params, d_rate = jax.jacfwd(price_fn, argnums=(0, 1, 2))(
+        jnp.asarray(spot, dtype), p_cast, jnp.asarray(rate, dtype)
+    )
+    out = {
+        "price": price,
+        "stderr": stderr,
+        "delta": d_spot,
+        "rho": d_rate,
+        "vega": d_params.v0,  # dV/dv0, matching greeks_ad's convention
+        "d_kappa": d_params.kappa,
+        "d_theta": d_params.theta,
+        "d_sigma": d_params.sigma,
+        "d_rho": d_params.rho,
+    }
+    if jnp.ndim(strikes) == 0:
+        out = {k: v[0] if jnp.ndim(v) else v for k, v in out.items()}
+    return out
