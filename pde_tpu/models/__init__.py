@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     bates,
     black_scholes,
+    forward_start,
     heston,
     heston_mc,
     local_vol,
@@ -14,6 +15,7 @@ from . import (  # noqa: F401
     varswap,
 )
 from .bates import BatesParams  # noqa: F401
+from .forward_start import ForwardStartParams  # noqa: F401
 from .heston import HestonParams  # noqa: F401
 from .ou import OUParams  # noqa: F401
 from .rough_heston import RoughHestonParams  # noqa: F401
