@@ -386,6 +386,32 @@ def main():
     emit("heston_american_lsm_batch128_options_per_sec", B_lsm / per,
          "options/s")
 
+    # 3e. forward-start smile: analytic (chi-square-mixed forward CF) vs the
+    # MC route it cross-validates; the reference has neither
+    from pde_tpu.models import forward_start
+
+    B_fs = _n(256, 8)
+    k_fs = jnp.linspace(0.7, 1.3, B_fs)
+    fs_fn = jax.jit(
+        lambda: forward_start.price_forward_start(
+            params, k_fs, 0.5, 1.0, rate=0.05, dividend=0.02
+        )
+    )
+    per = timeit(fs_fn, n=20)
+    emit("forward_start_analytic_smile256_options_per_sec", B_fs / per,
+         "options/s")
+
+    # 3f. pathwise AD greeks: 7 tangents through the whole QE scan in one pass
+    greeks_fn = jax.jit(
+        lambda: heston_mc.greeks_european_mc(
+            params, jnp.linspace(80.0, 120.0, _n(16, 4)), 1.0, 100.0, mc_key,
+            rate=0.05, dividend=0.02,
+            n_steps=mc_steps, n_paths=_n(1 << 16, 64),
+        )["delta"]
+    )
+    per = timeit(greeks_fn, n=5)
+    emit("heston_mc_ad_greeks_16strike_s", per, "solve_s")
+
     # 4. Heston ADI ----------------------------------------------------------
     from pde_tpu.solvers import heston_adi
 
