@@ -171,6 +171,50 @@ def cmd_varswap(args) -> int:
     return 0
 
 
+def cmd_fwdstart(args) -> int:
+    """Forward-start vanillas / cliquet strips from model parameters
+    (models/forward_start.py analytic route; models/heston_mc.py MC
+    cross-check when --mc-check is given)."""
+    from .models import forward_start
+    from .models.heston import HestonParams
+
+    params = HestonParams(args.kappa, args.theta, args.sigma, args.rho,
+                          args.v0)
+    rows = []
+    for k in args.rel_strikes:
+        price = float(forward_start.price_forward_start(
+            params, k, args.fixing, args.maturity,
+            rate=args.rate, dividend=args.dividend, is_call=not args.put))
+        row = {"rel_strike": k, "price": price}
+        if args.mc_check:
+            import jax
+
+            from .models import heston_mc
+
+            pm, err = heston_mc.price_forward_start_mc(
+                params, k, args.fixing, args.maturity, 100.0,
+                jax.random.PRNGKey(0), rate=args.rate,
+                dividend=args.dividend, is_call=not args.put,
+                n_steps=64, n_paths=65536)
+            row["mc_price"] = float(pm)
+            row["mc_stderr"] = float(err)
+        rows.append(row)
+    out = {"model": "heston", "fixing": args.fixing,
+           "maturity": args.maturity, "forward_starts": rows}
+    if args.cliquet_periods:
+        out["cliquet_strip"] = {
+            "n_periods": args.cliquet_periods,
+            "local_floor": args.local_floor,
+            "local_cap": args.local_cap,
+            "price": float(forward_start.price_cliquet_strip(
+                params, args.maturity, n_periods=args.cliquet_periods,
+                local_floor=args.local_floor, local_cap=args.local_cap,
+                rate=args.rate, dividend=args.dividend)),
+        }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_status(args) -> int:
     system = TradingSystem(load_config(args.config))
     status = system.initialize()
@@ -392,6 +436,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mu-j", dest="mu_j", type=float, default=-0.1)
     p.add_argument("--sigma-j", dest="sigma_j", type=float, default=0.15)
     p.set_defaults(func=cmd_varswap, config=None)
+
+    p = sub.add_parser("fwdstart", help="forward-start vanillas / cliquet strip (forward smile)")
+    p.add_argument("--rel-strikes", dest="rel_strikes", type=float, nargs="+",
+                   default=[0.9, 1.0, 1.1])
+    p.add_argument("--fixing", type=float, default=0.5)
+    p.add_argument("--maturity", type=float, default=1.0)
+    p.add_argument("--rate", type=float, default=0.0)
+    p.add_argument("--dividend", type=float, default=0.0)
+    p.add_argument("--put", action="store_true")
+    p.add_argument("--mc-check", dest="mc_check", action="store_true",
+                   help="also price through the QE MC route")
+    p.add_argument("--cliquet-periods", dest="cliquet_periods", type=int, default=0)
+    p.add_argument("--local-floor", dest="local_floor", type=float, default=0.0)
+    p.add_argument("--local-cap", dest="local_cap", type=float, default=0.08)
+    p.add_argument("--kappa", type=float, default=2.0)
+    p.add_argument("--theta", type=float, default=0.04)
+    p.add_argument("--sigma", type=float, default=0.3)
+    p.add_argument("--rho", type=float, default=-0.7)
+    p.add_argument("--v0", type=float, default=0.04)
+    p.set_defaults(func=cmd_fwdstart, config=None)
 
     p = sub.add_parser("status", help="system component status")
     p.set_defaults(func=cmd_status, config=None)

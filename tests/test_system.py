@@ -205,6 +205,19 @@ class TestCLI:
         assert (heston_out["strikes"][0]["variance_strike"]
                 < rows[0]["variance_strike"])
 
+    def test_fwdstart_command(self, capsys):
+        rc = cli_main(["fwdstart", "--rel-strikes", "0.9", "1.0", "1.1",
+                       "--fixing", "0.5", "--maturity", "1.0",
+                       "--cliquet-periods", "4"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        rows = out["forward_starts"]
+        assert len(rows) == 3
+        # forward-start calls decrease in relative strike
+        assert rows[0]["price"] > rows[1]["price"] > rows[2]["price"] > 0
+        # a 0..8% capped 4-period strip is worth less than 4 * 8% but > 0
+        assert 0 < out["cliquet_strip"]["price"] < 0.32
+
     def test_price_command_cf(self, capsys):
         rc = cli_main(["price", "--method", "cf", "--strikes", "90", "100", "110"])
         assert rc == 0
