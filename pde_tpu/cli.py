@@ -109,6 +109,26 @@ def cmd_price(args) -> int:
         out["delta"] = np.asarray(res.delta).tolist()
         out["gamma"] = np.asarray(res.gamma).tolist()
         out["american"] = args.american
+    elif args.method == "digital":
+        import jax.numpy as jnp
+
+        from .models import digital, heston
+
+        params = heston.HestonParams(
+            kappa=args.kappa, theta=args.theta, sigma=args.sigma,
+            rho=args.rho, v0=args.v0,
+        )
+        k = jnp.asarray(strikes)
+        p1, p2 = digital.probabilities(
+            params, k, args.maturity, args.spot, args.rate, args.dividend)
+        out["cash"] = np.asarray(digital.price(
+            params, k, args.maturity, args.spot, args.rate, args.dividend,
+            is_call=not args.put, kind="cash")).tolist()
+        out["asset"] = np.asarray(digital.price(
+            params, k, args.maturity, args.spot, args.rate, args.dividend,
+            is_call=not args.put, kind="asset")).tolist()
+        out["p1"] = np.asarray(p1).tolist()
+        out["p2"] = np.asarray(p2).tolist()
     else:  # greeks
         import jax
 
@@ -409,8 +429,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--popsize", type=int, default=15)
     p.set_defaults(func=cmd_calibrate, config=None)
 
-    p = sub.add_parser("price", help="price a strike grid (Heston CF/PDE/AD-Greeks)")
-    p.add_argument("--method", choices=("cf", "pde", "greeks"), default="cf")
+    p = sub.add_parser("price", help="price a strike grid (Heston CF/PDE/AD-Greeks/digitals)")
+    p.add_argument("--method", choices=("cf", "pde", "greeks", "digital"), default="cf")
     p.add_argument("--strikes", type=float, nargs="+", default=[90.0, 100.0, 110.0])
     p.add_argument("--spot", type=float, default=100.0)
     p.add_argument("--maturity", type=float, default=1.0)

@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     bates,
     black_scholes,
+    digital,
     forward_start,
     heston,
     heston_mc,

@@ -31,6 +31,9 @@ __all__ = [
     "greeks",
     "implied_vol",
     "barrier_price",
+    "digital_price",
+    "no_touch_prob",
+    "touch_price",
 ]
 
 
@@ -210,6 +213,66 @@ def barrier_price(
     if inout == "in":
         return in_val
     return vanilla - in_val
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def digital_price(spot, strike, rate, dividend, maturity, vol, is_call=True,
+                  kind: str = "cash"):
+    """Digital (binary) option closed form.
+
+    ``kind="cash"``: pays 1 at expiry if in the money —
+    ``e^{-rT} N(±d2)``.  ``kind="asset"``: pays S_T —
+    ``S e^{-qT} N(±d1)``.  Broadcasts over all arguments.  The
+    Black-Scholes oracle for the Gil-Pelaez digitals in
+    :mod:`.digital` (small vol-of-vol limit).
+    """
+    if kind not in ("cash", "asset"):
+        raise ValueError(f"kind must be 'cash' or 'asset', got {kind!r}")
+    d1, d2 = _d1_d2(spot, strike, rate, dividend, maturity, vol)
+    sign = jnp.where(jnp.asarray(is_call), 1.0, -1.0)
+    if kind == "cash":
+        return jnp.exp(-rate * maturity) * norm_cdf(sign * d2)
+    return spot * jnp.exp(-dividend * maturity) * norm_cdf(sign * d1)
+
+
+@jax.jit
+def no_touch_prob(spot, barrier, rate, dividend, maturity, vol):
+    """Risk-neutral probability the GBM path NEVER touches ``barrier``
+    on [0, T] (continuous monitoring), by the reflection principle.
+
+    With X_t = ln(S_t/S_0) = nu t + vol W_t, nu = r - q - vol^2/2, and
+    b = ln(B/S0):
+
+      up   (b > 0):  P(max X <= b) = N((b - nu T)/s) - e^{2 nu b / vol^2} N((-b - nu T)/s)
+      down (b < 0):  P(min X >= b) = N((nu T - b)/s) - e^{2 nu b / vol^2} N((b + nu T)/s)
+
+    with s = vol sqrt(T).  A barrier already touched at t=0 gives 0.
+    Broadcasts over all arguments.
+    """
+    S, B, T, sig = jnp.broadcast_arrays(
+        *map(jnp.asarray, (spot, barrier, maturity, vol))
+    )
+    nu = rate - dividend - 0.5 * sig * sig
+    b = jnp.log(B / S)
+    s = sig * jnp.sqrt(T)
+    refl = jnp.exp(2.0 * nu * b / (sig * sig))
+    p_up = norm_cdf((b - nu * T) / s) - refl * norm_cdf((-b - nu * T) / s)
+    p_down = norm_cdf((nu * T - b) / s) - refl * norm_cdf((b + nu * T) / s)
+    p = jnp.where(b > 0.0, p_up, p_down)
+    return jnp.clip(jnp.where(b == 0.0, 0.0, p), 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("touch",))
+def touch_price(spot, barrier, rate, dividend, maturity, vol,
+                touch: bool = True):
+    """One-touch (``touch=True``) / no-touch cash digital paying 1 at
+    EXPIRY, continuously monitored:  ``e^{-rT} P(hit)`` /
+    ``e^{-rT} P(no hit)`` with the reflection-principle probability from
+    :func:`no_touch_prob`.  (Pay-at-hit variants discount from the hitting
+    time and are a different closed form — not offered here.)"""
+    p_no = no_touch_prob(spot, barrier, rate, dividend, maturity, vol)
+    p = 1.0 - p_no if touch else p_no
+    return jnp.exp(-jnp.asarray(rate) * jnp.asarray(maturity)) * p
 
 
 def _brenner_subrahmanyam_init(target, spot, strike, rate, dividend, maturity):

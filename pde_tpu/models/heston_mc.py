@@ -690,6 +690,113 @@ def price_barrier_mc(
     )
 
 
+def price_digital_mc(
+    params: HestonParams,
+    strikes,
+    maturity,
+    spot,
+    key,
+    *,
+    rate=0.0,
+    dividend=0.0,
+    is_call=True,
+    kind: str = "cash",
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    antithetic: bool = True,
+    simulate_fn=None,
+    sampler: str = "pseudo",
+    n_replicates: int = 8,
+):
+    """Digital (binary) option via QE MC.  Returns (price, stderr).
+
+    ``kind="cash"`` pays 1 at expiry in the money; ``kind="asset"`` pays
+    S_T.  MC twin of the Gil-Pelaez semi-analytic pricer
+    (models/digital.py) — the payoff indicator is discontinuous, so use
+    the analytic pricer (or its AD) for Greeks; this estimator is for
+    price cross-checks and models with no tractable CF (simulate_fn).
+    """
+    if kind not in ("cash", "asset"):
+        raise ValueError(f"kind must be 'cash' or 'asset', got {kind!r}")
+    strikes_a = jnp.atleast_1d(jnp.asarray(strikes))
+    sign = jnp.broadcast_to(
+        jnp.where(jnp.asarray(is_call), 1.0, -1.0), strikes_a.shape
+    )
+
+    def payoff(paths: MCPaths):
+        in_money = sign * (paths.spot[:, None] - strikes_a) > 0.0
+        unit = paths.spot[:, None] if kind == "asset" else 1.0
+        return jnp.where(in_money, unit, 0.0)
+
+    price_, se = price_path_payoff_mc(
+        params, payoff, spot, maturity, key,
+        rate=rate, dividend=dividend, n_steps=n_steps, n_paths=n_paths,
+        antithetic=antithetic, control_variate=(kind == "asset"),
+        simulate_fn=simulate_fn, sampler=sampler, n_replicates=n_replicates,
+    )
+    if jnp.ndim(strikes) == 0:
+        return price_[0], se[0]
+    return price_, se
+
+
+def price_touch_mc(
+    params: HestonParams,
+    barrier,
+    maturity,
+    spot,
+    key,
+    *,
+    touch: bool = True,
+    rate=0.0,
+    dividend=0.0,
+    n_steps: int = 64,
+    n_paths: int = 65536,
+    antithetic: bool = True,
+    sampler: str = "pseudo",
+    n_replicates: int = 8,
+    continuity_correction: bool = True,
+):
+    """One-touch / no-touch cash digital paying 1 at EXPIRY, via QE MC.
+    Returns (price, stderr).
+
+    The barrier direction is inferred from ``barrier`` vs ``spot`` (up if
+    above).  Default ``continuity_correction=True`` prices the
+    *continuously* monitored contract by weighting each path with its
+    Brownian-bridge no-touch probability (same machinery as
+    :func:`price_barrier_mc`); ``False`` gives the discretely monitored
+    contract on the ``n_steps`` dates.  Black-Scholes oracle:
+    ``black_scholes.touch_price`` (matched in the small vol-of-vol limit
+    in tests/test_digital.py).
+    """
+    direction = "up" if float(barrier) > float(spot) else "down"
+
+    if continuity_correction:
+        simulate_fn = functools.partial(
+            simulate_qe, barrier=barrier, barrier_direction=direction
+        )
+
+        def payoff(paths: MCPaths):
+            return 1.0 - paths.survival if touch else paths.survival
+
+    else:
+        simulate_fn = None
+
+        def payoff(paths: MCPaths):
+            if direction == "up":
+                hit = paths.s_max >= barrier
+            else:
+                hit = paths.s_min <= barrier
+            want = hit if touch else ~hit
+            return jnp.where(want, 1.0, 0.0)
+
+    return price_path_payoff_mc(
+        params, payoff, spot, maturity, key,
+        rate=rate, dividend=dividend, n_steps=n_steps, n_paths=n_paths,
+        antithetic=antithetic, control_variate=False,
+        simulate_fn=simulate_fn, sampler=sampler, n_replicates=n_replicates,
+    )
+
+
 def price_lookback_mc(
     params: HestonParams,
     maturity,

@@ -81,12 +81,14 @@ class HestonPDEParams(NamedTuple):
     # Toivanen operator splitting with an explicit exercise-premium
     # multiplier — the rigorous LCP treatment for ADI schemes
     american_method: str = "projection"
-    # ADI splitting family: "douglas" (default; this build's scheme) or
+    # ADI splitting family: "douglas" (default; this build's scheme),
     # "craig_sneyd" — the reference's family (explicit mixed step + second
-    # corrector pass, heston_pde.hpp:245-248), offered for scheme-level
-    # comparison experiments.  Identical stable limits for these
-    # coefficients; CS costs one extra pair of implicit sweeps per step for
-    # formally better time accuracy on the mixed term.
+    # corrector pass, heston_pde.hpp:245-248) — or "hv"
+    # (Hundsdorfer-Verwer: full-operator corrector with the second sweep
+    # pair anchored at the predictor; second-order including the mixed
+    # term, the strongest damping of the three).  Identical stable limits
+    # for these coefficients; CS/HV cost one extra pair of implicit sweeps
+    # per step for formally better time accuracy on the mixed term.
     scheme: str = "douglas"
 
 
@@ -268,6 +270,19 @@ def _solve_core(
             a0Y = _apply_a0(Y2, v_grid, dx, dv, rho, sigma)
             Y0_tilde = Y0 + 0.5 * dt * (a0Y - a0V)
             Y2 = _sweeps(Y0_tilde, a1V, a2V)
+        elif scheme == "hv":
+            # Hundsdorfer-Verwer: re-evaluate the FULL operator at the
+            # predictor (mu = 1/2) and run the second implicit sweep pair
+            # anchored at the predictor, not at V — second-order in time
+            # including the mixed term, with stronger damping than
+            # Craig-Sneyd (In 't Hout & Foulon 2010, scheme (2.9))
+            a0Y = _apply_a0(Y2, v_grid, dx, dv, rho, sigma)
+            a1Y = _apply_a1(Y2, a1_lower, a1_diag, a1_upper)
+            a2Y = _apply_a2(Y2, a2_lower, a2_diag, a2_upper)
+            Y0_tilde = Y0 + 0.5 * dt * (
+                (a0Y + a1Y + a2Y) - (a0V + a1V + a2V)
+            )
+            Y2 = _sweeps(Y0_tilde, a1Y, a2Y)
         return Y2
 
     use_it = american and american_method == "it_lcp"
@@ -352,7 +367,7 @@ def _validate_params(params: HestonPDEParams) -> None:
         raise ValueError("|rho| must be < 1")
     if params.v0 <= 0 or params.T <= 0 or params.K <= 0:
         raise ValueError("v0, T, K must be positive")
-    if params.scheme not in ("douglas", "craig_sneyd"):
+    if params.scheme not in ("douglas", "craig_sneyd", "hv"):
         raise ValueError(f"unknown ADI scheme {params.scheme!r}")
 
 

@@ -477,6 +477,52 @@ class TestCraigSneydScheme:
         assert float(am.price) >= float(eu.price) - 1e-9
         assert float(am.price) >= 10.0 - 1e-9  # >= intrinsic
 
+    def test_hundsdorfer_verwer_close_to_douglas_and_truth(self):
+        from pde_tpu.models import heston as hm
+        from pde_tpu.solvers import heston_adi
+
+        hp = heston_adi.HestonPDEParams(q=0.02, n_spot=80, n_vol=40, n_time=60)
+        d = heston_adi.solve(hp, 100.0)
+        hv = heston_adi.solve(hp._replace(scheme="hv"), 100.0)
+        truth = float(hm.price_accurate(
+            hm.HestonParams(2.0, 0.04, 0.3, -0.7, 0.04), 100.0, 1.0, 100.0, 0.05, 0.02
+        ))
+        assert abs(float(d.price) - float(hv.price)) < 0.01
+        assert abs(float(hv.price) - truth) / truth < 0.01
+
+    def test_hv_american_dominates_european(self):
+        from pde_tpu.solvers import heston_adi
+
+        base = heston_adi.HestonPDEParams(
+            is_call=False, r=0.08, q=0.0, scheme="hv",
+            n_spot=60, n_vol=24, n_time=30,
+        )
+        eu = heston_adi.solve(base, 90.0)
+        am = heston_adi.solve(base._replace(american=True), 90.0)
+        assert float(am.price) >= float(eu.price) - 1e-9
+        assert float(am.price) >= 10.0 - 1e-9  # >= intrinsic
+
+    def test_hv_time_convergence_not_worse_than_douglas(self):
+        """Halving dt: HV's error vs its own fine-dt limit shrinks at least
+        as fast as Douglas' (both are second order here; HV keeps it with
+        the mixed term active, rho != 0)."""
+        from pde_tpu.solvers import heston_adi
+
+        def err(scheme):
+            hp = heston_adi.HestonPDEParams(
+                q=0.02, n_spot=60, n_vol=30, scheme=scheme)
+            fine = float(heston_adi.solve(hp._replace(n_time=160), 100.0).price)
+            return (
+                abs(float(heston_adi.solve(hp._replace(n_time=10), 100.0).price) - fine),
+                abs(float(heston_adi.solve(hp._replace(n_time=20), 100.0).price) - fine),
+            )
+
+        e10_hv, e20_hv = err("hv")
+        # second-order in dt: quartering (with slack for the fine-limit ref)
+        assert e20_hv < e10_hv / 2.5
+        e10_d, _ = err("douglas")
+        assert e10_hv < e10_d * 1.5  # HV no worse at coarse dt
+
     def test_unknown_scheme_rejected(self):
         from pde_tpu.solvers import heston_adi
 

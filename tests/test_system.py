@@ -234,6 +234,17 @@ class TestCLI:
         out = json.loads(capsys.readouterr().out)
         assert out["american"] and out["prices"][0] >= 10.0  # >= intrinsic
 
+    def test_price_command_digital(self, capsys):
+        rc = cli_main(["price", "--method", "digital",
+                       "--strikes", "90", "100", "110"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        cash, asset = out["cash"], out["asset"]
+        # digitals decrease in strike; probabilities in (0,1), P1 > P2
+        assert cash[0] > cash[1] > cash[2] > 0
+        assert asset[0] > asset[1] > asset[2] > 0
+        assert all(0 < p2 < p1 < 1 for p1, p2 in zip(out["p1"], out["p2"]))
+
     @pytest.mark.slow
     def test_price_command_greeks(self, capsys):
         rc = cli_main(["price", "--method", "greeks", "--strikes", "100"])
