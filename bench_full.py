@@ -249,6 +249,16 @@ def main():
     per = timeit(bates_fn, n=200)
     emit("bates_pricing_grouped_options_per_sec", n_opts / per, "options/s")
 
+    # 1e2. digital book: grouped Gil-Pelaez cash digitals on the same flat
+    # chain — two CF contours (u and u-i) per maturity shared across
+    # strikes.  No reference counterpart (no digital pricer there).
+    from pde_tpu.models import digital
+
+    dig_fn = jax.jit(lambda: digital.price_grouped(
+        params, strikes, idxb_j, uTb_j, 100.0, 0.05, 0.02))
+    per = timeit(dig_fn, n=200)
+    emit("digital_pricing_grouped_options_per_sec", n_opts / per, "options/s")
+
     # 1f. volatility derivatives: VIX-style strip on a dense OTM chain and
     # the exact vol-swap strike (Laplace-transform Gauss-Legendre)
     from pde_tpu.models import varswap

@@ -118,6 +118,68 @@ def price(params, strike, maturity, spot, rate=0.0, dividend=0.0,
     return fwd_df * jnp.where(call, p1, 1.0 - p1)
 
 
+def _gil_pelaez_probs_grouped(params, strikes, t_idx, unique_T, spot, rate,
+                              dividend, n_per_panel):
+    """(P1, P2) with the CF rows SHARED per unique maturity (two rows per
+    maturity — the u and u-i contours), mirroring
+    :func:`.heston._carr_madan_grouped_sum`: an N-option book with M
+    maturities costs 2*M*n CF evaluations instead of 2*N*n."""
+    rdt = result_dtype(strikes, unique_T, spot)
+    cdt = complex_dtype_for(rdt)
+    strikes = jnp.asarray(strikes, dtype=rdt)
+    uT = jnp.asarray(unique_T, dtype=rdt)
+    spot = jnp.asarray(spot, dtype=rdt)
+
+    v_np, w_np = _accurate_gl_rule(n_per_panel)
+    v = jnp.asarray(v_np, dtype=rdt)
+    w = jnp.asarray(w_np, dtype=rdt)
+    u = v.astype(cdt)
+
+    Tm = uT[:, None]  # (M, 1)
+    one = jnp.asarray(1.0 + 0.0j, dtype=cdt)
+    cf2 = jnp.where(Tm <= 0.0, one, _cf_reduced(params, u, Tm, rdt, cdt))
+    cf1 = jnp.where(Tm <= 0.0, one, _cf_reduced(params, u - 1j, Tm, rdt, cdt))
+    # fold the GL weight and the 1/(iu) kernel into the maturity rows
+    scale = (w / v).astype(cdt) * (-1j)
+    cfw2 = cf2 * scale  # (M, n)
+    cfw1 = cf1 * scale
+
+    T = uT[t_idx]
+    x = jnp.log(spot / strikes) + (rate - dividend) * T
+    vx = v * x[..., None]  # (..., n)
+    cos_vx, sin_vx = jnp.cos(vx), jnp.sin(vx)
+
+    g2 = cfw2[t_idx]
+    g1 = cfw1[t_idx]
+    inv_pi = jnp.asarray(1.0 / jnp.pi, dtype=rdt)
+    p2 = 0.5 + inv_pi * jnp.sum(g2.real * cos_vx - g2.imag * sin_vx, axis=-1)
+    p1 = 0.5 + inv_pi * jnp.sum(g1.real * cos_vx - g1.imag * sin_vx, axis=-1)
+    return (jnp.clip(p1, 0.0, 1.0), jnp.clip(p2, 0.0, 1.0),
+            strikes, T, spot, rdt)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_per_panel"))
+def price_grouped(params, strikes, t_idx, unique_T, spot, rate=0.0,
+                  dividend=0.0, is_call=True, kind: str = "cash",
+                  n_per_panel: int = 40):
+    """:func:`price` with the CF shared per unique maturity — the fast path
+    for digital books (flat chain vectors with a ``group_maturities``
+    index, same convention as :func:`.heston.price_accurate_grouped`)."""
+    if kind not in ("cash", "asset"):
+        raise ValueError(f"kind must be 'cash' or 'asset', got {kind!r}")
+    p1, p2, strikes_b, T, spot_a, rdt = _gil_pelaez_probs_grouped(
+        params, strikes, t_idx, unique_T, spot, rate, dividend, n_per_panel
+    )
+    call = jnp.broadcast_to(jnp.asarray(is_call), p2.shape)
+    if kind == "cash":
+        return jnp.exp(-jnp.asarray(rate, dtype=rdt) * T) * jnp.where(
+            call, p2, 1.0 - p2
+        )
+    return spot_a * jnp.exp(-jnp.asarray(dividend, dtype=rdt) * T) * jnp.where(
+        call, p1, 1.0 - p1
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("n_per_panel",))
 def european_from_digitals(params, strike, maturity, spot, rate=0.0,
                            dividend=0.0, is_call=True, n_per_panel: int = 40):

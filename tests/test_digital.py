@@ -89,6 +89,24 @@ def test_probability_shape_and_monotonicity():
     assert np.all(np.asarray(p1) > np.asarray(p2))
 
 
+def test_grouped_matches_ungrouped():
+    # flat book: 64 strikes x 4 maturities, mixed calls/puts
+    rng = np.random.default_rng(5)
+    Ts = np.asarray([0.25, 0.5, 1.0, 2.0])
+    t_idx = np.repeat(np.arange(4), 16)
+    ks = jnp.asarray(rng.uniform(80.0, 120.0, 64))
+    mats = jnp.asarray(Ts[t_idx])
+    is_call = jnp.asarray(rng.integers(0, 2, 64).astype(bool))
+    for kind in ("cash", "asset"):
+        grouped = digital.price_grouped(
+            P, ks, jnp.asarray(t_idx), jnp.asarray(Ts), 100.0, R, Q,
+            is_call=is_call, kind=kind)
+        plain = digital.price(P, ks, mats, 100.0, R, Q,
+                              is_call=is_call, kind=kind)
+        np.testing.assert_allclose(
+            np.asarray(grouped), np.asarray(plain), rtol=1e-12, atol=1e-12)
+
+
 def test_digital_greeks_ad():
     # the analytic pricer is differentiable: d(cash call)/dS > 0, finite
     g = jax.grad(
