@@ -59,6 +59,7 @@ def _load_measured_baselines():
         out["heston_adi_vmapped16_steps_per_sec"] = 100.0 / pde_s
         out["heston_adi_fused_solve_s"] = pde_s
         out["heston_adi_batch108_options_per_sec"] = 1.0 / pde_s
+        out["heston_adi_mixed_book_options_per_sec"] = 1.0 / pde_s
         out["heston_adi_fused_batch512_options_per_sec"] = 1.0 / pde_s
     if "heston_pde_amer_solve_ms" in micro:
         out["heston_american_lcp_solve_s"] = micro["heston_pde_amer_solve_ms"] / 1000.0
@@ -76,6 +77,20 @@ def _load_measured_baselines():
         # favorable to the reference, since American adds a projection pass
         out["bs_american_book512_options_per_sec"] = (
             1000.0 / micro["bs_pde_solve_ms"])
+        # local-vol march baselines: the reference's measured CONSTANT-
+        # coefficient CN solve on the same 200x100 grid — a lower bound for
+        # its generalized time-dependent march (black_scholes_pde.hpp:
+        # 234-274 rebuilds the operator per step), i.e. favorable to it
+        out["local_vol_pde_fused_solve_s"] = micro["bs_pde_solve_ms"] / 1000.0
+        out["local_vol_pde_fused_book256_options_per_sec"] = (
+            1000.0 / micro["bs_pde_solve_ms"])
+    if "sabr_calibration" in m:
+        sab = m["sabr_calibration"]
+        out["sabr_smile_calibration_s"] = sab["smile_fit_ms"] / 1000.0
+        out["sabr_surface_calibration_s"] = sab["surface_fit_s"]
+        # the reference fits smiles serially
+        out["sabr_batched_calibration_smiles_per_sec"] = (
+            1000.0 / sab["smile_fit_ms"])
     if "calibration_108" in m:
         out["heston_surface_calibration_wall_s"] = m["calibration_108"]["wall_s"]
         # the reference calibrates surfaces serially
@@ -88,8 +103,33 @@ def _load_measured_baselines():
 _MEASURED = _load_measured_baselines()
 
 
+class TimedValue(float):
+    """The best-of-trials number, carrying the per-trial samples so emit()
+    can attach median/min/max spread fields (round-2 verdict: cross-refresh
+    dispersion — e.g. the OU rows' 5x swings with tunnel state — was
+    unquantified).  Dividing a scalar by a TimedValue (the universal
+    per-rep-time -> throughput transform in this file) propagates the
+    samples through the same transform, so the spread is always reported
+    in the metric's own units."""
+
+    def __new__(cls, value, samples):
+        obj = super().__new__(cls, value)
+        obj.samples = [float(s) for s in samples]
+        return obj
+
+    def __rtruediv__(self, other):
+        return TimedValue(float(other) / float(self),
+                          [float(other) / s for s in self.samples])
+
+
 def emit(metric, value, unit, baseline=None):
-    row = {"metric": metric, "value": round(value, 6), "unit": unit}
+    row = {"metric": metric, "value": round(float(value), 6), "unit": unit}
+    if isinstance(value, TimedValue) and len(value.samples) > 1:
+        ss = sorted(value.samples)
+        row["value_median"] = round(float(np.median(ss)), 6)
+        row["value_min"] = round(ss[0], 6)
+        row["value_max"] = round(ss[-1], 6)
+        row["n_trials"] = len(ss)
     if metric in _MEASURED:
         baseline = _MEASURED[metric]
         row["baseline"] = "reference_measured"
@@ -142,7 +182,7 @@ def timeit(fn, n=20, trials=3):
         _pull(out)
         return time.perf_counter() - t0
 
-    best = float("inf")
+    pers = []
     fallback = float("inf")
     for _ in range(trials):
         t_small = run(2)
@@ -152,11 +192,14 @@ def timeit(fn, n=20, trials=3):
         # batch-size difference (fast section, noisy tunnel) — that trial
         # carries no information, so drop it rather than clamp it
         if per > 0:
-            best = min(best, per)
+            pers.append(per)
         fallback = min(fallback, t_large / (n + 2))
+    if pers:
+        return TimedValue(min(pers), pers)
     # all trials invalid: fall back to the un-differenced per-rep time
     # (upper bound — includes one pull RTT amortized over n+2 reps)
-    return best if best < float("inf") else max(fallback, 1e-9)
+    fb = max(fallback, 1e-9)
+    return TimedValue(fb, [fb])
 
 
 def main():
@@ -298,6 +341,29 @@ def main():
     per = timeit(lv_fn, n=50)
     emit("local_vol_pde_solve_s", per, "solve_s")
 
+    # 1g2. the fused local-vol march (ops/cn1d_tv_fused): sigma(s,t) lattice
+    # and all per-step diagonals precomputed in one tensor op, whole march
+    # in one Pallas kernel with per-step coefficient rows streamed from HBM
+    lv_fused_fn = lambda: local_vol_pde.solve_fused(
+        interp_lv, 100.0, K=100.0, T=1.0, r=0.04, q=0.01, is_call=True,
+        n_space=lv_ns, n_time=lv_nt, interpret=SMOKE).price
+    per = timeit(lv_fused_fn, n=50)
+    emit("local_vol_pde_fused_solve_s", per, "solve_s")
+
+    # 1g3. a whole mixed book on ONE Dupire surface through the fused march
+    # (strikes x maturities, calls and puts, riding the 128 VPU lanes); the
+    # reference would loop its generalized C++ march once per contract
+    B_lv = _n(256, 8)
+    K_lvb = jnp.asarray(np.linspace(70.0, 140.0, B_lv), f32)
+    T_lvb = jnp.asarray(np.linspace(0.25, 1.5, B_lv), f32)
+    c_lvb = jnp.asarray((np.arange(B_lv) % 2).astype(np.float32))
+    lv_book_fn = lambda: local_vol_pde.solve_fused_batch(
+        interp_lv, 100.0, K=K_lvb, T=T_lvb, is_call=c_lvb, r=0.04, q=0.01,
+        n_space=lv_ns, n_time=lv_nt, interpret=SMOKE).price
+    per = timeit(lv_book_fn, n=10)
+    emit("local_vol_pde_fused_book256_options_per_sec", B_lv / per,
+         "options/s")
+
     # 1h. SLV particle calibration: leveraged-QE step + binned E[v|S] per
     # step, one lax.scan end to end
     from pde_tpu.models import slv as slv_mod
@@ -320,6 +386,75 @@ def main():
     sabr_fn = jax.jit(lambda: sabr.implied_volatilities(ks, 100.0, 1.0, sp))
     per = timeit(sabr_fn, n=400)
     emit("sabr_vols_per_sec", n_v / per, "vols/s", baseline=100_000)  # 10us/calc
+
+    # 2b. SABR CALIBRATION (BASELINE config #2's fit stage; round-2 verdict
+    # #4: the fit existed but carried no wall-clock row).  Jitted bounded-LM
+    # over (alpha, rho, nu), raced against the reference's scipy SLSQP
+    # driven through its own compiled C++ Hagan evaluator
+    # (benchmarks/run_reference_bench.py measure_sabr_calibration; design
+    # targets <1 s/smile, <10 s/surface at design-doc.md:695-696).
+    from pde_tpu.calibrate.sabr import SABRCalibrator
+
+    scal = SABRCalibrator(beta=0.5)
+    struth = sabr.SABRParams(0.25, 0.5, -0.35, 0.45)
+    n_sk = 11
+    sk = np.linspace(80.0, 120.0, n_sk)
+    F_1 = 100.0 * float(np.exp(0.03 * 1.0))
+    smile_vols = np.asarray(jax.jit(
+        lambda: sabr.implied_volatilities(jnp.asarray(sk, f32), F_1, 1.0,
+                                          struth))())
+    scal.calibrate_single_maturity(sk, smile_vols, F_1, 1.0)  # warm: compile
+    t0 = time.perf_counter()
+    n_reps = _n(20, 1)
+    for _ in range(n_reps):
+        sp_fit, rmse_fit = scal.calibrate_single_maturity(
+            sk, smile_vols, F_1, 1.0)
+    per = (time.perf_counter() - t0) / n_reps
+    if not SMOKE:
+        assert rmse_fit < 1e-4, rmse_fit
+    emit("sabr_smile_calibration_s", per, "fit_s")
+
+    # 2c. 10-maturity surface through calibrate() (regular-surface fast
+    # path: every smile in one vmapped jitted call + one device pull)
+    n_smat = 10
+    T_sab = np.linspace(0.1, 2.0, n_smat)
+    F_sab = 100.0 * np.exp(0.03 * T_sab)
+    surf_vols = np.asarray(jax.jit(lambda: jax.vmap(
+        lambda F, T: sabr.implied_volatilities(jnp.asarray(sk, f32), F, T,
+                                               struth)
+    )(jnp.asarray(F_sab, f32), jnp.asarray(T_sab, f32)))())
+    chain_sab = {
+        "strike": np.tile(sk, n_smat),
+        "T": np.repeat(T_sab, n_sk),
+        "implied_vol": surf_vols.ravel(),
+    }
+    scal.calibrate(chain_sab, F0=100.0, r=0.03, q=0.0)  # warm: compile
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        sres = scal.calibrate(chain_sab, F0=100.0, r=0.03, q=0.0)
+    per = (time.perf_counter() - t0) / n_reps
+    if not SMOKE:
+        assert max(sres.rmse_by_maturity.values()) < 1e-4
+    emit("sabr_surface_calibration_s", per, "fit_s")
+
+    # 2d. a BOOK of surfaces: M smiles in one vmapped fit (the batch axis
+    # is the TPU design point; the reference fits smiles serially)
+    M_sab = _n(64, 4)
+    Tm = np.linspace(0.1, 2.0, M_sab)
+    Fm = 100.0 * np.exp(0.03 * Tm)
+    vols_m = np.asarray(jax.jit(lambda: jax.vmap(
+        lambda F, T: sabr.implied_volatilities(jnp.asarray(sk, f32), F, T,
+                                               struth)
+    )(jnp.asarray(Fm, f32), jnp.asarray(Tm, f32)))())
+    s_mat = np.tile(sk, (M_sab, 1))
+    scal.calibrate_surface_batch(s_mat, vols_m, Fm, Tm)  # warm: compile
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        out_b = scal.calibrate_surface_batch(s_mat, vols_m, Fm, Tm)
+    per = (time.perf_counter() - t0) / n_reps
+    if not SMOKE:
+        assert float(np.max(np.asarray(out_b["rmse"]))) < 1e-4
+    emit("sabr_batched_calibration_smiles_per_sec", M_sab / per, "smiles/s")
 
     # 3. OU simulate + fit ---------------------------------------------------
     from pde_tpu.models import ou
@@ -457,6 +592,21 @@ def main():
     per = timeit(batch_fn, n=10)
     emit("heston_adi_batch108_options_per_sec", Bq / per, "options/s")
 
+    # 4b2. the SAME mixed 108-option surface through the lane-batched fused
+    # Pallas march (round-2 verdict #1: mixed books must not fall back to
+    # the vmapped scan).  No bucketing needed — the kernel already traces
+    # per-option strike/maturity/side (shared K-scaled log-moneyness grid,
+    # per-lane dt), so the mixed desk book rides the 128 VPU lanes
+    # directly; the batch pads to a full aligned lane block.  Accuracy
+    # parity vs solve_batch: tests/test_solvers.py (max rel 5e-5 here).
+    cfb = cb.astype(f32)
+    mixed_fn = lambda: heston_adi.solve_fused_batch(
+        2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, Tb, Kb, cfb, 100.0,
+        n_time=hp.n_time, interpret=SMOKE,
+    ).price
+    per = timeit(mixed_fn, n=10)
+    emit("heston_adi_mixed_book_options_per_sec", Bq / per, "options/s")
+
     # 4c. lane-batched fused march: the whole desk inside ONE Pallas kernel,
     # options riding the 128 VPU lanes (512 = four 128-lane grid blocks) ------
     B = _n(512, 128)
@@ -591,6 +741,58 @@ def main():
     per = (time.perf_counter() - t0) / n_reps
     assert sized.position_size > 0
     emit("calibration_to_sizing_pipeline_s", per, "pipeline_s", baseline=5.0)
+
+    # 7c. daily orchestrator with EVERY stage enabled — Heston + SABR + OU +
+    # Bates + rough Heston per underlying, warm-started second day (round-2
+    # verdict #6).  Baseline: the reference's measured 108-quote Heston
+    # stage ALONE (312 s serial scipy) — a deep LOWER bound for its full
+    # daily run, since its SABR/OU stages add on top.
+    from pde_tpu.calibrate.orchestrator import (CalibrationConfig,
+                                                CalibrationOrchestrator)
+
+    orch_kw = {}
+    if SMOKE:  # signature-drift guard only: shrink every stage's budget
+        from pde_tpu.calibrate.bates import BatesCalibrator
+        from pde_tpu.calibrate.rough import RoughHestonCalibrator
+
+        orch_kw = dict(
+            heston_calibrator=HestonCalibrator(global_maxiter=4,
+                                               global_popsize=4),
+            rough_calibrator=RoughHestonCalibrator(n_steps=8, max_iter=2),
+            bates_calibrator=BatesCalibrator(global_maxiter=2,
+                                             global_popsize=4),
+        )
+    orch = CalibrationOrchestrator(CalibrationConfig(
+        calibrate_heston=True, calibrate_sabr=True, calibrate_ou=True,
+        calibrate_rough=True, calibrate_bates=True,
+        max_options_per_underlying=128,  # keep the whole 108-quote surface
+        risk_free_rate=0.05, dividend_yield=0.02,
+    ), **orch_kw)
+    market_iv_full = np.asarray(market_iv)
+    chain_all = {
+        "strike": np.asarray(data["strike"]),
+        "T": np.asarray(data["maturity"]),
+        "maturity": np.asarray(data["maturity"]),
+        "mid_price": np.asarray(data["mid_price"]),
+        "implied_vol": market_iv_full,
+    }
+    rng_o = np.random.default_rng(3)
+    spread = 100.0 + np.cumsum(rng_o.normal(0, 0.5, 512))
+    U_o = _n(4, 1)
+    tasks = {
+        f"TICK{i}": dict(market_options=chain_all, S0=100.0,
+                         spread_series=spread, r=0.05, q=0.02)
+        for i in range(U_o)
+    }
+    orch.run_all(tasks)  # day 1: compile + cold caches
+    t0 = time.perf_counter()
+    results_o = orch.run_all(tasks)  # day 2: the steady-state daily run
+    per = (time.perf_counter() - t0) / U_o
+    if not SMOKE:
+        assert all(r.status.value != "FAILED" for r in results_o.values()), {
+            k: r.errors for k, r in results_o.items()}
+    emit("orchestrator_daily_all_stages_s", per, "run_s",
+         baseline=_MEASURED.get("heston_surface_calibration_wall_s"))
 
     # 8. native host runtime: order-stream fill engine ------------------------
     from pde_tpu import native

@@ -185,4 +185,19 @@ void ref_heston_price_options(const double* params5, const double* strikes,
     for (int i = 0; i < n; ++i) out[i] = prices[i];
 }
 
+// Hagan vols through the reference's own SABRModel (models/sabr.cpp), so
+// run_reference_bench.py can drive the reference's scipy SLSQP smile fit
+// (sabr_calibrator.py:316-333 semantics) against the real C++ evaluator —
+// one vectorized call per objective evaluation, which is FASTER than the
+// reference's own per-strike Python loop (:318-323), i.e. favourable to
+// the reference baseline.
+void ref_sabr_implied_vols(double beta, const double* strikes, int n,
+                           double forward, double maturity, double alpha,
+                           double rho, double nu, double* out) {
+    SABRModel model(beta);
+    std::vector<double> K(strikes, strikes + n);
+    auto vols = model.implied_volatilities(K, forward, maturity, alpha, rho, nu);
+    for (int i = 0; i < n; ++i) out[i] = vols[i];
+}
+
 }  // extern "C"

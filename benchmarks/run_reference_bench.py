@@ -118,6 +118,80 @@ def load_pricer(lib_path: str):
     return price
 
 
+def load_sabr_vols(lib_path: str):
+    lib = ctypes.CDLL(lib_path)
+    fn = lib.ref_sabr_implied_vols
+    fn.argtypes = [
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+    ]
+
+    def vols(beta, strikes, F, T, alpha, rho, nu):
+        k = np.ascontiguousarray(strikes, dtype=np.float64)
+        out = np.empty(len(k))
+        fn(beta, k.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(k),
+           F, T, alpha, rho, nu,
+           out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        return out
+
+    return vols
+
+
+def measure_sabr_calibration(vols, n_strikes=11, n_maturities=10,
+                             beta=0.5, F0=100.0, r=0.05, q=0.02):
+    """Reference SABR smile fit semantics, measured: scipy SLSQP over
+    (alpha, rho, nu), ftol=1e-10, maxiter=200, ATM-seeded x0, DEFAULT_BOUNDS
+    (sabr_calibrator.py:316-333, 129-134), with each objective evaluation
+    pricing through the compiled reference C++ Hagan evaluator (vectorized —
+    favourable vs the reference's own per-strike Python loop).  Design
+    targets: <1 s/smile, <10 s/surface (design-doc.md:695-696)."""
+    from scipy.optimize import minimize
+
+    truth = (0.25, -0.35, 0.45)  # alpha, rho, nu
+    bounds = [(0.001, 2.0), (-0.99, 0.99), (0.001, 3.0)]
+    strikes = np.linspace(80.0, 120.0, n_strikes)
+    mats = np.linspace(0.1, 2.0, n_maturities)
+
+    def fit_one(T):
+        F = F0 * np.exp((r - q) * T)
+        market = vols(beta, strikes, F, T, *truth)
+        atm_idx = int(np.argmin(np.abs(strikes - F)))
+        x0 = np.array([market[atm_idx] * F ** (1.0 - beta), -0.3, 0.5])
+
+        def objective(x):
+            m = vols(beta, strikes, F, T, x[0], x[1], x[2])
+            e = m - market
+            return float(np.sum(e * e)) / len(strikes)
+
+        res = minimize(objective, x0, method="SLSQP", bounds=bounds,
+                       options={"ftol": 1e-10, "maxiter": 200})
+        m = vols(beta, strikes, F, T, *res.x)
+        return res, float(np.sqrt(np.mean((m - market) ** 2)))
+
+    # single smile: best of 3 (favourable to the reference)
+    smile_times, rmses, recovered = [], [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res, rmse = fit_one(1.0)
+        smile_times.append(time.perf_counter() - t0)
+        rmses.append(rmse)
+        recovered.append(bool(np.allclose(res.x, truth, atol=0.02)))
+    # full surface: serial loop over maturities (the reference's calibrate())
+    t0 = time.perf_counter()
+    for T in mats:
+        fit_one(float(T))
+    surface_s = time.perf_counter() - t0
+    return {
+        "smile_fit_ms": 1000.0 * min(smile_times),
+        "surface_fit_s": surface_s,
+        "n_strikes": n_strikes,
+        "n_maturities": n_maturities,
+        "rmse": min(rmses),
+        "recovered": all(recovered),
+    }
+
+
 def measure_calibration(price, strikes, maturities, S0=100.0, r=0.05, q=0.02):
     """Reference two-stage calibration semantics, measured."""
     from scipy.optimize import differential_evolution, least_squares
@@ -186,6 +260,10 @@ def main():
         "compile_flags": " ".join(CXX_FLAGS),
         "micro": micro,
     }
+
+    # SABR smile/surface fits are quick (<1 min) — always re-measure
+    result["sabr_calibration"] = measure_sabr_calibration(
+        load_sabr_vols(lib_path))
 
     if "--skip-calibration" not in sys.argv:
         price = load_pricer(lib_path)

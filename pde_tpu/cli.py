@@ -119,14 +119,15 @@ def cmd_price(args) -> int:
             rho=args.rho, v0=args.v0,
         )
         k = jnp.asarray(strikes)
+        # one Gil-Pelaez pass (two CF contours) feeds probabilities AND both
+        # digital prices — not three separate pricing calls
         p1, p2 = digital.probabilities(
             params, k, args.maturity, args.spot, args.rate, args.dividend)
-        out["cash"] = np.asarray(digital.price(
-            params, k, args.maturity, args.spot, args.rate, args.dividend,
-            is_call=not args.put, kind="cash")).tolist()
-        out["asset"] = np.asarray(digital.price(
-            params, k, args.maturity, args.spot, args.rate, args.dividend,
-            is_call=not args.put, kind="asset")).tolist()
+        cash, asset = digital.prices_from_probs(
+            p1, p2, k, args.maturity, args.spot, args.rate, args.dividend,
+            is_call=not args.put)
+        out["cash"] = np.asarray(cash).tolist()
+        out["asset"] = np.asarray(asset).tolist()
         out["p1"] = np.asarray(p1).tolist()
         out["p2"] = np.asarray(p2).tolist()
     else:  # greeks

@@ -46,8 +46,47 @@ from ..core.precision import complex_dtype_for, result_dtype
 from .heston import _accurate_gl_rule, _cf_reduced
 
 
+def _tail_scale(params, T, rdt):
+    """Per-contract quadrature stretch for short-dated / low-variance tails.
+
+    The Gil-Pelaez integrand decays like |cf(u)|/u — one power of u slower
+    than the Carr-Madan integrand the composite rule's [0, 204.8]
+    truncation was validated against — and the CF's Gaussian-ish decay
+    scale is ~1/sqrt(integrated variance).  For short maturities / low
+    variance (e.g. T ~ 0.02, v0 ~ 0.01) the tail at u = 204.8 is NOT
+    negligible (measured ~1e-2-scale probability error unscaled).  Fix:
+    substitute u = s * v with s = sqrt(vbar_ref / vbar) clipped to [1, 8],
+    where vbar is the Heston integrated variance
+    ``theta T + (v0 - theta)(1 - e^{-kappa T})/kappa`` and vbar_ref = 0.04
+    (the regime the rule was tuned in).  The 1/(iu) kernel absorbs the
+    Jacobian, so only the CF argument and the phase see the stretch; the
+    relevant |ln(F/K)| range shrinks like sqrt(vbar), so oscillation
+    resolution per panel is preserved.  ``stop_gradient``: the scale is a
+    quadrature choice — analytically d(integral)/ds = 0 — so it must not
+    inject discretization noise into AD Greeks.  Non-Heston-shaped params
+    (no kappa/theta/v0 fields) keep scale 1.
+    """
+    kappa = getattr(params, "kappa", None)
+    theta = getattr(params, "theta", None)
+    v0 = getattr(params, "v0", None)
+    if kappa is None or theta is None or v0 is None:
+        return jnp.ones_like(jnp.asarray(T, dtype=rdt))
+    kappa = jnp.asarray(kappa, dtype=rdt)
+    theta = jnp.asarray(theta, dtype=rdt)
+    v0 = jnp.asarray(v0, dtype=rdt)
+    T = jnp.asarray(T, dtype=rdt)
+    k_safe = jnp.maximum(kappa, 1e-6)
+    vbar = theta * T + (v0 - theta) * (-jnp.expm1(-k_safe * T)) / k_safe
+    s = jnp.sqrt(0.04 / jnp.maximum(vbar, 1e-10))
+    return jax.lax.stop_gradient(jnp.clip(s, 1.0, 8.0))
+
+
 def _gil_pelaez_probs(params, strike, maturity, spot, rate, dividend,
-                      n_per_panel):
+                      n_per_panel, kind: str = "both"):
+    """(P1, P2) via Gil-Pelaez.  ``kind`` selects which contour(s) to
+    evaluate — 'cash' needs only cf(u) (P2), 'asset' only cf(u-i) (P1),
+    'both' both — so single-kind pricing pays half the CF work.  The
+    skipped probability returns as None."""
     rdt = result_dtype(strike, maturity, spot)
     cdt = complex_dtype_for(rdt)
     strike, T = jnp.broadcast_arrays(
@@ -61,25 +100,31 @@ def _gil_pelaez_probs(params, strike, maturity, spot, rate, dividend,
 
     x = (jnp.log(spot / strike) + (rate - dividend) * T)[..., None]
     Tn = T[..., None]
-    u = v.astype(cdt)
+    s = _tail_scale(params, T, rdt)[..., None]
+    vs = v * s                      # stretched nodes, (..., n)
+    u = vs.astype(cdt)
 
-    cf2 = _cf_reduced(params, u, Tn, rdt, cdt)
-    cf1 = _cf_reduced(params, u - 1j, Tn, rdt, cdt)
-    # T <= 0: the reduced CF is exp(0) = 1 analytically; guard stray NaNs
-    # from 0/0 in intermediates the same way the vanilla pricer does
+    # the 1/(iu) kernel absorbs the substitution Jacobian: (w s)/(i v s) =
+    # w/(i v) — only the CF argument and the phase carry the stretch
     one = jnp.asarray(1.0 + 0.0j, dtype=cdt)
-    cf2 = jnp.where(Tn <= 0.0, one, cf2)
-    cf1 = jnp.where(Tn <= 0.0, one, cf1)
-
     phase = jnp.exp(1j * u * x.astype(cdt))
-    inv_iu = -1j / u  # 1/(iu) on the real nodes (all v > 0 on GL panels)
-    integrand2 = (cf2 * phase * inv_iu).real
-    integrand1 = (cf1 * phase * inv_iu).real
-
+    kern = (phase * (-1j / v)).astype(cdt)
     inv_pi = jnp.asarray(1.0 / jnp.pi, dtype=rdt)
-    p2 = 0.5 + inv_pi * jnp.sum(w * integrand2, axis=-1)
-    p1 = 0.5 + inv_pi * jnp.sum(w * integrand1, axis=-1)
-    return jnp.clip(p1, 0.0, 1.0), jnp.clip(p2, 0.0, 1.0), strike, T, spot, rdt
+
+    p1 = p2 = None
+    if kind in ("cash", "both"):
+        cf2 = _cf_reduced(params, u, Tn, rdt, cdt)
+        # T <= 0: the reduced CF is exp(0) = 1 analytically; guard stray
+        # NaNs from 0/0 in intermediates the same way the vanilla pricer does
+        cf2 = jnp.where(Tn <= 0.0, one, cf2)
+        p2 = jnp.clip(0.5 + inv_pi * jnp.sum(w * (cf2 * kern).real, axis=-1),
+                      0.0, 1.0)
+    if kind in ("asset", "both"):
+        cf1 = _cf_reduced(params, u - 1j, Tn, rdt, cdt)
+        cf1 = jnp.where(Tn <= 0.0, one, cf1)
+        p1 = jnp.clip(0.5 + inv_pi * jnp.sum(w * (cf1 * kern).real, axis=-1),
+                      0.0, 1.0)
+    return p1, p2, strike, T, spot, rdt
 
 
 @functools.partial(jax.jit, static_argnames=("n_per_panel",))
@@ -94,6 +139,24 @@ def probabilities(params, strike, maturity, spot, rate=0.0, dividend=0.0,
     return p1, p2
 
 
+def prices_from_probs(p1, p2, strike, maturity, spot, rate=0.0, dividend=0.0,
+                      is_call=True):
+    """Assemble (cash, asset) digital prices from ONE
+    :func:`probabilities` result — use when a caller needs both kinds (or
+    both plus the probabilities themselves) so the two CF contours are
+    evaluated exactly once."""
+    p2 = jnp.asarray(p2)
+    T = jnp.broadcast_to(jnp.asarray(maturity, dtype=p2.dtype), p2.shape)
+    call = jnp.broadcast_to(jnp.asarray(is_call), p2.shape)
+    df_r = jnp.exp(-jnp.asarray(rate, dtype=p2.dtype) * T)
+    df_q = jnp.asarray(spot, dtype=p2.dtype) * jnp.exp(
+        -jnp.asarray(dividend, dtype=p2.dtype) * T
+    )
+    cash = df_r * jnp.where(call, p2, 1.0 - p2)
+    asset = df_q * jnp.where(call, p1, 1.0 - p1)
+    return cash, asset
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "n_per_panel"))
 def price(params, strike, maturity, spot, rate=0.0, dividend=0.0,
           is_call=True, kind: str = "cash", n_per_panel: int = 40):
@@ -103,27 +166,33 @@ def price(params, strike, maturity, spot, rate=0.0, dividend=0.0,
     ``e^{-rT} P2`` / ``e^{-rT}(1-P2)``).  ``kind="asset"``: pays S_T
     (price ``S0 e^{-qT} P1`` / ``S0 e^{-qT}(1-P1)``).  ``is_call`` may be
     an array (broadcasts).  Differentiable in params/spot/rate for AD
-    Greeks.
+    Greeks.  Only the needed CF contour is evaluated (cash -> cf(u),
+    asset -> cf(u-i)).
     """
     if kind not in ("cash", "asset"):
         raise ValueError(f"kind must be 'cash' or 'asset', got {kind!r}")
     p1, p2, strike_b, T, spot_a, rdt = _gil_pelaez_probs(
-        params, strike, maturity, spot, rate, dividend, n_per_panel
+        params, strike, maturity, spot, rate, dividend, n_per_panel,
+        kind=kind,
     )
-    call = jnp.broadcast_to(jnp.asarray(is_call), p2.shape)
     if kind == "cash":
+        call = jnp.broadcast_to(jnp.asarray(is_call), p2.shape)
         df = jnp.exp(-jnp.asarray(rate, dtype=rdt) * T)
         return df * jnp.where(call, p2, 1.0 - p2)
+    call = jnp.broadcast_to(jnp.asarray(is_call), p1.shape)
     fwd_df = spot_a * jnp.exp(-jnp.asarray(dividend, dtype=rdt) * T)
     return fwd_df * jnp.where(call, p1, 1.0 - p1)
 
 
 def _gil_pelaez_probs_grouped(params, strikes, t_idx, unique_T, spot, rate,
-                              dividend, n_per_panel):
-    """(P1, P2) with the CF rows SHARED per unique maturity (two rows per
-    maturity — the u and u-i contours), mirroring
+                              dividend, n_per_panel, kind: str = "both"):
+    """(P1, P2) with the CF rows SHARED per unique maturity (one row per
+    needed contour per maturity), mirroring
     :func:`.heston._carr_madan_grouped_sum`: an N-option book with M
-    maturities costs 2*M*n CF evaluations instead of 2*N*n."""
+    maturities costs (1 or 2)*M*n CF evaluations instead of per-option.
+    The short-T/low-variance quadrature stretch (:func:`_tail_scale`)
+    applies per maturity row — the 1/(iu) kernel absorbs the Jacobian, so
+    only the CF argument and the per-option phase nodes carry it."""
     rdt = result_dtype(strikes, unique_T, spot)
     cdt = complex_dtype_for(rdt)
     strikes = jnp.asarray(strikes, dtype=rdt)
@@ -133,29 +202,35 @@ def _gil_pelaez_probs_grouped(params, strikes, t_idx, unique_T, spot, rate,
     v_np, w_np = _accurate_gl_rule(n_per_panel)
     v = jnp.asarray(v_np, dtype=rdt)
     w = jnp.asarray(w_np, dtype=rdt)
-    u = v.astype(cdt)
 
     Tm = uT[:, None]  # (M, 1)
+    s_m = _tail_scale(params, uT, rdt)[:, None]       # (M, 1)
+    vs = v[None, :] * s_m                             # (M, n) stretched nodes
+    u = vs.astype(cdt)
     one = jnp.asarray(1.0 + 0.0j, dtype=cdt)
-    cf2 = jnp.where(Tm <= 0.0, one, _cf_reduced(params, u, Tm, rdt, cdt))
-    cf1 = jnp.where(Tm <= 0.0, one, _cf_reduced(params, u - 1j, Tm, rdt, cdt))
-    # fold the GL weight and the 1/(iu) kernel into the maturity rows
+    # fold the GL weight and the 1/(iu) kernel into the maturity rows; the
+    # substitution Jacobian cancels: (w s)/(i v s) = w/(i v)
     scale = (w / v).astype(cdt) * (-1j)
-    cfw2 = cf2 * scale  # (M, n)
-    cfw1 = cf1 * scale
 
     T = uT[t_idx]
     x = jnp.log(spot / strikes) + (rate - dividend) * T
-    vx = v * x[..., None]  # (..., n)
+    vx = vs[t_idx] * x[..., None]  # (..., n) per-option stretched phase
     cos_vx, sin_vx = jnp.cos(vx), jnp.sin(vx)
-
-    g2 = cfw2[t_idx]
-    g1 = cfw1[t_idx]
     inv_pi = jnp.asarray(1.0 / jnp.pi, dtype=rdt)
-    p2 = 0.5 + inv_pi * jnp.sum(g2.real * cos_vx - g2.imag * sin_vx, axis=-1)
-    p1 = 0.5 + inv_pi * jnp.sum(g1.real * cos_vx - g1.imag * sin_vx, axis=-1)
-    return (jnp.clip(p1, 0.0, 1.0), jnp.clip(p2, 0.0, 1.0),
-            strikes, T, spot, rdt)
+
+    p1 = p2 = None
+    if kind in ("cash", "both"):
+        cf2 = jnp.where(Tm <= 0.0, one, _cf_reduced(params, u, Tm, rdt, cdt))
+        g2 = (cf2 * scale)[t_idx]
+        p2 = jnp.clip(0.5 + inv_pi * jnp.sum(
+            g2.real * cos_vx - g2.imag * sin_vx, axis=-1), 0.0, 1.0)
+    if kind in ("asset", "both"):
+        cf1 = jnp.where(Tm <= 0.0, one,
+                        _cf_reduced(params, u - 1j, Tm, rdt, cdt))
+        g1 = (cf1 * scale)[t_idx]
+        p1 = jnp.clip(0.5 + inv_pi * jnp.sum(
+            g1.real * cos_vx - g1.imag * sin_vx, axis=-1), 0.0, 1.0)
+    return p1, p2, strikes, T, spot, rdt
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_per_panel"))
@@ -168,13 +243,15 @@ def price_grouped(params, strikes, t_idx, unique_T, spot, rate=0.0,
     if kind not in ("cash", "asset"):
         raise ValueError(f"kind must be 'cash' or 'asset', got {kind!r}")
     p1, p2, strikes_b, T, spot_a, rdt = _gil_pelaez_probs_grouped(
-        params, strikes, t_idx, unique_T, spot, rate, dividend, n_per_panel
+        params, strikes, t_idx, unique_T, spot, rate, dividend, n_per_panel,
+        kind=kind,
     )
-    call = jnp.broadcast_to(jnp.asarray(is_call), p2.shape)
     if kind == "cash":
+        call = jnp.broadcast_to(jnp.asarray(is_call), p2.shape)
         return jnp.exp(-jnp.asarray(rate, dtype=rdt) * T) * jnp.where(
             call, p2, 1.0 - p2
         )
+    call = jnp.broadcast_to(jnp.asarray(is_call), p1.shape)
     return spot_a * jnp.exp(-jnp.asarray(dividend, dtype=rdt) * T) * jnp.where(
         call, p1, 1.0 - p1
     )
@@ -186,10 +263,14 @@ def european_from_digitals(params, strike, maturity, spot, rate=0.0,
     """Vanilla European price assembled from the two digitals:
     ``C = asset_call - K * cash_call`` (put via the complements).  A
     consistency identity against the Carr-Madan pricer, exposed for tests
-    and cross-checks."""
-    asset = price(params, strike, maturity, spot, rate, dividend,
-                  is_call=is_call, kind="asset", n_per_panel=n_per_panel)
-    cash = price(params, strike, maturity, spot, rate, dividend,
-                 is_call=is_call, kind="cash", n_per_panel=n_per_panel)
+    and cross-checks.  One Gil-Pelaez pass evaluates both contours exactly
+    once (not two :func:`price` calls at 2x the CF work)."""
+    p1, p2, *_ = _gil_pelaez_probs(
+        params, strike, maturity, spot, rate, dividend, n_per_panel,
+        kind="both",
+    )
+    cash, asset = prices_from_probs(
+        p1, p2, strike, maturity, spot, rate, dividend, is_call=is_call
+    )
     k = jnp.asarray(strike, dtype=asset.dtype)
     return jnp.where(jnp.asarray(is_call), asset - k * cash, k * cash - asset)

@@ -755,20 +755,35 @@ def price_touch_mc(
     sampler: str = "pseudo",
     n_replicates: int = 8,
     continuity_correction: bool = True,
+    direction: str | None = None,
 ):
     """One-touch / no-touch cash digital paying 1 at EXPIRY, via QE MC.
     Returns (price, stderr).
 
-    The barrier direction is inferred from ``barrier`` vs ``spot`` (up if
-    above).  Default ``continuity_correction=True`` prices the
-    *continuously* monitored contract by weighting each path with its
-    Brownian-bridge no-touch probability (same machinery as
-    :func:`price_barrier_mc`); ``False`` gives the discretely monitored
-    contract on the ``n_steps`` dates.  Black-Scholes oracle:
-    ``black_scholes.touch_price`` (matched in the small vol-of-vol limit
-    in tests/test_digital.py).
+    ``direction`` ("up"/"down") selects the barrier side STATICALLY, like
+    :func:`price_barrier_mc`'s ``barrier_type`` — pass it whenever
+    barrier/spot are traced (inside an outer jit/vmap), since the default
+    ``None`` infers it from their concrete values (up if barrier above
+    spot) and raises a clear error on tracers.  Default
+    ``continuity_correction=True`` prices the *continuously* monitored
+    contract by weighting each path with its Brownian-bridge no-touch
+    probability (same machinery as :func:`price_barrier_mc`); ``False``
+    gives the discretely monitored contract on the ``n_steps`` dates.
+    Black-Scholes oracle: ``black_scholes.touch_price`` (matched in the
+    small vol-of-vol limit in tests/test_digital.py).
     """
-    direction = "up" if float(barrier) > float(spot) else "down"
+    if direction is None:
+        if isinstance(barrier, jax.core.Tracer) or isinstance(
+            spot, jax.core.Tracer
+        ):
+            raise ValueError(
+                "price_touch_mc: barrier/spot are traced — the barrier side "
+                "selects a code path, so pass direction='up' or 'down' "
+                "explicitly (as with price_barrier_mc's barrier_type)"
+            )
+        direction = "up" if float(barrier) > float(spot) else "down"
+    elif direction not in ("up", "down"):
+        raise ValueError(f"direction must be 'up' or 'down', got {direction!r}")
 
     if continuity_correction:
         simulate_fn = functools.partial(

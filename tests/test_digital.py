@@ -49,6 +49,45 @@ def test_bs_limit_cash_and_asset():
             )
 
 
+def test_bs_limit_short_maturity_low_variance():
+    """Short-T / low-variance truncation (ADVICE r2): the Gil-Pelaez
+    integrand decays one power of u slower than Carr-Madan's, so the
+    composite rule's [0, 204.8] truncation loses ~4e-4 of probability at
+    T = 0.02, v0 = 0.01 without the per-contract quadrature stretch
+    (digital._tail_scale); with it the BS deterministic-variance limit is
+    matched to ~1e-7 on the cash contract."""
+    det = HestonParams(2.0, 0.01, 1e-3, 0.0, 0.01)  # v0 = theta = 0.01
+    ks = jnp.asarray([97.0, 99.0, 100.0, 101.0, 103.0])
+    for T in (0.02, 0.05):
+        for kind, tol in (("cash", 1e-6), ("asset", 2e-5)):
+            got = digital.price(det, ks, T, 100.0, R, Q,
+                                is_call=True, kind=kind)
+            want = bsm.digital_price(100.0, ks, R, Q, T, 0.1,
+                                     is_call=True, kind=kind)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=tol,
+                err_msg=f"T={T} {kind}",
+            )
+
+
+def test_prices_from_probs_matches_price():
+    # one probabilities() pass must reproduce both kinds of price() exactly
+    p1, p2 = digital.probabilities(P, KS, 1.0, 100.0, R, Q)
+    for is_call in (True, False):
+        cash, asset = digital.prices_from_probs(
+            p1, p2, KS, 1.0, 100.0, R, Q, is_call=is_call)
+        np.testing.assert_allclose(
+            np.asarray(cash),
+            np.asarray(digital.price(P, KS, 1.0, 100.0, R, Q,
+                                     is_call=is_call, kind="cash")),
+            rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(asset),
+            np.asarray(digital.price(P, KS, 1.0, 100.0, R, Q,
+                                     is_call=is_call, kind="asset")),
+            rtol=1e-12)
+
+
 def test_put_call_digital_parity():
     # cash call + cash put = e^{-rT}; asset call + asset put = S e^{-qT}
     for T in (0.25, 1.0, 2.0):
@@ -178,6 +217,29 @@ def test_touch_complement_and_discrete_bias():
                                 rate=R, n_steps=24, n_paths=16384,
                                 continuity_correction=False)
     assert float(disc) < float(one)
+
+
+def test_touch_mc_traced_barrier_needs_explicit_direction():
+    """ADVICE r2: the barrier side selects a code path; traced barrier/spot
+    must raise a clear error unless direction is passed explicitly — and
+    with it, the call works under jit."""
+    key = jax.random.PRNGKey(0)
+
+    def priced(b, **kw):
+        return mc.price_touch_mc(P, b, 0.5, 100.0, key, rate=R,
+                                 n_steps=8, n_paths=512, **kw)[0]
+
+    with pytest.raises(ValueError, match="direction"):
+        jax.jit(priced)(jnp.asarray(115.0))
+    with pytest.raises(ValueError, match="direction"):
+        priced(115.0, direction="sideways")
+
+    out = jax.jit(lambda b: priced(b, direction="up"))(jnp.asarray(115.0))
+    assert np.isfinite(float(out))
+    # explicit direction agrees with the inferred concrete-value path
+    np.testing.assert_allclose(
+        float(priced(115.0, direction="up")), float(priced(115.0)), rtol=1e-12
+    )
 
 
 def test_bs_touch_probability_sanity():

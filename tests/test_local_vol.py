@@ -184,6 +184,38 @@ class TestLocalVolPDE:
         assert float(am.price) >= 10.0  # intrinsic
         assert bool(am.early_exercise_optimal)
 
+    def test_fused_march_matches_scan(self):
+        """The fused time-varying Pallas march (ops/cn1d_tv_fused) must
+        agree with the scan path on a sloped smile surface — single solve
+        and a mixed book (strikes x maturities x call/put x Eu/Am) —
+        to f32 accumulation tolerance."""
+        vol_fn = lambda s, t: (  # noqa: E731
+            0.2 + 0.05 * jnp.tanh((s - 100.0) / 20.0) + 0.02 * t)
+        kw = dict(r=0.04, q=0.01, n_space=128, n_time=32)
+        ref = local_vol_pde.solve(vol_fn, S0, K=100.0, T=1.0,
+                                  is_call=True, **kw)
+        fus = local_vol_pde.solve_fused(vol_fn, S0, K=100.0, T=1.0,
+                                        is_call=True, interpret=True, **kw)
+        np.testing.assert_allclose(float(fus.price), float(ref.price),
+                                   rtol=3e-5)
+        np.testing.assert_allclose(float(fus.delta), float(ref.delta),
+                                   rtol=1e-3)
+
+        Ks = jnp.asarray([90.0, 100.0, 110.0, 95.0])
+        Ts = jnp.asarray([0.5, 1.0, 1.5, 0.75])
+        cs = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+        am = jnp.asarray([0.0, 1.0, 0.0, 1.0])
+        book = local_vol_pde.solve_fused_batch(
+            vol_fn, S0, K=Ks, T=Ts, is_call=cs, american=am,
+            interpret=True, **kw)
+        for i in range(4):
+            one = local_vol_pde.solve(
+                vol_fn, S0, K=float(Ks[i]), T=float(Ts[i]),
+                is_call=bool(cs[i] > 0.5), american=bool(am[i] > 0.5), **kw)
+            np.testing.assert_allclose(
+                float(book.price[i]), float(one.price), rtol=3e-5,
+                err_msg=f"book lane {i}")
+
     @pytest.mark.slow
     def test_heston_dupire_roundtrip(self):
         """THE consistency check: the local-vol diffusion built from
