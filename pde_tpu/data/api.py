@@ -17,6 +17,9 @@ from aiohttp import web
 
 from .providers import DataProvider, SimulatedDataProvider
 from .reference import ReferenceDataManager
+from .request_schema import (RequestValidationError, parse_date_param,
+                             parse_date_range, parse_symbol,
+                             parse_symbols_body)
 
 __all__ = ["DataService", "create_data_api", "run_server"]
 
@@ -69,28 +72,56 @@ class DataService:
         return [d.isoformat() for d in self.reference.calendar.trading_days_between(start, end)]
 
 
-def _parse_date(value: Optional[str], default: date) -> date:
-    return date.fromisoformat(value) if value else default
+@web.middleware
+async def _validation_middleware(request, handler):
+    """Schema-validation contract (reference data/api.py validates every
+    route with pydantic): malformed input -> 422 with FastAPI-shaped
+    ``detail`` items, malformed JSON -> 400 — never a 500.  Also feeds the
+    per-route request-latency histogram (reference api_latency)."""
+    import time
+
+    from ..monitoring.metrics import api_latency
+
+    route = (request.match_info.route.resource.canonical
+             if request.match_info.route.resource else request.path)
+    t0 = time.perf_counter()
+    try:
+        return await handler(request)
+    except RequestValidationError as exc:
+        return web.json_response({"detail": exc.errors}, status=422)
+    except json.JSONDecodeError:
+        return web.json_response(
+            {"detail": [{"loc": ["body"], "msg": "invalid JSON body",
+                         "type": "value_error.json"}]},
+            status=400,
+        )
+    finally:
+        api_latency.labels(route=route).observe(time.perf_counter() - t0)
 
 
 def create_data_api(service: Optional[DataService] = None) -> web.Application:
-    """Build the aiohttp application (route parity with data/api.py:365-599)."""
+    """Build the aiohttp application (route parity with data/api.py:365-599,
+    including its request-schema validation: bad symbols/dates/bodies get
+    structured 4xx responses, not provider errors)."""
     svc = service or DataService()
-    app = web.Application()
+    app = web.Application(middlewares=[_validation_middleware])
 
     async def health(request):
         return web.json_response(svc.health())
 
     async def quote(request):
+        symbol = parse_symbol(request.match_info["symbol"])
         try:
-            return web.json_response(svc.quote(request.match_info["symbol"]))
+            return web.json_response(svc.quote(symbol))
         except Exception as exc:  # noqa: BLE001
             return web.json_response({"error": str(exc)}, status=502)
 
     async def bars(request):
-        symbol = request.match_info["symbol"]
-        end = _parse_date(request.query.get("end"), date.today())
-        start = _parse_date(request.query.get("start"), end - timedelta(days=365))
+        symbol = parse_symbol(request.match_info["symbol"])
+        start, end = parse_date_range(
+            request.query.get("start"), request.query.get("end"),
+            default_span_days=365,
+        )
         try:
             return web.json_response({"symbol": symbol, "bars": svc.bars(symbol, start, end)})
         except Exception as exc:  # noqa: BLE001
@@ -98,9 +129,11 @@ def create_data_api(service: Optional[DataService] = None) -> web.Application:
 
     async def bars_batch(request):
         body = await request.json()
-        symbols = body.get("symbols", [])
-        end = _parse_date(body.get("end"), date.today())
-        start = _parse_date(body.get("start"), end - timedelta(days=365))
+        symbols = parse_symbols_body(body)
+        start, end = parse_date_range(
+            body.get("start"), body.get("end"), default_span_days=365,
+            loc="body",
+        )
         out = {}
         for s in symbols:
             try:
@@ -110,21 +143,23 @@ def create_data_api(service: Optional[DataService] = None) -> web.Application:
         return web.json_response(out)
 
     async def options(request):
-        u = request.match_info["underlying"]
-        exp = request.query.get("expiration")
-        expiration = date.fromisoformat(exp) if exp else None
+        u = parse_symbol(request.match_info["underlying"], "underlying")
+        expiration = parse_date_param(
+            request.query.get("expiration"), "expiration")
         return web.json_response({"underlying": u, "chain": svc.options(u, expiration)})
 
     async def expirations(request):
-        u = request.match_info["underlying"]
+        u = parse_symbol(request.match_info["underlying"], "underlying")
         return web.json_response({"underlying": u, "expirations": svc.expirations(u)})
 
     async def securities(request):
         return web.json_response({"securities": svc.securities()})
 
     async def calendar(request):
-        end = _parse_date(request.query.get("end"), date.today())
-        start = _parse_date(request.query.get("start"), end - timedelta(days=30))
+        start, end = parse_date_range(
+            request.query.get("start"), request.query.get("end"),
+            default_span_days=30,
+        )
         return web.json_response({"trading_days": svc.calendar(start, end)})
 
     async def metrics(request):

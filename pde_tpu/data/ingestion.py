@@ -78,6 +78,17 @@ class DataIngestionPipeline:
         # clock — a historical backfill is not "stale"
         as_of = datetime.combine(end, datetime.min.time(), tzinfo=timezone.utc)
         report = self.validator.validate(frame, as_of=as_of)
+        # per-provider data-quality exporters (reference metrics.py:389-417)
+        from ..monitoring import metrics as _mt
+
+        for issue in report.issues:
+            _mt.data_validation_failures.labels(
+                provider=self.provider.name, check=issue.check).inc()
+        if report.n_records:
+            _mt.data_completeness_percent.labels(
+                symbol=symbol, provider=self.provider.name
+            ).set(100.0 * (report.n_records - report.n_flagged)
+                  / report.n_records)
         if not report.passed and self.reject_on_error:
             return IngestionResult(
                 symbol,

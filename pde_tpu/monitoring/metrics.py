@@ -60,35 +60,71 @@ except ImportError:  # pragma: no cover
 REGISTRY = CollectorRegistry() if PROMETHEUS_AVAILABLE else None
 _KW = {"registry": REGISTRY} if PROMETHEUS_AVAILABLE else {}
 
-# ---- metric inventory (subset-faithful to metrics.py:103-436) ----
+# ---- metric inventory (family-complete vs metrics.py:103-436) ----
+
+# system / process health (:103-156)
 system_up = Gauge("qt_system_up", "1 when the trading system is running", **_KW)
 system_errors = Counter("qt_system_errors_total", "Unhandled errors", ["component"], **_KW)
+component_status = Gauge("qt_component_status", "Per-component health (1 up / 0 down)", ["component"], **_KW)
+cpu_usage_percent = Gauge("qt_cpu_usage_percent", "Process CPU usage percent", **_KW)
+memory_usage_bytes = Gauge("qt_memory_usage_bytes", "Process resident memory", **_KW)
+disk_usage_percent = Gauge("qt_disk_usage_percent", "Data-volume disk usage percent", **_KW)
+process_uptime_seconds = Gauge("qt_process_uptime_seconds", "Seconds since process start", **_KW)
+thread_count = Gauge("qt_thread_count", "Live thread count", **_KW)
 
+# order lifecycle (:159-193)
 orders_submitted = Counter("qt_orders_submitted_total", "Orders submitted", ["symbol", "side"], **_KW)
 orders_filled = Counter("qt_orders_filled_total", "Orders filled", ["symbol"], **_KW)
 orders_rejected = Counter("qt_orders_rejected_total", "Orders rejected", ["reason"], **_KW)
+orders_cancelled = Counter("qt_orders_cancelled_total", "Orders cancelled", ["symbol"], **_KW)
+order_value_total = Counter("qt_order_value_total", "Notional value of filled orders", ["symbol", "side"], **_KW)
 
+# PnL / positions (:197-237)
 portfolio_value = Gauge("qt_portfolio_value", "Total portfolio value", **_KW)
 daily_pnl = Gauge("qt_daily_pnl", "Daily PnL", **_KW)
+realized_pnl = Gauge("qt_realized_pnl", "Realized PnL", **_KW)
 unrealized_pnl = Gauge("qt_unrealized_pnl", "Unrealized PnL", **_KW)
+cumulative_pnl = Gauge("qt_cumulative_pnl", "Cumulative PnL since inception", **_KW)
 open_positions = Gauge("qt_open_positions", "Number of open positions", **_KW)
 gross_exposure = Gauge("qt_gross_exposure", "Gross exposure", **_KW)
+position_size = Gauge("qt_position_size", "Per-symbol position size", ["symbol"], **_KW)
 
+# signals (:241-261)
 signals_generated = Counter("qt_signals_generated_total", "Signals generated", ["strategy", "signal_type"], **_KW)
+signals_acted_on = Counter("qt_signals_acted_on_total", "Signals converted to orders", ["strategy"], **_KW)
+signal_strength = Gauge("qt_signal_strength", "Latest signal strength", ["strategy", "symbol"], **_KW)
 
+# risk (:265-331)
 var_95 = Gauge("qt_var_95", "Portfolio 95% VaR", **_KW)
 portfolio_delta = Gauge("qt_portfolio_delta", "Aggregate delta", **_KW)
+portfolio_gamma = Gauge("qt_portfolio_gamma", "Aggregate gamma", **_KW)
 portfolio_vega = Gauge("qt_portfolio_vega", "Aggregate vega", **_KW)
+portfolio_theta = Gauge("qt_portfolio_theta", "Aggregate theta", **_KW)
 current_drawdown = Gauge("qt_current_drawdown", "Drawdown from peak", **_KW)
+max_drawdown = Gauge("qt_max_drawdown", "Maximum drawdown to date", **_KW)
 sharpe_ratio = Gauge("qt_sharpe_ratio", "Rolling Sharpe ratio", **_KW)
+portfolio_volatility = Gauge("qt_portfolio_volatility", "Annualized portfolio volatility", **_KW)
+position_concentration = Gauge("qt_position_concentration", "Largest position / gross exposure", **_KW)
 
+# latency (:336-385)
 signal_latency = Histogram("qt_signal_latency_seconds", "Signal generation latency", **_KW)
 order_latency = Histogram("qt_order_latency_seconds", "Order submission latency", **_KW)
+order_fill_latency = Histogram("qt_order_fill_latency_seconds", "Submit-to-fill latency", ["symbol"], **_KW)
 calibration_latency = Histogram("qt_calibration_latency_seconds", "Calibration wall time", ["model"], **_KW)
 data_ingestion_latency = Histogram("qt_data_ingestion_latency_seconds", "Ingestion latency", **_KW)
+api_latency = Histogram("qt_api_latency_seconds", "Data-service request latency", ["route"], **_KW)
 
-calibration_rmse = Gauge("qt_calibration_rmse", "Latest calibration RMSE", ["model", "underlying"], **_KW)
+# data quality (:389-417) — per-provider breakdowns
 data_quality_errors = Counter("qt_data_quality_errors_total", "Validation errors", ["check"], **_KW)
+data_gaps_detected = Counter("qt_data_gaps_detected_total", "Gaps found in bar series", ["symbol", "provider"], **_KW)
+data_validation_failures = Counter("qt_data_validation_failures_total", "Validation failures by provider", ["provider", "check"], **_KW)
+data_age_seconds = Gauge("qt_data_age_seconds", "Age of the freshest record", ["symbol", "provider"], **_KW)
+data_completeness_percent = Gauge("qt_data_completeness_percent", "Received/expected records", ["symbol", "provider"], **_KW)
+
+# model / calibration (:422-440)
+calibration_rmse = Gauge("qt_calibration_rmse", "Latest calibration RMSE", ["model", "underlying"], **_KW)
+model_parameter = Gauge("qt_model_parameter", "Calibrated parameter value", ["model", "underlying", "parameter"], **_KW)
+model_prediction_error = Histogram("qt_model_prediction_error", "Model vs market relative price error", ["model"], **_KW)
 
 _METRICS: Dict[str, object] = {
     name: obj

@@ -439,6 +439,55 @@ class TestDataAPI:
 
         asyncio.run(scenario())
 
+    def test_request_validation_contracts(self):
+        """Malformed input gets structured 4xx (reference data/api.py
+        validates every route with pydantic): bad dates/symbols/bodies
+        return 422 with FastAPI-shaped detail items, bad JSON returns 400,
+        and none of them reach the provider as a 500/502."""
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from pde_tpu.data.api import DataService, create_data_api
+
+        async def scenario():
+            app = create_data_api(DataService())
+            async with TestClient(TestServer(app)) as client:
+                # malformed date
+                r = await client.get("/bars/SPY?start=not-a-date")
+                assert r.status == 422
+                detail = (await r.json())["detail"]
+                assert detail[0]["loc"] == ["query", "start"]
+
+                # inverted range
+                r = await client.get(
+                    "/bars/SPY?start=2026-02-01&end=2026-01-01")
+                assert r.status == 422
+
+                # bad symbol characters
+                r = await client.get("/quotes/SP%20Y;DROP")
+                assert r.status == 422
+
+                # batch body must be an object with non-empty symbols list
+                r = await client.post("/bars/batch", json={"symbols": []})
+                assert r.status == 422
+                r = await client.post("/bars/batch", json=[1, 2])
+                assert r.status == 422
+                r = await client.post(
+                    "/bars/batch", data=b"{not json",
+                    headers={"Content-Type": "application/json"})
+                assert r.status == 400
+
+                # bad expiration date on the options route
+                r = await client.get("/options/SPY?expiration=2026-13-40")
+                assert r.status == 422
+
+                # valid requests still flow after all the rejections
+                r = await client.get("/bars/SPY?start=2026-01-01&end=2026-01-10")
+                assert r.status == 200
+
+        asyncio.run(scenario())
+
 
 class TestReviewRegressions:
     def test_surface_builds_from_mixed_call_put_chain(self):

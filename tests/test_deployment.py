@@ -296,6 +296,53 @@ class TestCI:
         on = wf.get("on") or wf.get(True)  # yaml 1.1 parses 'on' as True
         assert on is not None
 
+    def test_build_workflow_covers_native_package_and_images(self):
+        """Role parity with the reference's build.yml: native build + tests,
+        Python packaging, per-service images."""
+        wf = yaml.safe_load(
+            (ROOT / ".github" / "workflows" / "build.yml").read_text())
+        jobs = wf["jobs"]
+        assert {"native", "package", "images"} <= set(jobs)
+        native_cmds = " ".join(
+            s.get("run", "") for s in jobs["native"]["steps"])
+        assert "make native" in native_cmds and "make test-cpp" in native_cmds
+        # every image in the matrix has its Dockerfile, and vice versa
+        matrix = set(jobs["images"]["strategy"]["matrix"]["service"])
+        on_disk = {
+            p.name.split(".", 1)[1]
+            for p in DOCKER.glob("Dockerfile.*") if p.name != "Dockerfile.base"
+        }
+        assert matrix == on_disk, (matrix, on_disk)
+
+    def test_cd_workflow_deploys_every_service(self):
+        """Role parity with the reference's cd.yml: image push, helm package,
+        environment-gated deploys, rollback — and the rollout targets must
+        be REAL deployment names from deploy/k8s/base."""
+        wf = yaml.safe_load(
+            (ROOT / ".github" / "workflows" / "cd.yml").read_text())
+        jobs = wf["jobs"]
+        assert {"build-push", "helm-package", "deploy-dev", "deploy-prod",
+                "rollback"} <= set(jobs)
+        # rollout waits reference real Deployment names
+        deployed = set()
+        for path in (K8S / "base").glob("*-deployment.yaml"):
+            for doc in yaml.safe_load_all(path.read_text()):
+                if doc and doc.get("kind") == "Deployment":
+                    deployed.add(doc["metadata"]["name"])
+        for job in ("deploy-dev", "deploy-prod"):
+            cmds = " ".join(s.get("run", "") for s in jobs[job]["steps"])
+            waited = set(re.findall(r"(pde-tpu-[a-z-]+)", cmds)) & deployed
+            assert waited == deployed, (job, deployed - waited)
+        # the packaged chart is the repo chart, and the release uses it
+        helm_cmds = " ".join(
+            s.get("run", "") for s in jobs["helm-package"]["steps"])
+        assert "deploy/helm/pde-tpu" in helm_cmds
+        prod_cmds = " ".join(
+            s.get("run", "") for s in jobs["deploy-prod"]["steps"])
+        assert "helm upgrade" in prod_cmds and "rollout status" in prod_cmds
+        assert "rollback" in " ".join(
+            s.get("run", "") for s in jobs["rollback"]["steps"])
+
 
 class TestPrometheus:
     def test_scrape_config(self):

@@ -35,6 +35,55 @@ class TestMetrics:
         assert work() == 42
         assert calls == [1]
 
+    def test_metric_family_parity_with_reference(self):
+        """Round-2 verdict #10: every reference metric FAMILY must have an
+        exporter here — system/process, order lifecycle (incl. cancels and
+        notional), PnL incl. realized/cumulative, per-symbol positions,
+        signals incl. acted-on/strength, full Greek set + drawdown/vol/
+        concentration, latency incl. submit-to-fill and API, per-provider
+        data-quality gauges, and model parameters/prediction error."""
+        for name in (
+            "component_status", "cpu_usage_percent", "memory_usage_bytes",
+            "disk_usage_percent", "process_uptime_seconds", "thread_count",
+            "orders_cancelled", "order_value_total", "realized_pnl",
+            "cumulative_pnl", "position_size", "signals_acted_on",
+            "signal_strength", "portfolio_gamma", "portfolio_theta",
+            "max_drawdown", "portfolio_volatility", "position_concentration",
+            "order_fill_latency", "api_latency", "data_gaps_detected",
+            "data_validation_failures", "data_age_seconds",
+            "data_completeness_percent", "model_parameter",
+            "model_prediction_error",
+        ):
+            assert mt.get_metric(name) is not None, name
+
+    def test_every_dashboard_series_has_an_exporter(self):
+        """Round-2 verdict #10: the shipped Grafana dashboards must not
+        reference series nothing exports.  Collect every qt_* name used in
+        any dashboard query and check it against the registry (histogram
+        _bucket/_count/_sum expositions resolve to their base metric)."""
+        import re
+        from pathlib import Path
+
+        if not mt.PROMETHEUS_AVAILABLE:
+            pytest.skip("prometheus_client not installed")
+        root = Path(__file__).resolve().parents[1]
+        dash_dir = root / "deploy" / "docker" / "grafana" / "dashboards"
+        used = set()
+        for f in dash_dir.glob("*.json"):
+            used |= set(re.findall(r"qt_[a-z0-9_]+", f.read_text()))
+        assert used, "no dashboard series found — path drift?"
+
+        exported = set()
+        for metric in mt.REGISTRY.collect():
+            exported.add(metric.name)
+            # exposition suffixes a scrape actually serves
+            exported.add(metric.name + "_total")
+            if metric.type == "histogram":
+                exported |= {metric.name + s
+                             for s in ("_bucket", "_count", "_sum")}
+        missing = used - exported
+        assert not missing, f"dashboards reference unexported series: {missing}"
+
     def test_collector(self):
         c = mt.MetricsCollector(interval=0.01)
         c.register(mt.portfolio_value, lambda: 123456.0)
