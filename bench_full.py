@@ -866,6 +866,24 @@ def main():
           f"p50={np.percentile(lat * 1e3, 50):.2f}ms "
           f"clients={n_clients}", file=sys.stderr)
 
+    # 9b. LOOPBACK baseline (round-2 verdict: the p99 above was attributed
+    # to tunnel RTT without an isolating row): one synchronous
+    # BatchPricer.price of a full device batch, no queueing, no threads —
+    # launch + dispatch + compute + result pull.  service_p99 minus this is
+    # the micro-batcher's own queueing/wait overhead.
+    bucket = int(np.ceil(mean_batch)) if mean_batch > 0 else 32
+    direct_reqs = reqs[:max(1, bucket)]
+    lat_d = []
+    for _ in range(_n(200, 3)):
+        t0 = time.perf_counter()
+        pricer.price(direct_reqs)
+        lat_d.append(time.perf_counter() - t0)
+    emit("pricing_direct_batch_p99_latency_ms",
+         float(np.percentile(np.asarray(lat_d) * 1e3, 99)), "ms")
+    print(f"# direct batch={len(direct_reqs)} "
+          f"p50={np.percentile(np.asarray(lat_d) * 1e3, 50):.2f}ms",
+          file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
