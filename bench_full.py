@@ -319,6 +319,47 @@ def main():
     per = timeit(volswap_fn, n=200)
     emit("volswap_exact_strike_s", per, "s")
 
+    # 1h. multi-asset: conditioning-quadrature spread book (128 GL nodes
+    # per quote), Stulz rainbow book (2 bivariate CDFs per quote), and
+    # arithmetic-basket MC with the moment-matched geometric + level
+    # two-control regression (exact terminal sampling: one MXU matmul per
+    # batch, no time stepping).  No reference counterpart (single-asset
+    # stack throughout).
+    from pde_tpu.models import multi_asset
+
+    n_sp = _n(4096, 64)
+    ks_sp = jnp.asarray(np.linspace(-15.0, 25.0, n_sp), f32)
+    rho_sp = jnp.asarray(np.tile(np.linspace(-0.5, 0.9, 8), n_sp // 8), f32)
+    spread_fn = jax.jit(lambda: jax.vmap(
+        lambda k, r: multi_asset.spread_price_quad(
+            100.0, 96.0, k, 0.9, 0.25, 0.35, r, rate=0.03,
+            div1=0.01, div2=0.02)
+    )(ks_sp, rho_sp))
+    per = timeit(spread_fn, n=100)
+    emit("spread_quad_prices_per_sec", n_sp / per, "options/s")
+
+    rain_fn = jax.jit(lambda: jax.vmap(
+        lambda k, r: multi_asset.rainbow_two_asset_price(
+            100.0, 96.0, k, 0.9, 0.25, 0.35, r, rate=0.03,
+            div1=0.01, div2=0.02, kind="call_on_min")
+    )(jnp.abs(ks_sp) + 80.0, rho_sp))
+    per = timeit(rain_fn, n=100)
+    emit("rainbow_stulz_prices_per_sec", n_sp / per, "options/s")
+
+    n_ba = _n(1 << 20, 1 << 10)
+    spots_ba = jnp.asarray(np.linspace(90.0, 115.0, 8), f32)
+    w_ba = jnp.full((8,), 0.125, f32)
+    vols_ba = jnp.asarray(np.linspace(0.18, 0.42, 8), f32)
+    corr_ba = jnp.asarray(
+        0.45 * np.ones((8, 8)) + 0.55 * np.eye(8), f32)
+    ks_ba = jnp.asarray(np.linspace(85.0, 120.0, 16), f32)
+    key_ba = jax.random.PRNGKey(42)
+    basket_fn = jax.jit(lambda: multi_asset.price_basket_mc(
+        key_ba, spots_ba, w_ba, ks_ba, 0.9, vols_ba, corr_ba,
+        rate=0.03, n_paths=n_ba)[0])
+    per = timeit(basket_fn, n=20)
+    emit("basket_mc_cv_paths_per_sec", n_ba / per, "paths/s")
+
     # 1g. Dupire local vol: AD surface extraction (3 derivatives of the
     # converged-GL pricer per node) + the local-vol CN PDE march
     from pde_tpu.models import local_vol

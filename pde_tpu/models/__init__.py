@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     heston,
     heston_mc,
     local_vol,
+    multi_asset,
     ou,
     rough_heston,
     rough_heston_mc,
