@@ -192,6 +192,55 @@ def cmd_varswap(args) -> int:
     return 0
 
 
+def cmd_vix(args) -> int:
+    """VIX futures and options from model parameters (models/vix.py) —
+    exact CIR terminal law; Bates jump strip premium when --lam > 0."""
+    from .models import vix
+
+    if args.lam > 0:
+        from .models.bates import BatesParams
+
+        params = BatesParams(args.kappa, args.theta, args.sigma, args.rho,
+                             args.v0, args.lam, args.mu_j, args.sigma_j)
+        model = "bates"
+    else:
+        from .models.heston import HestonParams
+
+        params = HestonParams(args.kappa, args.theta, args.sigma, args.rho,
+                              args.v0)
+        model = "heston"
+
+    out = {
+        "model": model,
+        "spot_vix": float(vix.vix_spot(params)),
+        "futures": [
+            {"maturity": T, "price": float(vix.vix_futures(params, T))}
+            for T in args.maturities
+        ],
+    }
+    if args.strikes:
+        import jax.numpy as jnp
+
+        T = args.maturities[0]
+        fut = float(vix.vix_futures(params, T))
+        ks = jnp.asarray(args.strikes)
+        calls = vix.vix_option(params, ks, T, args.rate, is_call=not args.put)
+        ivs = vix.vix_implied_vol(calls, fut, ks, T, args.rate,
+                                  is_call=not args.put)
+        out["options"] = {
+            "maturity": T,
+            "type": "put" if args.put else "call",
+            "futures": fut,
+            "rows": [
+                {"strike": float(k), "price": float(p), "black76_iv": float(iv)}
+                for k, p, iv in zip(np.asarray(ks), np.asarray(calls),
+                                    np.asarray(ivs))
+            ],
+        }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_fwdstart(args) -> int:
     """Forward-start vanillas / cliquet strips from model parameters
     (models/forward_start.py analytic route; models/heston_mc.py MC
@@ -457,6 +506,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mu-j", dest="mu_j", type=float, default=-0.1)
     p.add_argument("--sigma-j", dest="sigma_j", type=float, default=0.15)
     p.set_defaults(func=cmd_varswap, config=None)
+
+    p = sub.add_parser("vix", help="VIX futures/options (exact CIR terminal law)")
+    p.add_argument("--maturities", type=float, nargs="+", default=[0.0833, 0.25, 0.5])
+    p.add_argument("--strikes", type=float, nargs="+", default=None,
+                   help="VIX option strikes (VIX points) at the first maturity")
+    p.add_argument("--rate", type=float, default=0.0)
+    p.add_argument("--put", action="store_true", help="price puts instead of calls")
+    p.add_argument("--kappa", type=float, default=2.0)
+    p.add_argument("--theta", type=float, default=0.04)
+    p.add_argument("--sigma", type=float, default=0.3)
+    p.add_argument("--rho", type=float, default=-0.7)
+    p.add_argument("--v0", type=float, default=0.04)
+    p.add_argument("--lam", type=float, default=0.0, help="jump intensity (Bates when > 0)")
+    p.add_argument("--mu-j", dest="mu_j", type=float, default=-0.1)
+    p.add_argument("--sigma-j", dest="sigma_j", type=float, default=0.15)
+    p.set_defaults(func=cmd_vix, config=None)
 
     p = sub.add_parser("fwdstart", help="forward-start vanillas / cliquet strip (forward smile)")
     p.add_argument("--rel-strikes", dest="rel_strikes", type=float, nargs="+",

@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     sabr,
     slv,
     varswap,
+    vix,
 )
 from .bates import BatesParams  # noqa: F401
 from .forward_start import ForwardStartParams  # noqa: F401

@@ -109,6 +109,18 @@ class BatesParams(NamedTuple):
         ej2 = jnp.exp(-s * mu_j * mu_j / denom) / jnp.sqrt(denom)
         return jnp.exp(lam * T * (ej2 - 1.0))
 
+    def qv_log_laplace_extra(self, s, T):
+        """log of :meth:`qv_laplace_extra`, with ``E[e^{-s J^2}] - 1`` formed
+        via ``expm1`` so the s -> 0 limit (-s lam T E[J^2]) keeps full
+        precision in float32 — consumed by the Schuerger vol-swap/VIX
+        quadratures (varswap.integrated_variance_log_laplace)."""
+        lam = jnp.asarray(self.lam, dtype=jnp.asarray(s).dtype)
+        mu_j = jnp.asarray(self.mu_j, dtype=jnp.asarray(s).dtype)
+        sj = jnp.asarray(self.sigma_j, dtype=jnp.asarray(s).dtype)
+        q = 2.0 * s * sj * sj
+        log_ej2 = -s * mu_j * mu_j / (1.0 + q) - 0.5 * jnp.log1p(q)
+        return lam * T * jnp.expm1(log_ej2)
+
     # -- conveniences --------------------------------------------------------
     def heston(self) -> HestonParams:
         """The diffusion part (drops the jump parameters)."""

@@ -39,6 +39,7 @@ from ..core.precision import result_dtype
 
 __all__ = [
     "integrated_variance_laplace",
+    "integrated_variance_log_laplace",
     "fair_variance_strike",
     "forward_variance",
     "fair_volatility_strike",
@@ -71,6 +72,23 @@ def integrated_variance_laplace(params, s, maturity):
     sigma = jnp.asarray(params.sigma, dt)
     v0 = jnp.asarray(params.v0, dt)
 
+    return jnp.exp(integrated_variance_log_laplace(params, s, maturity))
+
+
+def integrated_variance_log_laplace(params, s, maturity):
+    """log E[exp(-s * int_0^T v_t dt)] — the exponent of
+    :func:`integrated_variance_laplace`, exposed so small-``s`` callers can
+    form ``1 - L`` cancellation-free via ``-expm1(log L)`` (the Schuerger
+    integrand is dominated by the s -> 0 region, where ``1 - exp(tiny)``
+    loses all float32 precision)."""
+    dt = result_dtype(s, maturity, params.kappa)
+    s = jnp.asarray(s, dt)
+    T = jnp.asarray(maturity, dt)
+    kappa = jnp.asarray(params.kappa, dt)
+    theta = jnp.asarray(params.theta, dt)
+    sigma = jnp.asarray(params.sigma, dt)
+    v0 = jnp.asarray(params.v0, dt)
+
     gamma = jnp.sqrt(kappa * kappa + 2.0 * sigma * sigma * s)
     e = jnp.exp(-gamma * T)
     denom = (gamma + kappa) * (1.0 - e) + 2.0 * gamma * e
@@ -78,10 +96,14 @@ def integrated_variance_laplace(params, s, maturity):
     #   = [2 gamma e^{(kappa-gamma)T/2} / denom]^{...}   (both factors decay)
     log_a = jnp.log(2.0 * gamma / denom) + 0.5 * (kappa - gamma) * T
     b = 2.0 * s * (1.0 - e) / denom
-    out = jnp.exp((2.0 * kappa * theta / (sigma * sigma)) * log_a - b * v0)
-    extra = getattr(params, "qv_laplace_extra", None)
+    out = (2.0 * kappa * theta / (sigma * sigma)) * log_a - b * v0
+    extra = getattr(params, "qv_log_laplace_extra", None)
     if extra is not None:
-        out = out * extra(s, T)
+        out = out + extra(s, T)
+    else:
+        extra_lin = getattr(params, "qv_laplace_extra", None)
+        if extra_lin is not None:
+            out = out + jnp.log(extra_lin(s, T))
     return out
 
 
@@ -143,8 +165,10 @@ def fair_volatility_strike(params, maturity, *, n_nodes: int = 128):
     # L is the transform of T*I (the raw integral); rescale to the
     # annualized I by evaluating at s/T
     T = jnp.asarray(maturity, dt)
-    lap = integrated_variance_laplace(params, s / T, maturity)
-    integrand = 2.0 * (1.0 - lap) / (t * t)
+    log_lap = integrated_variance_log_laplace(params, s / T, maturity)
+    # 1 - L via -expm1(log L): at the dominant s -> 0 end the direct form
+    # 1 - exp(-s E[I]) is pure cancellation in float32 (TPU path)
+    integrand = -2.0 * jnp.expm1(log_lap) / (t * t)
     return jnp.sum(w * integrand) / (2.0 * jnp.sqrt(jnp.asarray(np.pi, dt)))
 
 
