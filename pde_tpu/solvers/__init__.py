@@ -1,6 +1,7 @@
 """PDE solvers: Crank-Nicolson 1D (constant + local vol), Douglas ADI 2D
-(In 't Hout-Foulon boundaries), absorbing-boundary barriers, HJB optimal
-stopping, Longstaff-Schwartz."""
+(In 't Hout-Foulon boundaries), absorbing-boundary barriers, jump-diffusion
+PIDE (Merton/Kou, MXU jump convolution), HJB optimal stopping,
+Longstaff-Schwartz."""
 
 from . import (  # noqa: F401
     barrier_pde,
@@ -10,4 +11,5 @@ from . import (  # noqa: F401
     hjb,
     local_vol_pde,
     lsm,
+    pide,
 )

@@ -1,0 +1,363 @@
+"""Jump-diffusion PIDE solver (Merton / Kou), TPU-native.
+
+Prices European and American options under a 1D jump-diffusion
+
+    dS/S = (r - q - lam*kbar) dt + sigma dW + (e^Y - 1) dN
+
+where ``N`` is Poisson(lam) and the log-jump ``Y`` is either lognormal
+(Merton 1976, :class:`MertonJumps`) or double-exponential (Kou 2002,
+:class:`KouJumps`).  In log-spot ``x = ln(S/S0)`` the backward PIDE is
+
+    V_t + 0.5 s^2 V_xx + (r - q - lam*kbar - s^2/2) V_x - (r + lam) V
+        + lam * INT V(x + y) nu(y) dy = 0
+
+The reference framework has no PIDE solver at all (its jump machinery stops
+at the Bates characteristic function this module is cross-validated against);
+this solver extends the 1D PDE family (solvers/bs_pde.py, matching its
+scheme/boundary conventions) with a non-local term designed for the TPU:
+
+* **The jump integral is one MXU matmul.** On the uniform log grid the
+  convolution ``INT V(x_i + y) nu(y) dy`` is a Toeplitz contraction
+  ``W @ V`` with ``W[i, j] = w_j * nu(x_j - x_i)`` (trapezoid weights).
+  Batched over a strike strip, ``V`` is ``(n_space, B)`` and the whole
+  non-local term is a single ``(n, n) @ (n, B)`` matmul per IMEX pass —
+  exactly the contraction shape the systolic array is built for, where a
+  CPU implementation pays an O(n^2) scalar loop (or per-option FFTs).
+* **IMEX Crank-Nicolson with fixed-point correction** (d'Halluin, Forsyth &
+  Vetzal 2005): the local operator is implicit (one batched Thomas solve per
+  pass, factored once outside the ``lax.scan``); the integral rides the CN
+  right-hand side through a fixed iteration count (jittable, default 2 —
+  the splitting error contracts like ``(lam*dt/2)^m``).
+* **Analytic tail corrections.** Mass of ``nu`` jumping past the grid edges
+  is integrated in closed form against the asymptotic payoff (normal-CDF
+  tails for Merton, exponential tails for Kou), so the grid can stay narrow
+  without biasing deep-tail jumps.
+
+Validation: Merton prices converge to the Poisson-mixture series
+(models/bates.py merton_reference_price); Kou prices to a float64 Gil-Pelaez
+quadrature of the Kou CF (:func:`kou_reference_price`); ``lam = 0`` recovers
+solvers/bs_pde.py exactly (tests/test_pide.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.stats import norm as jnorm
+
+from ..core import grids
+from ..ops.tridiag import thomas_factor, thomas_solve_factored
+
+__all__ = [
+    "MertonJumps",
+    "KouJumps",
+    "PIDEResult",
+    "solve_pide",
+    "kou_reference_price",
+]
+
+
+class MertonJumps(NamedTuple):
+    """Lognormal jumps: ``Y ~ N(mu_j, sigma_j^2)`` at intensity ``lam``.
+
+    Matches the jump leg of :class:`pde_tpu.models.bates.BatesParams`
+    (same ``(lam, mu_j, sigma_j)`` semantics), so a degenerate-diffusion
+    Bates CF price is this solver's cross-oracle.
+    """
+
+    lam: jnp.ndarray
+    mu_j: jnp.ndarray
+    sigma_j: jnp.ndarray
+
+    @property
+    def kbar(self):
+        """E[e^Y] - 1, the martingale compensator."""
+        return jnp.exp(self.mu_j + 0.5 * self.sigma_j**2) - 1.0
+
+    def density(self, y):
+        return jnorm.pdf(y, loc=self.mu_j, scale=self.sigma_j)
+
+    def tail_up(self, z):
+        """(INT_z^inf nu,  INT_z^inf e^y nu) — upper tail mass and e^y-mass."""
+        b = jnorm.cdf((self.mu_j - z) / self.sigma_j)
+        a = jnp.exp(self.mu_j + 0.5 * self.sigma_j**2) * jnorm.cdf(
+            (self.mu_j + self.sigma_j**2 - z) / self.sigma_j
+        )
+        return b, a
+
+    def tail_down(self, z):
+        """(INT_-inf^z nu,  INT_-inf^z e^y nu) — lower tail counterparts."""
+        b = jnorm.cdf((z - self.mu_j) / self.sigma_j)
+        a = jnp.exp(self.mu_j + 0.5 * self.sigma_j**2) * jnorm.cdf(
+            (z - self.mu_j - self.sigma_j**2) / self.sigma_j
+        )
+        return b, a
+
+
+class KouJumps(NamedTuple):
+    """Double-exponential jumps (Kou 2002): up-jumps ``Exp(eta1)`` with
+    probability ``p``, down-jumps ``-Exp(eta2)`` with probability ``1 - p``.
+    Requires ``eta1 > 1`` for a finite compensator."""
+
+    lam: jnp.ndarray
+    p: jnp.ndarray
+    eta1: jnp.ndarray
+    eta2: jnp.ndarray
+
+    @property
+    def kbar(self):
+        return (
+            self.p * self.eta1 / (self.eta1 - 1.0)
+            + (1.0 - self.p) * self.eta2 / (self.eta2 + 1.0)
+            - 1.0
+        )
+
+    def density(self, y):
+        up = self.p * self.eta1 * jnp.exp(-self.eta1 * y)
+        dn = (1.0 - self.p) * self.eta2 * jnp.exp(self.eta2 * y)
+        # at the y=0 kink use the mean of the one-sided limits: y=0 is always
+        # a quadrature node (the Toeplitz diagonal), and the averaged value
+        # restores trapezoid second-order across the discontinuity
+        mid = 0.5 * (self.p * self.eta1 + (1.0 - self.p) * self.eta2)
+        return jnp.where(y > 0.0, up, jnp.where(y < 0.0, dn, mid))
+
+    def tail_up(self, z):
+        # z may be negative: the upper tail then spans part of the down side
+        zp = jnp.maximum(z, 0.0)
+        b_up = self.p * jnp.exp(-self.eta1 * zp)
+        a_up = self.p * self.eta1 / (self.eta1 - 1.0) * jnp.exp(-(self.eta1 - 1.0) * zp)
+        zn = jnp.minimum(z, 0.0)
+        # down-side mass in [z, 0) when z < 0
+        b_dn = (1.0 - self.p) * (1.0 - jnp.exp(self.eta2 * zn))
+        a_dn = (
+            (1.0 - self.p)
+            * self.eta2
+            / (self.eta2 + 1.0)
+            * (1.0 - jnp.exp((self.eta2 + 1.0) * zn))
+        )
+        return b_up + b_dn, a_up + a_dn
+
+    def tail_down(self, z):
+        one_b, one_a = 1.0 + self.kbar, 1.0  # total e^y-mass, total mass
+        b_up, a_up = self.tail_up(z)
+        return one_a - b_up, one_b - a_up
+
+
+class PIDEResult(NamedTuple):
+    price: jnp.ndarray       # (B,) per strike
+    delta: jnp.ndarray       # (B,)
+    gamma: jnp.ndarray       # (B,)
+    prices: jnp.ndarray      # (B, n) value grids at t=0
+    spot_grid: jnp.ndarray   # (n,)
+
+
+def _jump_matrix(jumps, x, dx):
+    """Toeplitz quadrature matrix W with (W @ V)_i ~= INT V(x_i+y) nu(y) dy.
+
+    Trapezoid weights over the grid support; mass beyond the edges is the
+    tail corrections' job.  O(n^2) storage is deliberate: n <= ~1024 keeps W
+    in VMEM-friendly tiles and the contraction on the MXU.
+    """
+    diff = x[None, :] - x[:, None]          # (i, j) -> x_j - x_i
+    w = jnp.full(x.shape, dx, x.dtype).at[0].set(0.5 * dx).at[-1].set(0.5 * dx)
+    return jumps.density(diff) * w[None, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_space", "n_time", "is_call", "american", "scheme",
+                     "fp_iterations", "jump_type"),
+)
+def _solve_pide_impl(
+    jump_arr, sigma, r, q, T, K, S0, s_min_mult, s_max_mult,
+    n_space, n_time, is_call, american, scheme, fp_iterations, jump_type,
+):
+    dtype = jnp.result_type(sigma, r, T, K, S0, float)
+    jumps = (MertonJumps if jump_type == "merton" else KouJumps)(*jump_arr)
+    K = jnp.atleast_1d(jnp.asarray(K, dtype))
+    B = K.shape[0]
+
+    n = n_space
+    x = jnp.linspace(jnp.log(s_min_mult), jnp.log(s_max_mult), n, dtype=dtype)
+    dx = (x[-1] - x[0]) / (n - 1)
+    s_grid = S0 * jnp.exp(x)
+    dt = T / n_time
+
+    sign = 1.0 if is_call else -1.0
+    payoff = jnp.maximum(sign * (s_grid[:, None] - K[None, :]), 0.0)  # (n, B)
+
+    lam, kbar = jumps.lam, jumps.kbar
+    sigma2 = sigma * sigma
+    drift = r - q - lam * kbar - 0.5 * sigma2
+    a = 0.5 * sigma2 / (dx * dx)
+    b = drift / (2.0 * dx)
+    L_m = a - b
+    L_c = -2.0 * a - (r + lam)
+    L_p = a + b
+
+    w = {"crank_nicolson": 0.5, "implicit": 1.0}[scheme]
+
+    idx = jnp.arange(n)
+    interior = (idx > 0) & (idx < n - 1)
+    diag = jnp.where(interior, 1.0 - w * dt * L_c, 1.0)
+    lower = jnp.where(interior[1:], -w * dt * L_m, 0.0)
+    upper = jnp.where(interior[:-1], -w * dt * L_p, 0.0)
+    factors = thomas_factor(lower, diag, upper)
+
+    W = _jump_matrix(jumps, x, dx)                               # (n, n)
+    # tail geometry is time-independent; only the discounts move per step
+    bu, au = jumps.tail_up(x[-1] - x)                            # (n,)
+    bd, ad = jumps.tail_down(x[0] - x)
+    ex = jnp.exp(x)
+
+    def jump_term(V, df_r, df_q):
+        """lam * (grid convolution + analytic edge tails), interior rows.
+
+        Beyond the grid the value is approximated by its payoff asymptote
+        (call: S*df_q - K*df_r above, 0 below; put mirrored), integrated in
+        closed form against nu — for American exercise the asymptote is the
+        undiscounted intrinsic (df = 1), consistent with immediate exercise
+        deep in the money.
+        """
+        conv = jnp.matmul(W, V, precision=jax.lax.Precision.HIGHEST)  # (n, B)
+        if is_call:
+            tail = (S0 * df_q * (ex * au)[:, None]
+                    - df_r * (bu[:, None] * K[None, :]))
+        else:
+            tail = (df_r * (bd[:, None] * K[None, :])
+                    - S0 * df_q * (ex * ad)[:, None])
+        return lam * (conv + jnp.maximum(tail, 0.0))
+
+    def explicit_rhs(V):
+        if w == 1.0:
+            return V
+        LV = L_m * V[:-2] + L_c * V[1:-1] + L_p * V[2:]
+        return V.at[1:-1].add((1.0 - w) * dt * LV)
+
+    def apply_bc(V, df_r, df_q):
+        if is_call:
+            V = V.at[0].set(0.0)
+            V = V.at[-1].set(jnp.maximum(s_grid[-1] * df_q - K * df_r, 0.0))
+        else:
+            V = V.at[0].set(jnp.maximum(K * df_r - s_grid[0] * df_q, 0.0))
+            V = V.at[-1].set(0.0)
+        return V
+
+    def step(V, tau):
+        if american:
+            df_r = df_q = jnp.ones((), dtype)
+        else:
+            df_r, df_q = jnp.exp(-r * tau), jnp.exp(-q * tau)
+        j_old = jump_term(V, df_r, df_q)
+        base = explicit_rhs(V).at[1:-1].add((1.0 - w) * dt * j_old[1:-1])
+        # fixed-point passes on the CN-implicit share of the integral
+        Vk = V
+        for _ in range(fp_iterations):
+            rhs = base.at[1:-1].add(w * dt * jump_term(Vk, df_r, df_q)[1:-1])
+            # tridiag batches over leading axes (system on the last): (B, n)
+            Vk = thomas_solve_factored(factors, rhs.T).T
+        V = apply_bc(Vk, jnp.exp(-r * tau), jnp.exp(-q * tau))
+        if american:
+            V = jnp.maximum(V, payoff)
+        return V, None
+
+    taus = dt * jnp.arange(1, n_time + 1, dtype=dtype)
+    V, _ = jax.lax.scan(step, payoff, taus)                       # (n, B)
+
+    price = jax.vmap(lambda vb: grids.interp_linear(s_grid, vb, S0))(V.T)
+    i = jnp.clip(grids.find_index(s_grid, S0), 1, n - 2)
+    delta = (V[i + 1] - V[i - 1]) / (s_grid[i + 1] - s_grid[i - 1])
+    davg = 0.5 * (s_grid[i + 1] - s_grid[i - 1])
+    gamma = (V[i + 1] - 2.0 * V[i] + V[i - 1]) / (davg * davg)
+    return PIDEResult(price, delta, gamma, V.T, s_grid)
+
+
+def solve_pide(
+    jumps,
+    sigma,
+    r,
+    q,
+    T,
+    strikes,
+    S0,
+    is_call: bool = True,
+    american: bool = False,
+    n_space: int = 512,
+    n_time: int = 128,
+    s_min_mult: float = 0.1,
+    s_max_mult: float = 10.0,
+    scheme: str = "crank_nicolson",
+    fp_iterations: int = 2,
+) -> PIDEResult:
+    """Price a strike strip under jump-diffusion through ONE PIDE march.
+
+    ``jumps`` is a :class:`MertonJumps` or :class:`KouJumps`; ``strikes`` may
+    be a scalar or a vector — the whole strip shares the grid, the factored
+    implicit operator, and the jump matmul, so marginal strikes are nearly
+    free.  ``vmap`` over maturities/vols for full surfaces.
+
+    The reference has no solver in this family; the closest reference
+    machinery is the per-option scalar loop of its 1D solver
+    (src/cpp/solvers/black_scholes_pde.hpp:97-147), which cannot express the
+    non-local term at all.
+    """
+    if isinstance(jumps, MertonJumps):
+        jtype = "merton"
+    elif isinstance(jumps, KouJumps):
+        jtype = "kou"
+    else:
+        raise TypeError(f"unsupported jump family {type(jumps).__name__}")
+    if scheme not in ("crank_nicolson", "implicit"):
+        raise ValueError(f"unknown scheme {scheme!r}")
+    if n_space < 16 or n_time < 10:
+        raise ValueError("n_space >= 16 and n_time >= 10 required")
+    if fp_iterations < 1:
+        raise ValueError("fp_iterations must be >= 1")
+    return _solve_pide_impl(
+        tuple(jnp.asarray(v, float) for v in jumps),
+        sigma, r, q, T, strikes, S0, s_min_mult, s_max_mult,
+        n_space, n_time, bool(is_call), bool(american), scheme,
+        int(fp_iterations), jtype,
+    )
+
+
+def kou_reference_price(
+    strike, maturity, spot, rate, dividend, bs_vol, lam, p, eta1, eta2,
+    is_call=True, u_max=400.0, n_u=120_000,
+):
+    """Kou (2002) European price via float64 Gil-Pelaez quadrature — an
+    independent numpy oracle for the Kou PIDE path (no JAX, no solver code
+    shared).  Midpoint rule on ``u in (0, u_max]``; the CF decays like
+    ``exp(-0.5 sigma^2 T u^2)`` so the truncation is far below 1e-10 for any
+    sigma*sqrt(T) >= 0.05.
+    """
+    import numpy as np
+
+    strike = np.asarray(strike, dtype=np.float64)
+    tau, x0 = float(maturity), np.log(float(spot))
+    kbar = p * eta1 / (eta1 - 1.0) + (1.0 - p) * eta2 / (eta2 + 1.0) - 1.0
+    omega = rate - dividend - 0.5 * bs_vol**2 - lam * kbar
+
+    def cf(u):
+        u = np.asarray(u, dtype=np.complex128)
+        jhat = p * eta1 / (eta1 - 1j * u) + (1.0 - p) * eta2 / (eta2 + 1j * u)
+        return np.exp(
+            1j * u * (x0 + omega * tau)
+            - 0.5 * bs_vol**2 * u**2 * tau
+            + lam * tau * (jhat - 1.0)
+        )
+
+    du = u_max / n_u
+    u = (np.arange(n_u) + 0.5) * du
+    k = np.log(strike)[:, None]
+    phi = cf(u)[None, :]
+    phi_s = cf(u - 1j)[None, :] / cf(-1j)  # measure-changed CF for P1
+    p2 = 0.5 + du / np.pi * np.sum((np.exp(-1j * u * k) * phi / (1j * u)).real, axis=1)
+    p1 = 0.5 + du / np.pi * np.sum((np.exp(-1j * u * k) * phi_s / (1j * u)).real, axis=1)
+    call = spot * np.exp(-dividend * tau) * p1 - strike * np.exp(-rate * tau) * p2
+    if is_call:
+        return call
+    return call - spot * np.exp(-dividend * tau) + strike * np.exp(-rate * tau)
