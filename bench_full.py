@@ -598,6 +598,29 @@ def main():
     per = timeit(greeks_fn, n=5)
     emit("heston_mc_ad_greeks_16strike_s", per, "solve_s")
 
+    # 3g. jump-diffusion PIDE: a whole strike strip through ONE IMEX march
+    # with the jump convolution as an MXU Toeplitz matmul (the reference has
+    # no PIDE solver family at all; closest is its per-option local-operator
+    # loop, black_scholes_pde.hpp:97-147)
+    from pde_tpu.solvers.pide import KouJumps, MertonJumps, solve_pide
+
+    B_pd = _n(128, 8)
+    k_pd = jnp.linspace(70.0, 130.0, B_pd)
+    mj_b = MertonJumps(0.5, -0.1, 0.15)
+    nsp_pd, ntp_pd = _n(512, 64), _n(128, 16)
+    per = timeit(
+        lambda: solve_pide(mj_b, 0.2, 0.05, 0.02, 0.5, k_pd, 100.0,
+                           n_space=nsp_pd, n_time=ntp_pd).price, n=20)
+    emit("pide_merton_strip128_options_per_sec", B_pd / per, "options/s")
+
+    kj_b = KouJumps(1.0, 0.4, 10.0, 5.0)
+    per = timeit(
+        lambda: solve_pide(kj_b, 0.2, 0.05, 0.02, 0.5, k_pd, 100.0,
+                           is_call=False, american=True,
+                           n_space=nsp_pd, n_time=ntp_pd).price, n=20)
+    emit("pide_kou_american_strip128_options_per_sec", B_pd / per,
+         "options/s")
+
     # 4. Heston ADI ----------------------------------------------------------
     from pde_tpu.solvers import heston_adi
 

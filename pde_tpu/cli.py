@@ -192,6 +192,62 @@ def cmd_varswap(args) -> int:
     return 0
 
 
+def cmd_pide(args) -> int:
+    """Jump-diffusion option strip through the PIDE solver
+    (solvers/pide.py): Merton lognormal or Kou double-exponential jumps,
+    European or American, one IMEX march for the whole strip."""
+    from .solvers import pide
+
+    if args.jumps == "merton":
+        jumps = pide.MertonJumps(args.lam, args.mu_j, args.sigma_j)
+        jrow = {"family": "merton", "lam": args.lam, "mu_j": args.mu_j,
+                "sigma_j": args.sigma_j}
+    else:
+        jumps = pide.KouJumps(args.lam, args.p_up, args.eta1, args.eta2)
+        jrow = {"family": "kou", "lam": args.lam, "p_up": args.p_up,
+                "eta1": args.eta1, "eta2": args.eta2}
+    res = pide.solve_pide(
+        jumps, args.vol, args.rate, args.dividend, args.maturity,
+        args.strikes, args.spot, is_call=not args.put,
+        american=args.american,
+        n_space=args.n_space, n_time=args.n_time,
+    )
+    out = {
+        "model": "jump_diffusion_pide",
+        "jumps": jrow,
+        "style": "american" if args.american else "european",
+        "side": "put" if args.put else "call",
+        "spot": args.spot,
+        "maturity": args.maturity,
+        "rows": [
+            {"strike": k, "price": float(p), "delta": float(d),
+             "gamma": float(g)}
+            for k, p, d, g in zip(args.strikes, res.price, res.delta,
+                                  res.gamma)
+        ],
+    }
+    if args.oracle_check and not args.american:
+        import numpy as np
+
+        if args.jumps == "merton":
+            from .models.bates import merton_reference_price
+
+            ref = merton_reference_price(
+                np.asarray(args.strikes), args.maturity, args.spot,
+                args.rate, args.dividend, args.vol,
+                args.lam, args.mu_j, args.sigma_j, is_call=not args.put)
+        else:
+            ref = pide.kou_reference_price(
+                np.asarray(args.strikes), args.maturity, args.spot,
+                args.rate, args.dividend, args.vol,
+                args.lam, args.p_up, args.eta1, args.eta2,
+                is_call=not args.put)
+        err = np.abs(np.array(res.price) - ref)
+        out["oracle_max_abs_err"] = float(err.max())
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_vix(args) -> int:
     """VIX futures and options from model parameters (models/vix.py) —
     exact CIR terminal law; Bates jump strip premium when --lam > 0."""
@@ -522,6 +578,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mu-j", dest="mu_j", type=float, default=-0.1)
     p.add_argument("--sigma-j", dest="sigma_j", type=float, default=0.15)
     p.set_defaults(func=cmd_vix, config=None)
+
+    p = sub.add_parser("pide", help="jump-diffusion strip (Merton/Kou PIDE)")
+    p.add_argument("--jumps", choices=["merton", "kou"], default="merton")
+    p.add_argument("--strikes", type=float, nargs="+",
+                   default=[80.0, 90.0, 100.0, 110.0, 120.0])
+    p.add_argument("--spot", type=float, default=100.0)
+    p.add_argument("--maturity", type=float, default=0.5)
+    p.add_argument("--rate", type=float, default=0.05)
+    p.add_argument("--dividend", type=float, default=0.0)
+    p.add_argument("--vol", type=float, default=0.2, help="diffusive vol")
+    p.add_argument("--lam", type=float, default=0.5, help="jump intensity")
+    p.add_argument("--mu-j", dest="mu_j", type=float, default=-0.1)
+    p.add_argument("--sigma-j", dest="sigma_j", type=float, default=0.15)
+    p.add_argument("--p-up", dest="p_up", type=float, default=0.4,
+                   help="kou up-jump probability")
+    p.add_argument("--eta1", type=float, default=10.0)
+    p.add_argument("--eta2", type=float, default=5.0)
+    p.add_argument("--put", action="store_true")
+    p.add_argument("--american", action="store_true")
+    p.add_argument("--n-space", dest="n_space", type=int, default=512)
+    p.add_argument("--n-time", dest="n_time", type=int, default=128)
+    p.add_argument("--oracle-check", dest="oracle_check", action="store_true",
+                   help="also report max abs error vs the float64 oracle")
+    p.set_defaults(func=cmd_pide, config=None)
 
     p = sub.add_parser("fwdstart", help="forward-start vanillas / cliquet strip (forward smile)")
     p.add_argument("--rel-strikes", dest="rel_strikes", type=float, nargs="+",

@@ -316,6 +316,7 @@ def solve_pide(
         raise ValueError("n_space >= 16 and n_time >= 10 required")
     if fp_iterations < 1:
         raise ValueError("fp_iterations must be >= 1")
+    strikes = jnp.atleast_1d(jnp.asarray(strikes))
     return _solve_pide_impl(
         tuple(jnp.asarray(v, float) for v in jumps),
         sigma, r, q, T, strikes, S0, s_min_mult, s_max_mult,

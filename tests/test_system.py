@@ -218,6 +218,24 @@ class TestCLI:
         # a 0..8% capped 4-period strip is worth less than 4 * 8% but > 0
         assert 0 < out["cliquet_strip"]["price"] < 0.32
 
+    def test_pide_command(self, capsys):
+        rc = cli_main(["pide", "--jumps", "merton", "--oracle-check",
+                       "--strikes", "90", "100", "110",
+                       "--n-space", "256", "--n-time", "64"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        rows = out["rows"]
+        assert [r["strike"] for r in rows] == [90.0, 100.0, 110.0]
+        assert rows[0]["price"] > rows[1]["price"] > rows[2]["price"] > 0
+        assert out["oracle_max_abs_err"] < 0.05
+        # american kou put: price floored at intrinsic
+        rc = cli_main(["pide", "--jumps", "kou", "--put", "--american",
+                       "--strikes", "120", "--n-space", "256",
+                       "--n-time", "64"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["rows"][0]["price"] >= 20.0
+
     def test_price_command_cf(self, capsys):
         rc = cli_main(["price", "--method", "cf", "--strikes", "90", "100", "110"])
         assert rc == 0
