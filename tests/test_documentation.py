@@ -111,3 +111,40 @@ class TestSurveyInventoryCoverage:
                                  r"\.\w+", sec2))
         missing = [m for m in sorted(modules) if m.split(".", 1)[1] not in pmap]
         assert not missing, f"parity map missing: {missing}"
+
+
+class TestTypedStubs:
+    """Typed-surface parity with the reference's quant_cpp.pyi
+    (src/python/quant_trading/cpp/quant_cpp.pyi:1-250)."""
+
+    def test_py_typed_marker_shipped(self):
+        assert os.path.exists(os.path.join(ROOT, "pde_tpu", "py.typed"))
+        pyproject = read("pyproject.toml")
+        assert "py.typed" in pyproject and "*.pyi" in pyproject
+
+    def test_native_stub_matches_runtime_surface(self):
+        """Every name the native package exports is typed in the stub, and
+        the stub declares nothing the runtime doesn't have."""
+        import ast
+
+        from pde_tpu import native
+
+        stub_path = os.path.join(ROOT, "pde_tpu", "native", "__init__.pyi")
+        tree = ast.parse(read("pde_tpu/native/__init__.pyi"), stub_path)
+        stub_defs = {
+            n.name for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+        }
+        stub_funcs = {
+            n.name for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)
+        }
+        runtime = set(native.__all__)
+        missing = sorted(runtime - stub_defs - {"load"})
+        assert not missing, f"stub missing: {missing}"
+        # stub-only CLASSES (TypedDict result shapes) are fine; a stub-only
+        # FUNCTION would be typing a phantom API
+        phantom = sorted(
+            s for s in stub_funcs
+            if not s.startswith("_") and not hasattr(native, s)
+        )
+        assert not phantom, f"stub declares nonexistent functions: {phantom}"
