@@ -712,6 +712,18 @@ def main():
     per = timeit(am_fused, n=100)
     emit("heston_american_lcp_fused_solve_s", per, "solve_s")
 
+    # 5a-bis. American under SV + JUMPS: Bates 2D PIDE (Douglas ADI + CNAB
+    # jump term as one (nS,nS)@(nS,nv) MXU matmul per step).  The reference
+    # has no PDE/PIDE route under jumps — no baseline exists to race.
+    from pde_tpu.solvers.bates_pide import BatesPIDEParams, solve_bates_pide
+
+    bpp = BatesPIDEParams(
+        q=0.02, is_call=False, american=True, american_method="it_lcp",
+        jumps=MertonJumps(0.5, -0.1, 0.15), n_time=_n(100, 10),
+    )
+    per = timeit(lambda: solve_bates_pide(bpp, 100.0).price, n=10)
+    emit("bates_pide_american_solve_s", per, "solve_s")
+
     # 5b. OU free-boundary PSOR entry/exit with transaction costs
     # (Leung-Li; BASELINE.json config #3, reference design-doc.md:913
     # boundary-optimization target <5 s) --------------------------------------

@@ -5,6 +5,7 @@ Longstaff-Schwartz."""
 
 from . import (  # noqa: F401
     barrier_pde,
+    bates_pide,
     bs_pde,
     heston_adi,
     heston_adi_ref,
