@@ -1,4 +1,5 @@
-"""Pricing models: Heston (classic + rough), Bates, SABR, OU, Black-Scholes."""
+"""Pricing models: Heston (classic + rough), Bates, SVCJ, SABR, OU,
+Black-Scholes."""
 
 from . import (  # noqa: F401
     bates,
@@ -14,10 +15,12 @@ from . import (  # noqa: F401
     rough_heston_mc,
     sabr,
     slv,
+    svcj,
     varswap,
     vix,
 )
 from .bates import BatesParams  # noqa: F401
+from .svcj import SVCJParams  # noqa: F401
 from .forward_start import ForwardStartParams  # noqa: F401
 from .heston import HestonParams  # noqa: F401
 from .ou import OUParams  # noqa: F401

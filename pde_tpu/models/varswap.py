@@ -120,8 +120,14 @@ def fair_variance_strike(params, maturity):
     theta = jnp.asarray(params.theta, dt)
     v0 = jnp.asarray(params.v0, dt)
     ev = theta + (v0 - theta) * (1.0 - jnp.exp(-kappa * T)) / (kappa * T)
+    # maturity-aware hook first (SVCJ: v-jumps bend the forward variance
+    # curve, so the jump QV contribution depends on T), then the constant
+    # jump-QV-rate hook (Bates)
+    extra_t = getattr(params, "qv_mean_extra", None)
     extra = getattr(params, "qv_rate_extra", None)
-    if extra is not None:
+    if extra_t is not None:
+        ev = ev + extra_t(T)
+    elif extra is not None:
         ev = ev + extra()
     return ev
 
