@@ -566,7 +566,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("vix", help="VIX futures/options (exact CIR terminal law)")
     p.add_argument("--maturities", type=float, nargs="+", default=[0.0833, 0.25, 0.5])
     p.add_argument("--strikes", type=float, nargs="+", default=None,
-                   help="VIX option strikes (VIX points) at the first maturity")
+                   help="VIX option strikes (VIX points); options are priced "
+                        "at the FIRST maturity only")
     p.add_argument("--rate", type=float, default=0.0)
     p.add_argument("--put", action="store_true", help="price puts instead of calls")
     p.add_argument("--kappa", type=float, default=2.0)

@@ -64,14 +64,6 @@ def integrated_variance_laplace(params, s, maturity):
     the independent jump quadratic variation), it multiplies in — same hook
     pattern as models/heston.py:_cf_reduced.
     """
-    dt = result_dtype(s, maturity, params.kappa)
-    s = jnp.asarray(s, dt)
-    T = jnp.asarray(maturity, dt)
-    kappa = jnp.asarray(params.kappa, dt)
-    theta = jnp.asarray(params.theta, dt)
-    sigma = jnp.asarray(params.sigma, dt)
-    v0 = jnp.asarray(params.v0, dt)
-
     return jnp.exp(integrated_variance_log_laplace(params, s, maturity))
 
 

@@ -196,9 +196,13 @@ def _solve_core(
     price = grids.interp_bilinear(s_grid, v_grid, V, S0, v0)
     i = jnp.clip(grids.find_index(s_grid, S0), 1, nS - 2)
     j = jnp.clip(grids.find_index(v_grid, v0), 1, nv - 2)
-    delta = (V[i + 1, j] - V[i - 1, j]) / (s_grid[i + 1] - s_grid[i - 1])
-    davg = 0.5 * (s_grid[i + 1] - s_grid[i - 1])
-    gamma = (V[i + 1, j] - 2.0 * V[i, j] + V[i - 1, j]) / (davg * davg)
+    # Uniform-in-log-S grid: difference in x = log S and convert (the naive
+    # /davg^2 stencil on S values has an O(1) ~ delta/S bias; see pide.py).
+    si = s_grid[i]
+    V_x = (V[i + 1, j] - V[i - 1, j]) / (2.0 * dx)
+    V_xx = (V[i + 1, j] - 2.0 * V[i, j] + V[i - 1, j]) / (dx * dx)
+    delta = V_x / si
+    gamma = (V_xx - V_x) / (si * si)
     dV_dv = (V[i, j + 1] - V[i, j - 1]) / (2.0 * dv)
     vega = 2.0 * jnp.sqrt(v0) * T * dV_dv
     theta_g = -(

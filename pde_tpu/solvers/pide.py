@@ -269,9 +269,15 @@ def _solve_pide_impl(
 
     price = jax.vmap(lambda vb: grids.interp_linear(s_grid, vb, S0))(V.T)
     i = jnp.clip(grids.find_index(s_grid, S0), 1, n - 2)
-    delta = (V[i + 1] - V[i - 1]) / (s_grid[i + 1] - s_grid[i - 1])
-    davg = 0.5 * (s_grid[i + 1] - s_grid[i - 1])
-    gamma = (V[i + 1] - 2.0 * V[i] + V[i - 1]) / (davg * davg)
+    # The grid is uniform in x = log S, not in S: difference in log-space
+    # (second order in dx) and convert — delta = V_x / S,
+    # gamma = (V_xx - V_x) / S^2.  The naive /davg^2 stencil on the S values
+    # carries a non-vanishing O(1) bias ~ delta/S on a log grid.
+    si = s_grid[i]
+    V_x = (V[i + 1] - V[i - 1]) / (2.0 * dx)
+    V_xx = (V[i + 1] - 2.0 * V[i] + V[i - 1]) / (dx * dx)
+    delta = V_x / si
+    gamma = (V_xx - V_x) / (si * si)
     return PIDEResult(price, delta, gamma, V.T, s_grid)
 
 

@@ -103,6 +103,21 @@ def test_greeks_sane():
     assert float(res.theta) < 0.0
 
 
+def test_gamma_vs_cf_central_difference():
+    """Gamma readout vs a central FD of the (independent) CF price — pins
+    the log-grid conversion (V_xx - V_x)/S^2; the naive uniform-S stencil
+    has an O(1) ~delta/S bias on a log grid."""
+    h = 1.0
+
+    def cf(s):
+        return float(np.asarray(
+            price_accurate(BP, 100.0, 1.0, s, rate=0.05, dividend=0.02)))
+
+    g_fd = (cf(S0 + h) - 2.0 * cf(S0) + cf(S0 - h)) / (h * h)
+    res = solve_bates_pide(BatesPIDEParams(q=0.02, jumps=MJ), S0)
+    assert abs(float(res.gamma) - g_fd) / g_fd < 0.05
+
+
 def test_input_validation():
     with pytest.raises(TypeError):
         solve_bates_pide(BatesPIDEParams(jumps=object()), S0)

@@ -126,6 +126,22 @@ def test_greeks_shapes_and_signs():
     assert np.all(np.diff(np.array(res.delta)) < 0.0)
 
 
+def test_greeks_vs_bs_exact():
+    """lam = 0: delta and gamma must match closed-form BS greeks.  Pins the
+    log-grid readout — the naive uniform-S central stencil carries an O(1)
+    ~delta/S gamma bias on a log grid that refinement does not remove."""
+    from scipy.stats import norm
+
+    none = MertonJumps(lam=0.0, mu_j=0.0, sigma_j=0.2)
+    K, T = 100.0, 0.5
+    res = solve_pide(none, SIG, R, Q, T, K, S0, is_call=True)
+    d1 = (np.log(S0 / K) + (R - Q + 0.5 * SIG**2) * T) / (SIG * np.sqrt(T))
+    delta_bs = np.exp(-Q * T) * norm.cdf(d1)
+    gamma_bs = np.exp(-Q * T) * norm.pdf(d1) / (S0 * SIG * np.sqrt(T))
+    assert abs(float(res.delta[0]) - delta_bs) < 3e-4
+    assert abs(float(res.gamma[0]) - gamma_bs) < 3e-4
+
+
 def test_kou_tail_identities():
     """tail_up(z) + tail_down(z) must recover total mass 1 and e^y-mass
     1 + kbar for any z, on both sides of the kink."""

@@ -23,6 +23,7 @@ from pde_tpu.models.svcj import (
     price_european_mc,
     simulate_qe,
     simulate_qe_paths,
+    simulate_qe_qv,
 )
 
 P = SVCJParams(kappa=3.5, theta=0.035, sigma=0.3, rho=-0.6, v0=0.04,
@@ -106,6 +107,23 @@ def test_integrated_variance_laplace_vs_mc():
         assert abs(lcf - lmc) < 5e-3, (s, lcf, lmc)
 
 
+def test_joint_laplace_vs_mc_both_legs():
+    """qv_log_laplace_extra with BOTH co-jump legs live (rho_j != 0,
+    sigma_x > 0, mu_v > 0): the joint expectation E[e^{-s Zx^2 - Zv B}]
+    does not factor into the marginal legs — pin the exact time-integrated
+    joint transform against realized QV (trapezoid int v dt + sum Zx^2)."""
+    p = P._replace(lam=1.0, mu_v=0.03)
+    T = 1.0
+    iv, qj = simulate_qe_qv(p, 100.0, T, jax.random.PRNGKey(7), rate=0.0,
+                            n_steps=256, n_paths=1 << 15)
+    qv = np.asarray(iv) + np.asarray(qj)
+    for s in (2.0, 10.0):
+        lcf = float(np.asarray(varswap.integrated_variance_laplace(p, s, T)))
+        lmc = float(np.mean(np.exp(-s * qv)))
+        se = float(np.std(np.exp(-s * qv)) / np.sqrt(qv.size))
+        assert abs(lcf - lmc) < 4.0 * se + 3e-3, (s, lcf, lmc, se)
+
+
 def test_vol_swap_strike_jensen():
     """Exact vol-swap strike (vector-s quadrature through the hook) sits
     strictly below sqrt(fair variance)."""
@@ -118,8 +136,10 @@ def test_implied_vol_smile_shape():
     """Co-jumps with rho_j < 0 steepen the put wing: downside IV above
     upside IV."""
     ks = np.array([80.0, 100.0, 125.0])
-    prices = price_accurate(P, ks, 0.5, 100.0, rate=0.03)
-    ivs = np.asarray(implied_volatility(P, ks, 0.5, 100.0, prices, rate=0.03))
+    # implied_volatility prices the model internally (heston.py:744 hook);
+    # accurate=True inverts the converged GL rule, needed at T=0.5.
+    ivs = np.asarray(
+        implied_volatility(P, ks, 0.5, 100.0, rate=0.03, accurate=True))
     assert ivs[0] > ivs[-1]
     assert np.all((ivs > 0.05) & (ivs < 1.0))
 

@@ -236,6 +236,30 @@ class TestCLI:
         out = json.loads(capsys.readouterr().out)
         assert out["rows"][0]["price"] >= 20.0
 
+    def test_vix_command(self, capsys):
+        rc = cli_main(["vix", "--maturities", "0.25", "0.5",
+                       "--strikes", "18", "22", "26", "--rate", "0.03"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["model"] == "heston"
+        assert 10.0 < out["spot_vix"] < 40.0
+        assert len(out["futures"]) == 2
+        assert all(f["price"] > 0 for f in out["futures"])
+        # options block uses the first maturity only (documented in --strikes)
+        opts = out["options"]
+        assert opts["maturity"] == 0.25
+        rows = opts["rows"]
+        assert [r["strike"] for r in rows] == [18.0, 22.0, 26.0]
+        # calls decrease in strike; Black-76 IVs positive
+        assert rows[0]["price"] > rows[1]["price"] > rows[2]["price"] > 0
+        assert all(r["black76_iv"] > 0 for r in rows)
+        # Bates route: jump strip premium raises spot VIX
+        rc = cli_main(["vix", "--lam", "0.5", "--maturities", "0.25"])
+        assert rc == 0
+        out2 = json.loads(capsys.readouterr().out)
+        assert out2["model"] == "bates"
+        assert out2["spot_vix"] > out["spot_vix"]
+
     def test_price_command_cf(self, capsys):
         rc = cli_main(["price", "--method", "cf", "--strikes", "90", "100", "110"])
         assert rc == 0
