@@ -418,6 +418,43 @@ def main():
     emit("slv_calibration_particle_steps_per_sec",
          slv_paths * slv_steps / per, "particle-steps/s")
 
+    # 1i. Hull-White rates desk: ATM swaption panel (Jamshidian strips,
+    # fixed-trip Newton for r*) and the 2-parameter caplet-strip LM fit.
+    # New family beyond the reference (equity-only models).
+    from pde_tpu.calibrate.rates import HullWhiteCalibrator
+    from pde_tpu.models import rates as rates_mod
+
+    hw_curve = rates_mod.curve_from_zero_rates(
+        jnp.asarray([0.5, 1.0, 2.0, 5.0, 10.0, 30.0], f32),
+        jnp.asarray([0.030, 0.032, 0.035, 0.040, 0.042, 0.043], f32))
+    hw = rates_mod.HullWhiteParams(
+        jnp.asarray(0.1, f32), jnp.asarray(0.012, f32), hw_curve)
+    n_sw = _n(256, 8)
+    sw_expiries = jnp.asarray(np.linspace(0.5, 10.0, n_sw), f32)
+    sw_pay_rel = jnp.asarray(np.arange(0.5, 5.01, 0.5), f32)  # 5y semi
+
+    def _one_swaption(e):
+        pay = e + sw_pay_rel
+        par = rates_mod.hw_swap_rate(hw_curve, e, pay)
+        return rates_mod.hw_swaption(hw, par, e, pay)
+
+    swaption_fn = jax.jit(lambda: jax.vmap(_one_swaption)(sw_expiries))
+    per = timeit(swaption_fn, n=50)
+    emit("hw_swaption_panel_prices_per_sec", n_sw / per, "swaptions/s")
+
+    hw_starts = jnp.asarray(np.arange(0.5, 8.01, 0.5), f32)
+    hw_ends = hw_starts + 0.5
+    hw_ks = hw_curve.forward(hw_starts, hw_ends)
+    hw_quotes = rates_mod.hw_caplet(hw, hw_ks, hw_starts, hw_ends)
+    hw_cal = HullWhiteCalibrator(max_iter=_n(60, 6))
+
+    def hw_fit():
+        return hw_cal.calibrate_caplets(
+            hw_curve, hw_starts, hw_ends, hw_ks, hw_quotes).rmse
+
+    per = timeit(hw_fit, n=5)
+    emit("hw_caplet_calibration_wall_s", per, "fit_s")
+
     # 2. SABR throughput -----------------------------------------------------
     from pde_tpu.models import sabr
 
@@ -571,6 +608,21 @@ def main():
     per = timeit(lsm_book_fn, n=5)
     emit("heston_american_lsm_batch128_options_per_sec", B_lsm / per,
          "options/s")
+
+    # 3d2. Andersen-Broadie dual bound: the price sandwich for the frozen
+    # LSM policy (out-of-sample lower + martingale-duality upper).  Emits
+    # the duality gap (policy-quality evidence no grid solver provides) and
+    # the wall clock of the whole nested O(steps^2) estimator.
+    from pde_tpu.solvers.lsm_dual import dual_upper_bound
+
+    dual_fn = jax.jit(lambda: dual_upper_bound(
+        params, 100.0, 1.0, 100.0, mc_key, rate=0.05, is_call=False,
+        n_steps=_n(12, 4), n_reg_paths=_n(1 << 15, 1 << 10),
+        n_outer=_n(1024, 64), n_inner=_n(64, 8)))
+    per = timeit(dual_fn, n=3)
+    lo_d, _, up_d, _ = (float(x) for x in dual_fn())
+    emit("lsm_dual_sandwich_wall_s", per, "solve_s")
+    emit("lsm_dual_gap_pct", 100.0 * (up_d - lo_d) / max(lo_d, 1e-12), "pct")
 
     # 3e. forward-start smile: analytic (chi-square-mixed forward CF) vs the
     # MC route it cross-validates; the reference has neither

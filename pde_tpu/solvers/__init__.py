@@ -12,5 +12,6 @@ from . import (  # noqa: F401
     hjb,
     local_vol_pde,
     lsm,
+    lsm_dual,
     pide,
 )

@@ -76,7 +76,8 @@ def _reduce_sum(x, axis_name):
 
 
 def lsm_backward_induction(
-    s_path, v_path, strike, sign, disc, *, axis_name=None
+    s_path, v_path, strike, sign, disc, *, axis_name=None,
+    collect_policy: bool = False,
 ):
     """Longstaff-Schwartz backward induction over stored paths.
 
@@ -85,6 +86,12 @@ def lsm_backward_induction(
     the regression is computed over the GLOBAL cross-section via ``psum``
     of the Gram/moment sums.  Returns the per-path cashflow at t_1
     (discounted to t_1; callers discount the final step to t_0).
+
+    With ``collect_policy=True`` also returns ``(gamma, c)`` arrays of
+    shape ``(n_steps - 1, F)`` / ``(n_steps - 1,)`` in DATE order
+    (t_1..t_{N-1}): the fitted continuation in raw feature space,
+    ``cont_hat = basis(S/K, v) @ gamma[t] + c[t]`` — the frozen exercise
+    policy consumed by the Andersen-Broadie dual bound (solvers/lsm_dual).
     """
     dtype = s_path.dtype
     k_arr = jnp.asarray(strike, dtype)
@@ -127,9 +134,16 @@ def lsm_backward_induction(
         beta = jnp.linalg.solve(gram, rhs)
         cont_hat = phi @ beta
         exercise = (intrinsic > cont_hat) & (w > 0)
-        return jnp.where(exercise, intrinsic, cont), None
+        # raw-space policy: cont_hat = basis @ gamma + c (standardization
+        # folded into the coefficients) — tiny per-step output, collected
+        # regardless so the scan body stays identical either way
+        gamma = beta / sd
+        c = -jnp.sum(mu * gamma)
+        return jnp.where(exercise, intrinsic, cont), (gamma, c)
 
-    cashflow, _ = jax.lax.scan(backward, v_terminal, xs)
+    cashflow, (gammas, cs) = jax.lax.scan(backward, v_terminal, xs)
+    if collect_policy:
+        return cashflow, (gammas[::-1], cs[::-1])
     return cashflow
 
 

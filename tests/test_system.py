@@ -260,6 +260,23 @@ class TestCLI:
         assert out2["model"] == "bates"
         assert out2["spot_vix"] > out["spot_vix"]
 
+    def test_rates_command(self, capsys):
+        rc = cli_main(["rates", "--caplet-starts", "1.0", "2.0",
+                       "--swaption-expiries", "1.0", "--swap-tenor", "2.0"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["model"] == "hull-white"
+        caps = out["atm_caplets"]
+        assert len(caps) == 2 and all(c["price"] > 0 for c in caps)
+        sw = out["atm_swaptions"][0]
+        assert sw["payer_price"] > 0 and 0.0 < sw["par_rate"] < 0.10
+        # curve pillars echo the resolved discount factors
+        assert all(0 < row["df"] <= 1 for row in out["curve"])
+        # mismatched curve arrays -> clean error exit
+        rc = cli_main(["rates", "--curve-times", "1.0",
+                       "--curve-zeros", "0.03", "0.04"])
+        assert rc == 2
+
     def test_price_command_cf(self, capsys):
         rc = cli_main(["price", "--method", "cf", "--strikes", "90", "100", "110"])
         assert rc == 0
