@@ -27,8 +27,10 @@ from .lm import levenberg_marquardt
 
 __all__ = ["HullWhiteCalibrationResult", "HullWhiteCalibrator"]
 
-_LOWER = jnp.array([1e-3, 1e-4])   # (a, sigma)
-_UPPER = jnp.array([3.0, 0.10])
+# module-level jnp.array would initialise the XLA backend at import time,
+# breaking jax.distributed.initialize in multi-host workers — keep plain
+_LOWER = (1e-3, 1e-4)   # (a, sigma)
+_UPPER = (3.0, 0.10)
 
 
 @dataclass
@@ -109,8 +111,8 @@ class HullWhiteCalibrator:
 
     # -- internals --------------------------------------------------------
     def _run(self, resid, dtype):
-        lower = _LOWER.astype(dtype)
-        upper = _UPPER.astype(dtype)
+        lower = jnp.asarray(_LOWER, dtype)
+        upper = jnp.asarray(_UPPER, dtype)
         x0 = jnp.asarray(self.x0, dtype)
         fit = jax.jit(
             lambda x: levenberg_marquardt(

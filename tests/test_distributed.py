@@ -209,3 +209,44 @@ def test_two_process_sharded_calibration_step(tmp_path):
     for pid, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"step worker {pid} failed:\n{err[-2000:]}"
         assert f"STEP_WORKER_{pid}_OK" in out
+
+
+_IMPORT_HYGIENE_WORKER = textwrap.dedent(
+    """
+    # Import the ENTIRE package first; jax.distributed.initialize must
+    # still be callable afterwards.  Any module-level jnp.array (or other
+    # backend-touching call) in any pde_tpu module breaks every multi-host
+    # worker with 'initialize() must be called before any JAX calls' —
+    # regression: calibrate/rates.py once held module-level jnp bounds.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 1)
+
+    import pde_tpu  # noqa: F401  (pulls in models/calibrate/solvers/...)
+    import pde_tpu.calibrate  # noqa: F401
+    import pde_tpu.solvers  # noqa: F401
+    import pde_tpu.parallel.mesh  # noqa: F401
+
+    import sys
+    jax.distributed.initialize(
+        coordinator_address=sys.argv[1], num_processes=1, process_id=0
+    )
+    assert jax.process_count() == 1
+    print("IMPORT_HYGIENE_OK")
+    """
+)
+
+
+def test_package_import_keeps_distributed_init_possible(tmp_path):
+    """Importing pde_tpu must NOT initialise the XLA backend (multi-host
+    workers call jax.distributed.initialize after importing the package)."""
+    worker = tmp_path / "hygiene_worker.py"
+    worker.write_text(_IMPORT_HYGIENE_WORKER)
+    coordinator = f"127.0.0.1:{_free_port()}"
+    p = subprocess.run(
+        [sys.executable, str(worker), coordinator],
+        capture_output=True, text=True, cwd=ROOT, env=_env(), timeout=240,
+    )
+    assert p.returncode == 0, f"hygiene worker failed:\n{p.stderr[-2000:]}"
+    assert "IMPORT_HYGIENE_OK" in p.stdout
