@@ -455,6 +455,39 @@ def main():
     per = timeit(hw_fit, n=5)
     emit("hw_caplet_calibration_wall_s", per, "fit_s")
 
+    # 1j. Bermudan swaption desk: a strike LADDER through one x-grid CN
+    # march each (vmap over strikes -> lanes), and the exact-transition
+    # LSM + Andersen-Broadie sandwich for the ATM trade.
+    from pde_tpu.solvers.bermudan_hw import (
+        _bermudan_pde_impl, _march_plan, bermudan_swaption_mc,
+    )
+
+    bm_sched = jnp.asarray(np.arange(1.0, 6.01, 0.5), f32)
+    bm_ex = (True,) * (bm_sched.shape[0] - 1)
+    bm_par = float(rates_mod.hw_swap_rate(hw_curve, 1.0, bm_sched[1:]))
+    bm_ks = jnp.asarray(np.linspace(0.6, 1.4, _n(64, 8)) * bm_par, f32)
+    bm_plan = _march_plan(bm_sched, bm_ex, 16, f32)
+
+    def _bm_one(k):
+        return _bermudan_pde_impl(
+            hw, k, bm_sched, *bm_plan[:4],
+            payer=True, n_x=257, last=bm_plan[4], exercise=bm_ex)[0]
+
+    bm_fn = jax.jit(lambda: jax.vmap(_bm_one)(bm_ks))
+    per = timeit(bm_fn, n=20)
+    emit("hw_bermudan_pde_ladder_prices_per_sec", bm_ks.shape[0] / per,
+         "bermudans/s")
+
+    bm_mc = jax.jit(lambda: bermudan_swaption_mc(
+        hw, bm_par, bm_sched, jax.random.PRNGKey(7),
+        n_paths=_n(1 << 15, 1 << 10), n_outer=_n(512, 64),
+        n_inner=_n(32, 8)))
+    per = timeit(bm_mc, n=3)
+    lo_b, _, up_b, _ = (float(v) for v in bm_mc())
+    emit("hw_bermudan_mc_sandwich_wall_s", per, "solve_s")
+    emit("hw_bermudan_duality_gap_pct",
+         100.0 * (up_b - lo_b) / max(lo_b, 1e-12), "pct")
+
     # 2. SABR throughput -----------------------------------------------------
     from pde_tpu.models import sabr
 

@@ -336,6 +336,22 @@ def cmd_rates(args) -> int:
         panel.append({"expiry": float(e), "tenor": args.swap_tenor,
                       "par_rate": par, "payer_price": price})
     out["atm_swaptions"] = panel
+    if args.bermudan:
+        from .solvers import bermudan_hw
+
+        e0 = args.swaption_expiries[0]
+        sched = jnp.asarray(
+            np.arange(e0, e0 + args.swap_tenor + 0.01, 0.5))
+        par = float(rates.hw_swap_rate(curve, e0, sched[1:]))
+        price, _, _ = bermudan_hw.bermudan_swaption_pde(
+            hw, par, sched, n_x=301, n_sub=12)
+        euro = float(rates.hw_swaption(hw, par, e0, sched[1:]))
+        out["atm_bermudan"] = {
+            "first_call": float(e0), "tenor": args.swap_tenor,
+            "par_rate": par, "payer_price": float(price),
+            "european_price": euro,
+            "early_exercise_premium": float(price) - euro,
+        }
     print(json.dumps(out, indent=2))
     return 0
 
@@ -637,6 +653,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--swaption-expiries", type=float, nargs="+",
                    default=[1.0, 2.0, 5.0])
     p.add_argument("--swap-tenor", type=float, default=5.0)
+    p.add_argument("--bermudan", action="store_true",
+                   help="also price the ATM Bermudan (first expiry, "
+                        "semi-annual calls; x-grid PDE)")
     p.set_defaults(func=cmd_rates, config=None)
 
     p = sub.add_parser("pide", help="jump-diffusion strip (Merton/Kou PIDE)")

@@ -277,6 +277,17 @@ class TestCLI:
                        "--curve-zeros", "0.03", "0.04"])
         assert rc == 2
 
+    def test_rates_command_bermudan(self, capsys):
+        rc = cli_main(["rates", "--bermudan", "--swaption-expiries", "1.0",
+                       "--swap-tenor", "2.0", "--caplet-starts", "1.0"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        bm = out["atm_bermudan"]
+        # Bermudan dominates its European, premium is the difference
+        assert bm["payer_price"] >= bm["european_price"] - 1e-6
+        assert bm["early_exercise_premium"] == pytest.approx(
+            bm["payer_price"] - bm["european_price"], abs=1e-12)
+
     def test_price_command_cf(self, capsys):
         rc = cli_main(["price", "--method", "cf", "--strikes", "90", "100", "110"])
         assert rc == 0
