@@ -488,6 +488,44 @@ def main():
     emit("hw_bermudan_duality_gap_pct",
          100.0 * (up_b - lo_b) / max(lo_b, 1e-12), "pct")
 
+    # 1k. G2++ two-factor desk: Gauss-Hermite swaption panel (the B-M 1D
+    # reduction, node-vectorized Newton inside) and the 5-parameter LM fit.
+    from pde_tpu.calibrate.g2 import G2Calibrator
+    from pde_tpu.models import g2 as g2_mod
+
+    g2p = g2_mod.G2Params(
+        jnp.asarray(0.5, f32), jnp.asarray(0.05, f32),
+        jnp.asarray(0.01, f32), jnp.asarray(0.008, f32),
+        jnp.asarray(-0.6, f32), hw_curve)
+    n_g2 = _n(128, 4)
+    g2_exp = jnp.asarray(np.linspace(0.5, 10.0, n_g2), f32)
+
+    def _one_g2(e):
+        pt = e + sw_pay_rel
+        par = rates_mod.hw_swap_rate(hw_curve, e, pt)
+        return g2_mod.g2_swaption(g2p, par, e, pt, n_gh=64)
+
+    g2_fn = jax.jit(lambda: jax.vmap(_one_g2)(g2_exp))
+    per = timeit(g2_fn, n=20)
+    emit("g2_swaption_panel_prices_per_sec", n_g2 / per, "swaptions/s")
+
+    g2_exps = [1.0, 2.0, 3.0, 5.0]
+    g2_pts = [jnp.asarray(np.arange(e + 0.5, e + 3.01, 0.5), f32)
+              for e in g2_exps]
+    g2_ks = [float(rates_mod.hw_swap_rate(hw_curve, e, pt))
+             for e, pt in zip(g2_exps, g2_pts)]
+    g2_quotes = jnp.asarray([
+        float(g2_mod.g2_swaption(g2p, k, e, pt))
+        for e, pt, k in zip(g2_exps, g2_pts, g2_ks)], f32)
+    g2_cal = G2Calibrator(max_iter=_n(60, 4))
+
+    def g2_fit():
+        return g2_cal.calibrate_swaptions(
+            hw_curve, g2_exps, g2_pts, g2_ks, g2_quotes).rmse
+
+    per = timeit(g2_fit, n=3)
+    emit("g2_swaption_calibration_wall_s", per, "fit_s")
+
     # 2. SABR throughput -----------------------------------------------------
     from pde_tpu.models import sabr
 

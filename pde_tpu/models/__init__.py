@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     forward_start,
     heston,
     heston_mc,
+    g2,
     local_vol,
     multi_asset,
     ou,
@@ -23,6 +24,7 @@ from . import (  # noqa: F401
 from .bates import BatesParams  # noqa: F401
 from .svcj import SVCJParams  # noqa: F401
 from .forward_start import ForwardStartParams  # noqa: F401
+from .g2 import G2Params  # noqa: F401
 from .heston import HestonParams  # noqa: F401
 from .ou import OUParams  # noqa: F401
 from .rates import CIRParams, DiscountCurve, HullWhiteParams, VasicekParams  # noqa: F401

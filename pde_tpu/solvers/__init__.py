@@ -6,6 +6,7 @@ Longstaff-Schwartz."""
 from . import (  # noqa: F401
     barrier_pde,
     bates_pide,
+    bermudan_g2,
     bermudan_hw,
     bs_pde,
     heston_adi,
