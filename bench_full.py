@@ -526,6 +526,43 @@ def main():
     per = timeit(g2_fit, n=3)
     emit("g2_swaption_calibration_wall_s", per, "fit_s")
 
+    # 1l. credit desk: CDS hazard bootstrap (pricer-consistent Newton) and
+    # the netting-set CVA engine (exact-transition HW exposure MC).
+    from pde_tpu.models import credit as credit_mod
+
+    cr_pillars = jnp.asarray([1.0, 3.0, 5.0, 7.0, 10.0], f32)
+    cr_spreads = jnp.asarray([0.008, 0.011, 0.013, 0.014, 0.015], f32)
+
+    def cr_boot():
+        hc, hs = credit_mod.bootstrap_hazard(hw_curve, cr_pillars,
+                                             cr_spreads)
+        return float(hs[-1])
+
+    per = timeit(cr_boot, n=3)
+    emit("cds_bootstrap_5pillar_wall_s", per, "fit_s")
+
+    cr_hz = credit_mod.flat_hazard(jnp.asarray(0.02, f32))
+    cr_sched = jnp.asarray(np.arange(0.5, 5.01, 0.5), f32)
+    cr_k = float(rates_mod.hw_swap_rate(hw_curve, 0.5, cr_sched[1:]))
+    # uneven notionals so the float legs do NOT net to zero (equal
+    # notionals with paired signs leave a deterministic residual and the
+    # exposure would be identically 0)
+    cr_trades = [
+        credit_mod.SwapTrade(jnp.asarray(cr_k * m, f32),
+                             jnp.asarray(sgn, f32), jnp.asarray(nt, f32))
+        for m, sgn, nt in ((1.0, 1.0, 1.0), (0.9, -1.0, 0.4),
+                           (1.1, 1.0, 0.7), (1.05, -1.0, 0.3))
+    ]
+
+    def cr_cva():
+        cva, _, _ = credit_mod.cva_netting_hw_mc(
+            hw, cr_hz, cr_trades, cr_sched, jax.random.PRNGKey(11),
+            n_paths=_n(1 << 16, 1 << 10))
+        return float(cva)
+
+    per = timeit(cr_cva, n=5)
+    emit("cva_netting4_wall_s", per, "solve_s")
+
     # 2. SABR throughput -----------------------------------------------------
     from pde_tpu.models import sabr
 

@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     forward_start,
     heston,
     heston_mc,
+    credit,
     g2,
     local_vol,
     multi_asset,
