@@ -33,7 +33,7 @@ from ..models.heston_mc import simulate_qe, simulate_qe_paths
 from ..solvers.lsm import lsm_backward_induction
 
 __all__ = ["price_european_mc_sharded", "price_american_lsm_sharded",
-           "calibrate_leverage_sharded"]
+           "calibrate_leverage_sharded", "cva_netting_sharded"]
 
 
 def _pair_fold(discounted, n_local, antithetic):
@@ -255,3 +255,74 @@ def calibrate_leverage_sharded(
         check_vma=False,
     ))
     return fn(key)
+
+
+def cva_netting_sharded(
+    params,
+    hazard,
+    trades,
+    schedule,
+    key,
+    mesh: Mesh,
+    *,
+    recovery=0.4,
+    n_paths: int = 65536,
+    axis: str | None = None,
+):
+    """Netting-set CVA with the exposure-path axis sharded over the mesh.
+
+    The multi-chip face of :func:`pde_tpu.models.credit.cva_netting_hw_mc`:
+    each device simulates its own shard of exact Hull-White transitions
+    (independently seeded via ``fold_in``), and the per-date discounted
+    positive exposure is ``psum``-reduced so every device holds the GLOBAL
+    expected-exposure profile.  Communication: one psum of ``n_dates``
+    scalars — the whole netting set rides a single collective.
+
+    Returns ``(cva, ee)`` (both replicated across the mesh).
+    """
+    from ..models.credit import HazardCurve  # noqa: F401  (type anchor)
+    from ..solvers.bermudan_hw import _simulate_events, remaining_swap_value
+
+    axis = axis or mesh.axis_names[0]
+    ndev = mesh.shape[axis]
+    if n_paths % ndev:
+        raise ValueError(f"n_paths {n_paths} not divisible by axis size {ndev}")
+    n_local = n_paths // ndev
+
+    schedule = jnp.asarray(schedule)
+    dtype = schedule.dtype
+    n_dates = int(schedule.shape[0]) - 1
+    dates = jnp.arange(n_dates)
+    strikes = jnp.stack([jnp.asarray(t.strike_rate, dtype) for t in trades])
+    signs = jnp.stack([jnp.asarray(t.payer_sign, dtype) for t in trades])
+    notionals = jnp.stack([jnp.asarray(t.notional, dtype) for t in trades])
+
+    def local(key_global):
+        idx = jax.lax.axis_index(axis)
+        k = jax.random.fold_in(key_global, idx)
+        xs, log_ds = _simulate_events(
+            params, schedule, dates, n_local, k, dtype)
+        ds = jnp.exp(log_ds)
+
+        def net_value(j):
+            vals = jnp.stack([
+                signs[t] * notionals[t] * remaining_swap_value(
+                    params, strikes[t], schedule, j, xs[j], payer=True)
+                for t in range(strikes.shape[0])
+            ])
+            return jnp.sum(vals, axis=0)
+
+        expo = jnp.stack([
+            jnp.sum(ds[j] * jnp.maximum(net_value(j), 0.0))
+            for j in range(n_dates)
+        ])
+        n_tot = jax.lax.psum(jnp.asarray(n_local, dtype), axis)
+        return jax.lax.psum(expo, axis) / n_tot
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False))
+    ee = fn(key)
+    q = hazard.q(schedule)
+    dq = q[:-1] - q[1:]
+    cva = (1.0 - jnp.asarray(recovery, dtype)) * jnp.sum(ee * dq[:n_dates])
+    return cva, ee

@@ -183,3 +183,44 @@ class TestShardedSLVCalibration:
         err = np.abs(np.asarray(prices) - cf) / cf
         # documented bias at this resolution ~0.6-2%; + MC noise at 32k paths
         assert np.all(err < 0.03), (np.asarray(prices), cf, err)
+
+
+class TestShardedCVA:
+    def test_sharded_cva_matches_closed_form(self, mesh):
+        """Path-sharded netting CVA vs the single-swap Jamshidian strip."""
+        from pde_tpu.models import credit, rates
+        from pde_tpu.parallel.mc import cva_netting_sharded
+
+        curve = rates.curve_from_zero_rates(
+            jnp.array([1.0, 5.0, 10.0]), jnp.array([0.03, 0.04, 0.042]))
+        hw = rates.HullWhiteParams(
+            jnp.asarray(0.1), jnp.asarray(0.012), curve)
+        sched = jnp.arange(0.5, 3.01, 0.5)
+        K = rates.hw_swap_rate(curve, 0.5, sched[1:])
+        hz = credit.flat_hazard(0.02)
+        trade = credit.SwapTrade(K, jnp.asarray(1.0), jnp.asarray(1.0))
+        cva, ee = cva_netting_sharded(
+            hw, hz, [trade], sched, jax.random.PRNGKey(0), mesh,
+            n_paths=8 * 2048)
+        cf = float(credit.cva_swap_hw(hw, hz, K, sched))
+        assert abs(float(cva) / cf - 1.0) < 0.1
+        # EE profile: every date's exposure equals the matching swaption
+        for j in range(len(sched) - 1):
+            sw = float(rates.hw_swaption(
+                hw, K, float(sched[j]), sched[j + 1:]))
+            assert abs(float(ee[j]) / max(sw, 1e-12) - 1.0) < 0.25
+
+    def test_sharded_cva_divisibility(self, mesh):
+        from pde_tpu.models import credit, rates
+        from pde_tpu.parallel.mc import cva_netting_sharded
+
+        curve = rates.flat_curve(0.03)
+        hw = rates.HullWhiteParams(
+            jnp.asarray(0.1), jnp.asarray(0.012), curve)
+        trade = credit.SwapTrade(
+            jnp.asarray(0.03), jnp.asarray(1.0), jnp.asarray(1.0))
+        with pytest.raises(ValueError, match="divisible"):
+            cva_netting_sharded(
+                hw, credit.flat_hazard(0.02), [trade],
+                jnp.arange(0.5, 2.01, 0.5), jax.random.PRNGKey(0), mesh,
+                n_paths=8 * 100 + 3)
