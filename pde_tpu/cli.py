@@ -356,6 +356,54 @@ def cmd_rates(args) -> int:
     return 0
 
 
+def cmd_credit(args) -> int:
+    """Credit desk: CDS hazard bootstrap from par spreads, survival/
+    hazard readout, and CVA of an ATM payer swap vs the bootstrapped
+    counterparty (models/credit.py)."""
+    import jax.numpy as jnp
+
+    from .models import credit, rates
+
+    times = np.asarray(args.curve_times)
+    zeros = np.asarray(args.curve_zeros)
+    pillars = np.asarray(args.pillars)
+    spreads = np.asarray(args.spreads)
+    if times.shape != zeros.shape:
+        print("error: --curve-times and --curve-zeros must align",
+              file=sys.stderr)
+        return 2
+    if pillars.shape != spreads.shape:
+        print("error: --pillars and --spreads must align", file=sys.stderr)
+        return 2
+    curve = rates.curve_from_zero_rates(times, zeros)
+    hc, hs = credit.bootstrap_hazard(
+        curve, pillars, spreads, recovery=args.recovery)
+    out = {
+        "model": "cds-hazard",
+        "recovery": args.recovery,
+        "pillars": [
+            {"t": float(t), "spread": float(s), "hazard": float(h),
+             "survival": float(q)}
+            for t, s, h, q in zip(pillars, spreads, np.asarray(hs),
+                                  np.asarray(hc.survival))
+        ],
+    }
+    if args.cva_tenor > 0:
+        hw = rates.HullWhiteParams(
+            jnp.asarray(args.a), jnp.asarray(args.sigma), curve)
+        sched = jnp.asarray(
+            np.arange(0.5, args.cva_tenor + 0.01, 0.5))
+        k = float(rates.hw_swap_rate(curve, 0.5, sched[1:]))
+        cva = float(credit.cva_swap_hw(
+            hw, hc, k, sched, recovery=args.recovery))
+        out["cva_atm_payer_swap"] = {
+            "tenor": args.cva_tenor, "par_rate": k, "cva": cva,
+            "hw_a": args.a, "hw_sigma": args.sigma,
+        }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_fwdstart(args) -> int:
     """Forward-start vanillas / cliquet strips from model parameters
     (models/forward_start.py analytic route; models/heston_mc.py MC
@@ -657,6 +705,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also price the ATM Bermudan (first expiry, "
                         "semi-annual calls; x-grid PDE)")
     p.set_defaults(func=cmd_rates, config=None)
+
+    p = sub.add_parser("credit", help="CDS bootstrap + swap CVA")
+    p.add_argument("--curve-times", type=float, nargs="+",
+                   default=[0.5, 1.0, 2.0, 5.0, 10.0, 30.0])
+    p.add_argument("--curve-zeros", type=float, nargs="+",
+                   default=[0.030, 0.032, 0.035, 0.040, 0.042, 0.043])
+    p.add_argument("--pillars", type=float, nargs="+",
+                   default=[1.0, 3.0, 5.0, 7.0, 10.0])
+    p.add_argument("--spreads", type=float, nargs="+",
+                   default=[0.008, 0.011, 0.013, 0.014, 0.015],
+                   help="par CDS spreads (decimal, e.g. 0.01 = 100bp)")
+    p.add_argument("--recovery", type=float, default=0.4)
+    p.add_argument("--cva-tenor", type=float, default=5.0,
+                   help="CVA of the ATM payer swap to this tenor "
+                        "(0 disables)")
+    p.add_argument("--a", type=float, default=0.1,
+                   help="Hull-White mean reversion for the CVA exposure")
+    p.add_argument("--sigma", type=float, default=0.012)
+    p.set_defaults(func=cmd_credit, config=None)
 
     p = sub.add_parser("pide", help="jump-diffusion strip (Merton/Kou PIDE)")
     p.add_argument("--jumps", choices=["merton", "kou"], default="merton")

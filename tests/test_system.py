@@ -277,6 +277,22 @@ class TestCLI:
                        "--curve-zeros", "0.03", "0.04"])
         assert rc == 2
 
+    def test_credit_command(self, capsys):
+        rc = cli_main(["credit", "--pillars", "1.0", "3.0",
+                       "--spreads", "0.008", "0.011", "--cva-tenor", "2.0"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        rows = out["pillars"]
+        assert len(rows) == 2
+        assert all(r["hazard"] > 0 and 0 < r["survival"] < 1 for r in rows)
+        # hazards roughly s/(1-R)
+        assert rows[0]["hazard"] == pytest.approx(0.008 / 0.6, rel=0.15)
+        assert out["cva_atm_payer_swap"]["cva"] > 0
+        # mismatched pillar arrays -> clean error exit
+        rc = cli_main(["credit", "--pillars", "1.0",
+                       "--spreads", "0.01", "0.02"])
+        assert rc == 2
+
     def test_rates_command_bermudan(self, capsys):
         rc = cli_main(["rates", "--bermudan", "--swaption-expiries", "1.0",
                        "--swap-tenor", "2.0", "--caplet-starts", "1.0"])
