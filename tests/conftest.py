@@ -37,6 +37,32 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_memory_maps():
+    """Keep the process under vm.max_map_count.
+
+    Every compiled XLA executable mmaps multiple regions; a full-suite run
+    accumulates 60k+ maps and SEGFAULTS (inside XLA compile or cache
+    deserialize — whichever mmaps next) once it crosses the kernel default
+    ``vm.max_map_count = 65530``.  Diagnosed by sampling /proc/self/maps:
+    the count climbs ~200/executable and the crash lands exactly at the
+    limit, always at the same point in suite order.  Dropping the jit
+    caches between modules unloads executables and frees the maps; the
+    persistent disk cache (above) makes later recompiles cheap.
+    """
+    yield
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            n_maps = sum(1 for _ in f)
+    except OSError:
+        return
+    if n_maps > 40_000:
+        jax.clear_caches()
+        import gc
+
+        gc.collect()
+
+
 @pytest.fixture()
 def rng(request):
     """Per-test, order-independent RNG.
