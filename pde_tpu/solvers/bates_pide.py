@@ -197,12 +197,14 @@ def _solve_core(
     i = jnp.clip(grids.find_index(s_grid, S0), 1, nS - 2)
     j = jnp.clip(grids.find_index(v_grid, v0), 1, nv - 2)
     # Uniform-in-log-S grid: difference in x = log S and convert (the naive
-    # /davg^2 stencil on S values has an O(1) ~ delta/S bias; see pide.py).
-    si = s_grid[i]
-    V_x = (V[i + 1, j] - V[i - 1, j]) / (2.0 * dx)
-    V_xx = (V[i + 1, j] - 2.0 * V[i, j] + V[i - 1, j]) / (dx * dx)
-    delta = V_x / si
-    gamma = (V_xx - V_x) / (si * si)
+    # /davg^2 stencil on S values has an O(1) ~ delta/S bias), then
+    # Taylor-shift the nodal derivatives to x = 0 — with even nS the spot
+    # sits BETWEEN nodes, a dx/2 offset the shift removes (see pide.py).
+    V_x_i = (V[i + 1, j] - V[i - 1, j]) / (2.0 * dx)
+    V_xx_i = (V[i + 1, j] - 2.0 * V[i, j] + V[i - 1, j]) / (dx * dx)
+    V_x0 = V_x_i + V_xx_i * (jnp.log(S0) - x[i])   # x is absolute log S here
+    delta = V_x0 / S0
+    gamma = (V_xx_i - V_x0) / (S0 * S0)
     dV_dv = (V[i, j + 1] - V[i, j - 1]) / (2.0 * dv)
     vega = 2.0 * jnp.sqrt(v0) * T * dV_dv
     theta_g = -(

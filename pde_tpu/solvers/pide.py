@@ -272,12 +272,16 @@ def _solve_pide_impl(
     # The grid is uniform in x = log S, not in S: difference in log-space
     # (second order in dx) and convert — delta = V_x / S,
     # gamma = (V_xx - V_x) / S^2.  The naive /davg^2 stencil on the S values
-    # carries a non-vanishing O(1) bias ~ delta/S on a log grid.
-    si = s_grid[i]
-    V_x = (V[i + 1] - V[i - 1]) / (2.0 * dx)
-    V_xx = (V[i + 1] - 2.0 * V[i] + V[i - 1]) / (dx * dx)
-    delta = V_x / si
-    gamma = (V_xx - V_x) / (si * si)
+    # carries a non-vanishing O(1) bias ~ delta/S on a log grid.  S0 sits
+    # at x = 0, which with the default symmetric bounds and EVEN n is
+    # BETWEEN nodes (offset dx/2 ~ 0.45 in S) — Taylor-shift the nodal
+    # derivatives to x = 0 so the greeks are read exactly at the spot.
+    V_x_i = (V[i + 1] - V[i - 1]) / (2.0 * dx)
+    V_xx_i = (V[i + 1] - 2.0 * V[i] + V[i - 1]) / (dx * dx)
+    h = -x[i]                                     # node -> spot in log space
+    V_x0 = V_x_i + V_xx_i * h
+    delta = V_x0 / S0
+    gamma = (V_xx_i - V_x0) / (S0 * S0)
     return PIDEResult(price, delta, gamma, V.T, s_grid)
 
 
