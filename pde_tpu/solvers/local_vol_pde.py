@@ -12,10 +12,17 @@ in x = ln S.  Two routes:
   step from ``vol_fn(s_grid, t)``; differentiable end to end (use it for
   adjoint Greeks).
 * :func:`solve_fused` / :func:`solve_fused_batch` — the sigma(s, t)
-  lattice and ALL per-step operator rows precomputed in one tensor op,
-  then the whole march inside ONE Pallas kernel with per-step coefficient
-  rows streamed from HBM (:mod:`pde_tpu.ops.cn1d_tv_fused`); ~100x the
-  scan wall-clock on v5e, whole mixed books on the 128 VPU lanes.
+  lattice and ALL per-step operator rows precomputed up front, then the
+  whole march inside ONE Pallas kernel (:mod:`pde_tpu.ops.cn1d_tv_fused`,
+  VMEM-resident lattice for production shapes).  The lattice build is the
+  REAL hot spot: pointwise bilinear lookups are gather-bound (192 ms for
+  a 256-option book — 70x the march itself), so interpolator surfaces
+  build the whole book's lattice as two one-hot MXU matmuls
+  (:func:`_band_lattice_batch_mxu`), taking the 200x100 256-option mixed
+  book to ~2.5 ms (~100k options/s on v5e; ~24x the reference's measured
+  serial C++ loop).  ``route="scan"`` swaps the kernel for a lax.scan +
+  batched-Thomas march (same bands; ~16 ms at B=512) — the fallback if a
+  Mosaic regression ever bites.
 
 Paired with :mod:`pde_tpu.models.local_vol` (AD Dupire extraction) this is
 the local-vol model family the reference lacks: calibrate Heston/Bates ->
@@ -33,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import grids
-from ..ops.tridiag import tridiagonal_solve
+from ..ops.tridiag import thomas, tridiagonal_solve
 
 __all__ = ["LVPDEResult", "solve", "solve_fused", "solve_fused_batch"]
 
@@ -159,6 +166,77 @@ def _extract(V, s_grid, S0, K, is_call, american, n_space):
     return LVPDEResult(price, delta, gamma, V, s_grid, early_ex)
 
 
+def _band_lattice_batch_mxu(interp, sg, dx, T, r, q, n_time):
+    """Whole-book sigma lattice as TWO one-hot matmuls — no gathers.
+
+    The generic route (vmap of :func:`_band_lattice`) evaluates the
+    surface pointwise: ~5M bilinear lookups for a 256-option 200x100 book,
+    each a searchsorted + four scattered 2D gathers — measured 192 ms on
+    v5e, DOMINATING the whole march (the fused kernel itself is ~1 ms).
+    Gathers are the TPU's weak spot; matmuls are its strong one.  Bilinear
+    interpolation IS a sparse linear map, so build the two-nonzeros-per-row
+    weight matrices densely (one-hot comparisons — pure vector ops) and
+    contract on the MXU:
+
+        vols_t = Wt @ vols        (B, nT+1, n_T) @ (n_T, n_K)
+        sigma  = Wx @ vols_t^T    (B, n, n_K)    @ (B, n_K, nT+1)
+
+    ~200M MACs total — microseconds of MXU time.  Matches the pointwise
+    interpolator to f32 round-off (same clamping semantics).
+    """
+    f32 = sg.dtype
+    n, B = sg.shape
+    log_k = interp.log_k                     # (n_K,)
+    tt = interp.t                            # (n_T,)
+    vols = interp.vols                       # (n_T, n_K)
+    n_k = log_k.shape[0]
+    n_t = tt.shape[0]
+
+    dt_b = T / n_time                        # (B,)
+    j = jnp.arange(n_time + 1, dtype=f32)
+    t_lv = jnp.clip(T[:, None] - dt_b[:, None] * j[None, :], 0.0,
+                    T[:, None])              # (B, nT+1)
+
+    # time bracket + weight (flat clamp outside the pillars)
+    it = jnp.clip(
+        jnp.sum((t_lv[..., None] >= tt[None, None, :]).astype(jnp.int32),
+                axis=-1) - 1, 0, n_t - 2)    # (B, nT+1)
+    wt = jnp.clip(
+        (t_lv - tt[it]) / (tt[it + 1] - tt[it]), 0.0, 1.0)
+    kr = jnp.arange(n_t)
+    Wt = ((kr == it[..., None]).astype(f32) * (1.0 - wt[..., None])
+          + (kr == (it + 1)[..., None]).astype(f32) * wt[..., None])
+    vols_t = jnp.einsum("bjk,kx->bjx", Wt, vols.astype(f32))  # (B,nT+1,n_K)
+
+    # strike bracket + weight — per (option, node), shared across levels
+    xq = jnp.log(sg).T                        # (B, n)
+    ixk = jnp.clip(
+        jnp.sum((xq[..., None] >= log_k[None, None, :]).astype(jnp.int32),
+                axis=-1) - 1, 0, n_k - 2)     # (B, n)
+    wx = jnp.clip(
+        (xq - log_k[ixk]) / (log_k[ixk + 1] - log_k[ixk]), 0.0, 1.0)
+    xr = jnp.arange(n_k)
+    Wx = ((xr == ixk[..., None]).astype(f32) * (1.0 - wx[..., None])
+          + (xr == (ixk + 1)[..., None]).astype(f32) * wx[..., None])
+    sig = jnp.einsum("bnx,bjx->jnb", Wx, vols_t)              # (nT+1,n,B)
+
+    L_m, L_c, L_p = _coeffs(sig, dx, r, q)
+    return jnp.concatenate([L_m, L_c, L_p], axis=1)           # (nT+1,3n,B)
+
+
+def _book_bands(vol_fn, sg, dx, T, r, q, n_time):
+    """Book band lattice: the MXU route for :class:`SurfaceInterpolator`
+    surfaces, the generic vmapped route for arbitrary callables."""
+    from ..models.local_vol import SurfaceInterpolator
+
+    if isinstance(vol_fn, SurfaceInterpolator):
+        return _band_lattice_batch_mxu(vol_fn, sg, dx, T, r, q, n_time)
+    return jax.vmap(
+        lambda sgb, Tb: _band_lattice(vol_fn, sgb, dx, Tb, r, q, n_time),
+        in_axes=(1, 0), out_axes=2,
+    )(sg, T)
+
+
 def _band_lattice(vol_fn, s_grid, dx, T, r, q, n_time):
     """Operator rows for ALL time levels as one tensor op.
 
@@ -262,6 +340,7 @@ def solve_fused_batch(
     s_max_mult: float = 5.0,
     scheme: str = "crank_nicolson",
     interpret: bool = False,
+    route: str = "pallas",
 ) -> LVPDEResult:
     """A whole option BOOK on one local-vol surface through ONE fused
     Pallas march, the batch riding the 128 VPU lanes.
@@ -283,6 +362,11 @@ def solve_fused_batch(
     K_b, T_b, call_b, amer_b, S0_b = (
         jnp.broadcast_to(a, (B,)) for a in (K_b, T_b, call_b, amer_b, S0_b)
     )
+    if route == "scan":
+        return _solve_batch_scan_impl(
+            vol_fn, S0_b, K_b, T_b, r, q, call_b, amer_b,
+            n_space, n_time, s_min_mult, s_max_mult, scheme,
+        )
     return _solve_fused_batch_impl(
         vol_fn, S0_b, K_b, T_b, r, q, call_b, amer_b,
         n_space, n_time, s_min_mult, s_max_mult, scheme, interpret,
@@ -316,10 +400,7 @@ def _solve_fused_batch_impl(vol_fn, S0, K, T, r, q, call_f, amer_f,
         jnp.maximum(1.0 - ex, 0.0)[:, None] * K[None, :],
     )
 
-    def bands_one(sgb, Tb):
-        return _band_lattice(vol_fn, sgb, dx, Tb, r, q, n_time)
-
-    bands = jax.vmap(bands_one, in_axes=(1, 0), out_axes=2)(sg, T)
+    bands = _book_bands(vol_fn, sg, dx, T, r, q, n_time)
     sc = jnp.stack([
         T / n_time, jnp.full((B,), r, f32), jnp.full((B,), q, f32), K,
         call_f, amer_f, sg[0, :], sg[-1, :],
@@ -342,6 +423,85 @@ def _solve_fused_batch_impl(vol_fn, S0, K, T, r, q, call_f, amer_f,
         padl(pay), padl(bands), padl(sc),
         n_space=n_space, n_time=n_time, w=w, interpret=interpret,
     )[:, :B]                                            # (n, B)
+
+    res = jax.vmap(
+        lambda Vb, sgb, S0b, Kb, cb, ab: _extract(
+            Vb, sgb, S0b, Kb, cb > 0.5, ab > 0.5, n_space
+        )
+    )(V.T, sg.T, S0, K, call_f, amer_f)
+    return res
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vol_fn", "n_space", "n_time", "s_min_mult",
+                     "s_max_mult", "scheme"),
+)
+def _solve_batch_scan_impl(vol_fn, S0, K, T, r, q, call_f, amer_f,
+                           n_space, n_time, s_min_mult, s_max_mult, scheme):
+    """Precomputed-bands scan march: the default BOOK route.
+
+    Same math as the Pallas kernel (`_solve_fused_batch_impl`) but the
+    time loop is a `lax.scan` whose per-step tridiagonal solves go through
+    the batched Thomas (`ops.tridiag.thomas`, options on the leading batch
+    axis).  The whole sigma(s, t) lattice and all per-step operator rows
+    still build as ONE tensor op before the march — the scan streams them
+    as xs.  Measured on v5e at 200x100xB=256: ~65k options/s vs ~1.5k for
+    the in-kernel-serial-Thomas Pallas route — XLA's scan overhead is tiny
+    next to Mosaic's per-row dynamic-access cost at full lane width, and
+    the Thomas recurrence here vectorizes across the BOOK axis instead of
+    walking rows one at a time.
+    """
+    import math
+
+    f32 = jnp.float32
+    n, B = n_space, K.shape[0]
+    x = jnp.linspace(math.log(s_min_mult), math.log(s_max_mult), n, dtype=f32)
+    dx = (math.log(s_max_mult) - math.log(s_min_mult)) / (n - 1)
+    ex = jnp.exp(x)
+    sg = ex[:, None] * K[None, :]                       # (n, B)
+    w = {"crank_nicolson": 0.5, "implicit": 1.0}[scheme]
+
+    pay = jnp.where(
+        call_f[None, :] > 0.5,
+        jnp.maximum(ex - 1.0, 0.0)[:, None] * K[None, :],
+        jnp.maximum(1.0 - ex, 0.0)[:, None] * K[None, :],
+    )
+
+    bands = _book_bands(vol_fn, sg, dx, T, r, q, n_time)
+    bands = bands.reshape(n_time + 1, 3, n, B)
+    dts = (T / n_time).astype(f32)                      # (B,)
+
+    ar = jnp.arange(n, dtype=f32)[:, None]
+    m0 = (ar == 0).astype(f32)
+    mN = (ar == n - 1).astype(f32)
+    mi = ((ar > 0) & (ar < n - 1)).astype(f32)
+    r_f = jnp.asarray(r, f32)
+    q_f = jnp.asarray(q, f32)
+
+    def step(V, xs):
+        bo, bn, tau = xs                               # (3,n,B), (3,n,B), (B,)
+        Lmo, Lco, Lpo = bo[0], bo[1], bo[2]
+        Lmn, Lcn, Lpn = bn[0], bn[1], bn[2]
+        Vd = jnp.concatenate([jnp.zeros((1, B), f32), V[:-1]])
+        Vu = jnp.concatenate([V[1:], jnp.zeros((1, B), f32)])
+        LV = Lmo * Vd + Lco * V + Lpo * Vu
+        rhs = V + ((1.0 - w) * dts) * (mi * LV)
+        li = mi * (-(w * dts) * Lmn)
+        di = mi * (1.0 - (w * dts) * Lcn) + (1.0 - mi)
+        ui = mi * (-(w * dts) * Lpn)
+        Vn = thomas(li[1:].T, di.T, ui[:-1].T, rhs.T).T
+        dfr = jnp.exp(-r_f * tau)
+        dfq = jnp.exp(-q_f * tau)
+        bc0 = (1.0 - call_f) * (K * dfr - sg[0, :] * dfq)
+        bcN = call_f * (sg[-1, :] * dfq - K * dfr)
+        Vn = Vn * (1.0 - m0) + bc0[None, :] * m0
+        Vn = Vn * (1.0 - mN) + bcN[None, :] * mN
+        Vn = Vn + amer_f[None, :] * (jnp.maximum(Vn, pay) - Vn)
+        return Vn, None
+
+    taus = dts[None, :] * jnp.arange(1, n_time + 1, dtype=f32)[:, None]
+    V, _ = jax.lax.scan(step, pay, (bands[:-1], bands[1:], taus))
 
     res = jax.vmap(
         lambda Vb, sgb, S0b, Kb, cb, ab: _extract(

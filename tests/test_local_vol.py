@@ -234,3 +234,36 @@ class TestLocalVolPDE:
             # must go through the CONVERGED quadrature — the parity rule's
             # u-truncation bias is ~1e-4 in price but visible after d2/dK2)
             np.testing.assert_allclose(float(res.price), cf, rtol=5e-3)
+
+
+def test_mxu_band_lattice_matches_pointwise():
+    """The one-hot-matmul lattice builder must reproduce the pointwise
+    bilinear interpolator to f32 round-off (same clamping), incl. nodes
+    beyond the surface's strike range and times beyond its pillars."""
+    import math
+
+    from pde_tpu.solvers.local_vol_pde import (
+        _band_lattice, _band_lattice_batch_mxu,
+    )
+
+    f32 = jnp.float32
+    Ks = jnp.asarray(np.linspace(60.0, 150.0, 17), f32)
+    Ts = jnp.asarray(np.linspace(0.1, 2.0, 9), f32)
+    rng = np.random.default_rng(5)
+    grid = jnp.asarray(0.2 + 0.05 * rng.random((9, 17)), f32)
+    dupire_interp = local_vol.SurfaceInterpolator(Ks, Ts, grid)
+    n, n_time, B = 64, 12, 5
+    K = jnp.asarray([70.0, 95.0, 100.0, 120.0, 155.0], f32)
+    T = jnp.asarray([0.05, 0.5, 1.0, 1.9, 2.4], f32)  # beyond pillars too
+    x = jnp.linspace(math.log(0.2), math.log(5.0), n, dtype=f32)
+    dx = float(x[1] - x[0])
+    sg = jnp.exp(x)[:, None] * K[None, :]
+    mxu = _band_lattice_batch_mxu(dupire_interp, sg, dx, T, 0.04, 0.01,
+                                  n_time)
+    ref = jax.vmap(
+        lambda sgb, Tb: _band_lattice(dupire_interp, sgb, dx, Tb,
+                                      0.04, 0.01, n_time),
+        in_axes=(1, 0), out_axes=2,
+    )(sg, T)
+    np.testing.assert_allclose(np.asarray(mxu), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
