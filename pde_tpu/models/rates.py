@@ -57,6 +57,8 @@ __all__ = [
     "hw_swap_rate",
     "hw_swaption",
     "hw_simulate",
+    "bachelier_price",
+    "bachelier_implied_vol",
 ]
 
 
@@ -408,3 +410,63 @@ def hw_simulate(
     return _hw_simulate_core(
         jnp.asarray(params.a, dtype), jnp.asarray(params.sigma, dtype),
         alphas, dt, n_paths, key, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Bachelier (normal) quoting — the swaption market's vol convention
+
+
+def bachelier_price(forward, strike, vol_n, expiry, annuity=1.0,
+                    is_call=True):
+    """Bachelier (normal) option price on a forward:
+
+        annuity * [ (F - K) Phi(d) + vol_n sqrt(T) phi(d) ],
+        d = (F - K) / (vol_n sqrt(T))
+
+    — the payer-swaption quoting model (annuity = sum tau_i P(0, t_i)).
+    Puts (receivers) by parity.  Broadcasts over all arguments.
+    """
+    from ..utils.stats import norm_pdf
+    f = jnp.asarray(forward)
+    k = jnp.asarray(strike)
+    sq = jnp.asarray(vol_n) * jnp.sqrt(jnp.asarray(expiry))
+    sq = jnp.maximum(sq, 1e-12)
+    d = (f - k) / sq
+    call = (f - k) * _norm_cdf(d) + sq * norm_pdf(d)
+    put = call - (f - k)
+    if isinstance(is_call, bool):
+        return annuity * (call if is_call else put)
+    return annuity * jnp.where(is_call, call, put)
+
+
+def bachelier_implied_vol(price, forward, strike, expiry, annuity=1.0,
+                          is_call=True, n_newton: int = 30):
+    """Invert Bachelier to a normal vol: vega is strictly positive, so a
+    fixed-trip safeguarded Newton from the Brenner-Subrahmanyam ATM seed
+    converges for any arbitrage-free price.  jit/vmap/grad-safe.
+    """
+    from ..utils.stats import norm_pdf
+    p = jnp.asarray(price) / annuity
+    f = jnp.asarray(forward)
+    k = jnp.asarray(strike)
+    T = jnp.asarray(expiry)
+    sqT = jnp.sqrt(T)
+    intrinsic = jnp.where(jnp.asarray(is_call), jnp.maximum(f - k, 0.0),
+                          jnp.maximum(k - f, 0.0))
+    time_val = jnp.maximum(p - intrinsic, 1e-16)
+    # ATM seed: price = vol sqrt(T) / sqrt(2 pi)  ->  vol ~ p sqrt(2pi/T);
+    # away from ATM the straddle-consistent seed still lands in the basin
+    v0 = (time_val + 0.5 * jnp.abs(f - k)) * jnp.sqrt(2.0 * jnp.pi) / sqT
+
+    def body(v, _):
+        sq = jnp.maximum(v * sqT, 1e-14)
+        d = (f - k) / sq
+        call = (f - k) * _norm_cdf(d) + sq * norm_pdf(d)
+        model = jnp.where(jnp.asarray(is_call), call, call - (f - k))
+        vega = sqT * norm_pdf(d)
+        step = (model - p) / jnp.maximum(vega, 1e-14)
+        v_new = jnp.clip(v - step, 1e-10, 10.0)
+        return v_new, None
+
+    v, _ = jax.lax.scan(body, v0, None, length=n_newton)
+    return v

@@ -284,10 +284,18 @@ def solve_fused(
 
     ``interpret=True`` runs the kernel in interpreter mode for CPU tests.
     """
-    return _solve_fused_impl(
-        vol_fn, S0, K, T, r, q, bool(is_call), bool(american),
-        n_space, n_time, s_min_mult, s_max_mult, scheme, interpret,
+    res = solve_fused_batch(
+        vol_fn, S0, K=K, T=T, r=r, q=q, is_call=is_call,
+        american=american, n_space=n_space, n_time=n_time,
+        s_min_mult=s_min_mult, s_max_mult=s_max_mult, scheme=scheme,
+        interpret=interpret,
     )
+    # single-option view of the B=1 batch result (the batch path gets the
+    # MXU lattice builder; the old per-option pointwise build cost more
+    # than the march itself)
+    return LVPDEResult(
+        res.price[0], res.delta[0], res.gamma[0], res.prices[0],
+        res.spot_grid[0], res.early_exercise_optimal[0])
 
 
 @functools.partial(

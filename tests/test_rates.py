@@ -285,3 +285,34 @@ def test_validate():
     with pytest.raises(ValueError):
         VasicekParams(jnp.asarray(0.5), jnp.asarray(0.04),
                       jnp.asarray(-1.0), jnp.asarray(0.03)).validate()
+
+
+def test_bachelier_roundtrip():
+    """Price -> implied normal vol -> price round trip, across moneyness
+    and option type."""
+    from pde_tpu.models.rates import bachelier_implied_vol, bachelier_price
+    f, T, ann = 0.03, 2.0, 4.2
+    for k in (0.01, 0.025, 0.03, 0.035, 0.06):
+        for is_call in (True, False):
+            p = float(bachelier_price(f, k, 0.0075, T, ann, is_call))
+            iv = float(bachelier_implied_vol(p, f, k, T, ann, is_call))
+            assert abs(iv - 0.0075) < 1e-8, (k, is_call, iv)
+
+
+def test_bachelier_quotes_hw_swaption():
+    """Quote a Jamshidian swaption in normal vol: the implied vol must be
+    positive, ~sigma/B-scale, and reprice exactly."""
+    from pde_tpu.models.rates import bachelier_implied_vol, bachelier_price
+    curve = rates.curve_from_zero_rates(
+        jnp.array([1.0, 5.0, 10.0]), jnp.array([0.03, 0.04, 0.042]))
+    hw = rates.HullWhiteParams(jnp.asarray(0.1), jnp.asarray(0.012), curve)
+    expiry = 1.0
+    pay = jnp.arange(1.5, 4.01, 0.5)
+    K = float(rates.hw_swap_rate(curve, expiry, pay))
+    price = float(rates.hw_swaption(hw, K, expiry, pay))
+    taus = np.diff(np.concatenate([[expiry], np.asarray(pay)]))
+    annuity = float(np.sum(taus * np.asarray(curve.df(pay))))
+    iv = float(bachelier_implied_vol(price, K, K, expiry, annuity))
+    assert 0.001 < iv < 0.05
+    re = float(bachelier_price(K, K, iv, expiry, annuity))
+    assert abs(re - price) < 1e-10
