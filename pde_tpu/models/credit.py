@@ -34,6 +34,7 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.precision import result_dtype
 from . import rates
@@ -92,21 +93,28 @@ def cds_legs(
     """(premium_leg_per_unit_spread, protection_leg) for a CDS from 0 to
     ``maturity``.
 
-    premium = sum_i tau D(t_i) [Q(t_i) + (Q(t_{i-1}) - Q(t_i))/2]
+    premium = sum_i tau_i D(t_i) [Q(t_i) + (Q(t_{i-1}) - Q(t_i))/2]
     protect = (1-R) sum_k D(mid_k) (Q(t_{k-1}) - Q(t_k))
 
     ``maturity`` must be a concrete float (schedule construction); all
-    curve/hazard entries may be traced.
+    curve/hazard entries may be traced.  The schedule is ``n_pay``
+    equally spaced payments ending exactly at ``maturity`` (with
+    ``n_pay = round(maturity/freq)``), and the accrual factor tau_i is
+    the ACTUAL spacing ``maturity/n_pay`` — so when maturity is not a
+    multiple of ``freq`` the accrual windows still tile [0, maturity]
+    exactly, with no overlap or gap against the survival-difference
+    windows.
     """
     m = float(maturity)
     dtype = result_dtype(curve.dfs, hazard.survival)
     n_pay = max(int(round(m / freq)), 1)
-    pay = jnp.linspace(freq, m, n_pay, dtype=dtype)
-    prev = pay - freq
+    tau = m / n_pay
+    pay = jnp.linspace(tau, m, n_pay, dtype=dtype)
+    prev = pay - tau
     q_pay = hazard.q(pay)
     q_prev = hazard.q(prev)
     premium = jnp.sum(
-        freq * curve.df(pay) * (q_pay + 0.5 * (q_prev - q_pay)))
+        tau * curve.df(pay) * (q_pay + 0.5 * (q_prev - q_pay)))
 
     tb = _default_buckets(m, n_buckets, dtype)
     q_b = hazard.q(tb)
@@ -152,7 +160,10 @@ def bootstrap_hazard(
     schedules); spreads and curve entries may be traced.  Returns
     ``(HazardCurve, hazards)``.
     """
-    pillars_f = [float(t) for t in jnp.asarray(pillars)]
+    # pillar times must be concrete: go through numpy (works for python
+    # sequences and concrete jnp constants even inside a surrounding jit,
+    # where iterating a jnp array would produce tracers)
+    pillars_f = [float(t) for t in np.asarray(pillars)]
     spreads = jnp.asarray(spreads)
     dtype = result_dtype(spreads, curve.dfs)
     spreads = spreads.astype(dtype)
@@ -187,8 +198,10 @@ def bootstrap_hazard(
             h_new = h - obj(h) / dobj(h)
             return jnp.clip(h_new, 1e-8, 10.0), None
 
-        h0 = jnp.asarray(
-            float(spreads[i]) / max(1.0 - float(recovery), 1e-6), dtype)
+        # traced-safe seed: the credit-triangle guess s/(1-R), kept as an
+        # array so spreads may themselves be tracers (jit/grad/vmap)
+        h0 = (spreads[i]
+              / jnp.maximum(1.0 - jnp.asarray(recovery, dtype), 1e-6))
         h, _ = jax.lax.scan(newton, h0, None, length=n_newton)
         hs.append(h)
 
@@ -218,10 +231,14 @@ def cva_swap_hw(
     the European swaption expiring at T_j into the remaining swap
     (exercise value = swap value), so
 
-        CVA = (1-R) sum_j  Swaption(T_j) [Q(T_{j-1}) - Q(T_j)]
+        CVA = (1-R) sum_j  Swaption(T_j) [Q(T_j) - Q(T_{j+1})]
 
-    — a Jamshidian strip, no simulation.  Default between T_{j-1} and
-    T_j is bucketed to the exposure at T_j (standard discrete-EE CVA).
+    — a Jamshidian strip, no simulation.  Bucketing convention: default
+    in (T_j, T_{j+1}] is paired with the exposure at the BUCKET START
+    T_j (the swaption expiring there); default before T_0 contributes
+    nothing.  :func:`cva_netting_hw_mc` uses the same start-of-bucket
+    convention, which is why the one-swap MC collapse pins this
+    closed form.
     """
     schedule = jnp.asarray(schedule)
     m = int(schedule.shape[0]) - 1

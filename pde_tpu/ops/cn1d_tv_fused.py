@@ -142,7 +142,17 @@ def _step_math(pl, n, BLK, w, dtype, g, V, Lmo, Lco, Lpo, Lmn, Lcn, Lpn,
         # is an M-matrix (diagonal >= 1, off-diagonals <= 0), so pivots
         # stay positive and 1/x = rsqrt(x)^2 — rsqrt is a fast VPU op
         # while full-lane fdiv lowers ~30x slower inside this serial loop
-        # (measured: the whole book march dropped 88 ms -> ~3 ms)
+        # (measured: the whole book march dropped 88 ms -> ~3 ms).
+        # VALIDITY CONDITION: the M-matrix sign pattern requires the
+        # discrete operator rows to be diffusion-dominated, i.e. with
+        # a = 0.5 sigma^2/dx^2 and b = (r - q - 0.5 sigma^2)/(2 dx) the
+        # off-diagonals a -+ b must stay >= 0: sigma^2 >= |r-q-sigma^2/2| dx.
+        # Very low local vol with large |r-q| drift on a coarse grid can
+        # flip an off-diagonal sign; the pivot then still stays positive
+        # as long as w*dt*(|conv| - diff) < 0.5 per row (strict diagonal
+        # dominance of the shifted system).  tests/test_local_vol.py
+        # covers a low-vol/high-rate book against the scan route, which
+        # uses a true divide and has no such restriction.
         rs = jax.lax.rsqrt(den)
         piv = rs * rs
         c_scr[pl.ds(i, 1), :] = c_scr[pl.ds(i, 1), :] * piv

@@ -359,6 +359,11 @@ def solve_fused_batch(
     per-option sigma(s, t) lattices evaluate as one vmapped call.  The
     reference prices such books one C++ solve at a time
     (black_scholes_pde.hpp:97-147 per option, generalized march 234-274).
+
+    ``route``: ``"pallas"`` (default) runs the whole march inside the
+    VMEM-resident fused kernel; ``"scan"`` swaps in the lax.scan +
+    batched-Thomas march (`_solve_batch_scan_impl`) — slower, but uses a
+    true divide (no M-matrix pivot condition) and needs no Mosaic.
     """
     f32 = jnp.float32
     K_b = jnp.atleast_1d(jnp.asarray(K, f32))
@@ -447,18 +452,21 @@ def _solve_fused_batch_impl(vol_fn, S0, K, T, r, q, call_f, amer_f,
 )
 def _solve_batch_scan_impl(vol_fn, S0, K, T, r, q, call_f, amer_f,
                            n_space, n_time, s_min_mult, s_max_mult, scheme):
-    """Precomputed-bands scan march: the default BOOK route.
+    """Precomputed-bands scan march: the ``route="scan"`` FALLBACK.
 
-    Same math as the Pallas kernel (`_solve_fused_batch_impl`) but the
-    time loop is a `lax.scan` whose per-step tridiagonal solves go through
-    the batched Thomas (`ops.tridiag.thomas`, options on the leading batch
-    axis).  The whole sigma(s, t) lattice and all per-step operator rows
-    still build as ONE tensor op before the march — the scan streams them
-    as xs.  Measured on v5e at 200x100xB=256: ~65k options/s vs ~1.5k for
-    the in-kernel-serial-Thomas Pallas route — XLA's scan overhead is tiny
-    next to Mosaic's per-row dynamic-access cost at full lane width, and
-    the Thomas recurrence here vectorizes across the BOOK axis instead of
-    walking rows one at a time.
+    Same math as the Pallas kernel (`_solve_fused_batch_impl`, the
+    default ``route="pallas"``) but the time loop is a `lax.scan` whose
+    per-step tridiagonal solves go through the batched Thomas
+    (`ops.tridiag.thomas`, options on the leading batch axis).  The whole
+    sigma(s, t) lattice and all per-step operator rows still build as ONE
+    tensor op before the march — the scan streams them as xs.  Kept as
+    the escape hatch if a Mosaic regression ever bites the fused kernel,
+    and for books where the M-matrix condition of the kernel's
+    rsqrt-pivot (ops/cn1d_tv_fused.py) is violated: this route uses a
+    true divide.  Measured on v5e at 200x100, B=512: ~16 ms/book for the
+    march (module header) vs ~2.5 ms total for the VMEM-resident fused
+    kernel on a 256-option book (~100k options/s) — the fused route wins
+    because the march and lattice both stay on-chip.
     """
     import math
 

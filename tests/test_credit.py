@@ -61,6 +61,37 @@ def test_bootstrap_roundtrip_exact(curve):
         assert abs(r / float(s) - 1.0) < 1e-10
 
 
+def test_cds_broken_maturity_schedule_tiles_exactly(curve):
+    """Maturity NOT a multiple of freq (4.9y, quarterly): the schedule
+    snaps to n_pay equal periods whose accruals tile [0, T] exactly, so
+    the par spread sits between the 4.75y and 5.0y par spreads and the
+    credit triangle still holds to the usual tolerance."""
+    hz = credit.flat_hazard(0.02)
+    s_lo = float(credit.cds_par_spread(curve, hz, 4.75))
+    s_hi = float(credit.cds_par_spread(curve, hz, 5.0))
+    s_mid = float(credit.cds_par_spread(curve, hz, 4.9))
+    lo, hi = sorted((s_lo, s_hi))
+    assert lo - 1e-6 <= s_mid <= hi + 1e-6
+    assert abs(s_mid / (0.6 * 0.02) - 1.0) < 0.02
+
+
+def test_bootstrap_traced_spreads_under_jit_and_grad(curve):
+    """Spreads may be tracers: the docstring promise.  jit + grad of the
+    bootstrapped 5y hazard w.r.t. the input spreads must run and give a
+    positive sensitivity for the matching pillar."""
+    pillars = jnp.array([1.0, 5.0])
+
+    def h5(spreads):
+        _, hs = credit.bootstrap_hazard(curve, pillars, spreads)
+        return hs[1]
+
+    spreads = jnp.array([0.008, 0.013])
+    v = jax.jit(h5)(spreads)
+    assert float(v) > 0
+    g = jax.grad(h5)(spreads)
+    assert float(g[1]) > 0  # wider 5y spread -> higher 5y hazard
+
+
 def test_bootstrap_flat_input_gives_flat_hazard(curve):
     """Flat par spreads across pillars -> near-flat hazards."""
     pillars = jnp.array([2.0, 5.0, 10.0])

@@ -216,6 +216,29 @@ class TestLocalVolPDE:
                 float(book.price[i]), float(one.price), rtol=3e-5,
                 err_msg=f"book lane {i}")
 
+    def test_fused_low_vol_high_rate_book(self):
+        """Convection-dominated stress for the fused kernel's rsqrt pivot
+        (ops/cn1d_tv_fused.py M-matrix condition): very low local vol
+        with a large |r-q| drift on a coarse grid.  The fused route must
+        stay finite and agree with the scan route (true divide, no pivot
+        condition) to f32 tolerance."""
+        vol_fn = lambda s, t: jnp.full_like(s, 0.03)  # noqa: E731
+        kw = dict(r=0.12, q=0.0, n_space=96, n_time=24)
+        Ks = jnp.asarray([95.0, 100.0, 105.0, 100.0])
+        Ts = jnp.asarray([0.5, 1.0, 1.5, 2.0])
+        cs = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+        am = jnp.asarray([0.0, 1.0, 0.0, 1.0])
+        fus = local_vol_pde.solve_fused_batch(
+            vol_fn, S0, K=Ks, T=Ts, is_call=cs, american=am,
+            interpret=True, route="pallas", **kw)
+        scn = local_vol_pde.solve_fused_batch(
+            vol_fn, S0, K=Ks, T=Ts, is_call=cs, american=am,
+            route="scan", **kw)
+        f = np.asarray(fus.price)
+        s = np.asarray(scn.price)
+        assert np.all(np.isfinite(f)), f
+        np.testing.assert_allclose(f, s, rtol=2e-4, atol=2e-4)
+
     @pytest.mark.slow
     def test_heston_dupire_roundtrip(self):
         """THE consistency check: the local-vol diffusion built from
