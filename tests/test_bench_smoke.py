@@ -18,6 +18,39 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
+def test_bench_headline_smoke_emits_flagship_rows_then_headline():
+    """bench.py (the driver metric) under BENCH_SMOKE: the three flagship
+    family rows must emit WITHOUT error keys, and the headline calibration
+    row must be the LAST stdout line (the driver parses the final JSON
+    line)."""
+    env = dict(
+        os.environ,
+        BENCH_SMOKE="1",
+        JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, "tests", ".jax_cache"),
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
+        JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="-1",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, f"bench smoke failed:\n{proc.stderr[-4000:]}"
+    rows = [json.loads(line) for line in proc.stdout.splitlines() if line.strip()]
+    assert rows[-1]["metric"] == "heston_surface_calibration_wall_s", rows[-1]
+    metrics = {r["metric"] for r in rows}
+    expected = {
+        "heston_adi_fused_batch512_options_per_sec",
+        "local_vol_pde_fused_book256_options_per_sec",
+        "sabr_smile_calibration_s",
+        "heston_surface_calibration_wall_s",
+    }
+    missing = expected - metrics
+    assert not missing, f"bench.py rows missing under smoke: {missing}"
+    errors = [r for r in rows if "error" in r]
+    assert not errors, f"flagship sections errored under smoke: {errors}"
+
+
+@pytest.mark.slow
 def test_bench_full_smoke_traces_every_section():
     env = dict(
         os.environ,
