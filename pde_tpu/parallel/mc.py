@@ -33,7 +33,8 @@ from ..models.heston_mc import simulate_qe, simulate_qe_paths
 from ..solvers.lsm import lsm_backward_induction
 
 __all__ = ["price_european_mc_sharded", "price_american_lsm_sharded",
-           "calibrate_leverage_sharded", "cva_netting_sharded"]
+           "calibrate_leverage_sharded", "cva_netting_sharded",
+           "bermudan_swaption_lsm_sharded"]
 
 
 def _pair_fold(discounted, n_local, antithetic):
@@ -252,6 +253,149 @@ def calibrate_leverage_sharded(
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=P(),
         out_specs=(P(), P(), P()),
+        check_vma=False,
+    ))
+    return fn(key)
+
+
+def bermudan_swaption_lsm_sharded(
+    params,
+    strike_rate,
+    schedule,
+    key,
+    mesh: Mesh,
+    *,
+    axis: str | None = None,
+    payer: bool = True,
+    exercise=None,
+    n_paths: int = 65536,
+):
+    """Bermudan swaption LSM with the path axis sharded over the mesh —
+    the multi-chip face of the rates desk's early-exercise engines
+    (:func:`pde_tpu.solvers.bermudan_hw.bermudan_swaption_mc` /
+    :func:`pde_tpu.solvers.bermudan_g2.bermudan_swaption_g2_mc`).
+
+    Dispatches on the parameter type: one-factor Hull-White
+    (``HullWhiteParams``, cubic basis in x) or two-factor G2++
+    (``G2Params``, quadratic bivariate basis in (x, y)); both use
+    exact-transition exercise-date panels (zero discretization bias).
+    Exactly the :func:`price_american_lsm_sharded` pattern: each device
+    simulates its own shard, and the continuation regression at each
+    exercise date fits the GLOBAL cross-section via one fused psum of
+    the Gram/moment sums (4x4+4 scalars for HW, 6x6+6 for G2) — every
+    device then applies the identical exercise policy to its local
+    paths, so policy quality does not degrade as devices are added.
+
+    Returns ``(price, stderr)``: the in-sample LSM policy value over the
+    global path set.  With a single exercise date the policy has no
+    regression and the estimator collapses to the plain European MC —
+    pinned against the closed-form swaption in tests and the multichip
+    dry run.
+    """
+    from ..core.precision import result_dtype
+    from ..models.g2 import G2Params
+    from ..models.rates import HullWhiteParams
+    from ..solvers import bermudan_g2 as bg2
+    from ..solvers import bermudan_hw as bhw
+
+    if not isinstance(params, (HullWhiteParams, G2Params)):
+        raise TypeError(
+            f"params must be HullWhiteParams or G2Params, got {type(params)}")
+    axis = axis or mesh.axis_names[0]
+    ndev = mesh.shape[axis]
+    if n_paths % ndev:
+        raise ValueError(f"n_paths {n_paths} not divisible by axis size {ndev}")
+    n_local = n_paths // ndev
+
+    schedule = jnp.asarray(schedule)
+    dtype = result_dtype(schedule, params.sigma)
+    schedule = schedule.astype(dtype)
+    strike_rate = jnp.asarray(strike_rate, dtype)
+    m = int(schedule.shape[0]) - 1
+    if exercise is None:
+        exercise = (True,) * m
+    exercise = tuple(bool(b) for b in exercise)
+    if len(exercise) != m or not any(exercise):
+        raise ValueError("exercise must flag at least one of the M dates")
+    ex_idx = tuple(j for j, b in enumerate(exercise) if b)
+    n_ex = len(ex_idx)
+    ex_arr = jnp.asarray(ex_idx)
+
+    if isinstance(params, HullWhiteParams):
+        basis = bhw._mc_basis
+
+        def payoff_at(row, state):
+            return jnp.maximum(
+                bhw.remaining_swap_value(
+                    params, strike_rate, schedule, ex_idx[row], state[0],
+                    payer),
+                0.0)
+
+        def simulate_local(k):
+            xs, log_ds = bhw._simulate_events(
+                params, schedule, ex_arr, n_local, k, dtype)
+            return (xs,), jnp.exp(log_ds)
+
+    elif isinstance(params, G2Params):
+        basis = bg2._basis2
+        ex_dates = jnp.concatenate(
+            [jnp.zeros((1,), dtype), schedule[ex_arr]])
+        steps = [
+            bg2._step_sampler(params, ex_dates[r], ex_dates[r + 1], dtype)
+            for r in range(n_ex)
+        ]
+
+        def payoff_at(row, state):
+            return jnp.maximum(
+                bg2.remaining_swap_value_g2(
+                    params, strike_rate, schedule, ex_idx[row], state[0],
+                    state[1], payer),
+                0.0)
+
+        def simulate_local(k):
+            xs, ys, lds = [], [], []
+            xv = jnp.zeros((n_local,), dtype)
+            yv = jnp.zeros((n_local,), dtype)
+            ld = jnp.zeros((n_local,), dtype)
+            for r in range(n_ex):
+                k, k_r = jax.random.split(k)
+                xv, yv, ld = steps[r](xv, yv, ld, k_r)
+                xs.append(xv)
+                ys.append(yv)
+                lds.append(ld)
+            return ((jnp.stack(xs), jnp.stack(ys)),
+                    jnp.exp(jnp.stack(lds)))
+    else:
+        raise TypeError(
+            f"params must be HullWhiteParams or G2Params, got {type(params)}")
+
+    def local(key_global):
+        idx = jax.lax.axis_index(axis)
+        k = jax.random.fold_in(key_global, idx)
+        states, ds = simulate_local(k)
+        state_at = lambda j: tuple(s[j] for s in states)  # noqa: E731
+        pay = jnp.stack(
+            [payoff_at(j, state_at(j)) for j in range(n_ex)])
+
+        cash = ds[-1] * pay[-1]
+        for j in range(n_ex - 2, -1, -1):
+            phi = basis(*state_at(j))
+            w = (pay[j] > 0.0).astype(dtype)
+            # GLOBAL normal equations: one fused psum per exercise date
+            gram = jax.lax.psum((phi * w[:, None]).T @ phi, axis)
+            rhs = jax.lax.psum((phi * w[:, None]).T @ (cash / ds[j]), axis)
+            gram = gram + 1e-10 * jnp.eye(phi.shape[-1], dtype=dtype)
+            beta = jnp.linalg.solve(gram, rhs)
+            cont = phi @ beta
+            ex = (pay[j] > 0.0) & (pay[j] > cont)
+            cash = jnp.where(ex, ds[j] * pay[j], cash)
+        return _global_mean_stderr(cash, axis)
+
+    # check_vma=False: same rationale as the samplers above — betas are
+    # device-invariant BECAUSE they derive from psum'd Gram/moment sums,
+    # which the static varying-axes checker cannot see.
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(), out_specs=(P(), P()),
         check_vma=False,
     ))
     return fn(key)

@@ -224,3 +224,116 @@ class TestShardedCVA:
                 hw, credit.flat_hazard(0.02), [trade],
                 jnp.arange(0.5, 2.01, 0.5), jax.random.PRNGKey(0), mesh,
                 n_paths=8 * 100 + 3)
+
+
+class TestShardedBermudanLSM:
+    """Path-sharded Bermudan swaption LSM (HW + G2): psum-reduced
+    regression normal equations, European collapse pins, and the
+    single-device sandwich cross-check."""
+
+    @pytest.fixture(scope="class")
+    def rates_setup(self):
+        from pde_tpu.models import rates
+
+        curve = rates.curve_from_zero_rates(
+            jnp.array([1.0, 5.0, 10.0]), jnp.array([0.03, 0.04, 0.042]))
+        hw = rates.HullWhiteParams(jnp.asarray(0.1), jnp.asarray(0.012),
+                                   curve)
+        sched = jnp.arange(1.0, 5.01, 0.5)
+        K = rates.hw_swap_rate(curve, 1.0, sched[1:])
+        return rates, curve, hw, sched, K
+
+    def test_hw_european_collapse_matches_closed_form(self, mesh, rates_setup):
+        """Single exercise date -> no regression -> plain European MC,
+        which must agree with the Jamshidian closed form to MC error."""
+        from pde_tpu.parallel.mc import bermudan_swaption_lsm_sharded
+
+        rates, curve, hw, sched, K = rates_setup
+        m = len(sched) - 1
+        exercise = (False,) * (m - 1) + (True,)
+        price, se = bermudan_swaption_lsm_sharded(
+            hw, K, sched, jax.random.PRNGKey(3), mesh,
+            exercise=exercise, n_paths=8 * 4096)
+        cf = float(rates.hw_swaption(hw, K, float(sched[-2]), sched[-1:]))
+        assert abs(float(price) - cf) < 4.0 * float(se) + 1e-6, (
+            float(price), cf, float(se))
+
+    def test_hw_bermudan_inside_single_device_sandwich(self, mesh, rates_setup):
+        """The sharded in-sample policy value must land inside (or within
+        MC error of) the single-device lower/upper dual sandwich, and
+        dominate the most expensive European component."""
+        from pde_tpu.parallel.mc import bermudan_swaption_lsm_sharded
+        from pde_tpu.solvers.bermudan_hw import bermudan_swaption_mc
+
+        rates, curve, hw, sched, K = rates_setup
+        price, se = bermudan_swaption_lsm_sharded(
+            hw, K, sched, jax.random.PRNGKey(4), mesh, n_paths=8 * 4096)
+        lower, se_lo, upper, se_up = bermudan_swaption_mc(
+            hw, K, sched, jax.random.PRNGKey(5),
+            n_paths=16384, n_outer=256, n_inner=32)
+        assert float(price) > 0.0
+        assert float(price) >= float(lower) - 4.0 * (float(se) + float(se_lo))
+        assert float(price) <= float(upper) + 4.0 * (float(se) + float(se_up))
+        # Bermudan >= best European (max over single exercise dates at ATM
+        # forward strike, the first date's swaption is the usual floor)
+        eur0 = float(rates.hw_swaption(hw, K, float(sched[0]), sched[1:]))
+        assert float(price) >= eur0 - 4.0 * float(se)
+
+    def test_hw_sharded_statistically_matches_one_device_mesh(self, rates_setup):
+        """8-device and 1-device meshes draw different shard seeds but the
+        SAME estimator; prices agree within combined MC error."""
+        from pde_tpu.parallel.mc import bermudan_swaption_lsm_sharded
+
+        rates, curve, hw, sched, K = rates_setup
+        mesh8 = make_mesh(8, axis_names=("dp",), shape=(8,))
+        mesh1 = make_mesh(1, axis_names=("dp",), shape=(1,))
+        p8, se8 = bermudan_swaption_lsm_sharded(
+            hw, K, sched, jax.random.PRNGKey(6), mesh8, n_paths=8 * 2048)
+        p1, se1 = bermudan_swaption_lsm_sharded(
+            hw, K, sched, jax.random.PRNGKey(6), mesh1, n_paths=8 * 2048)
+        tol = 4.0 * (float(se8) + float(se1))
+        assert abs(float(p8) - float(p1)) < tol, (float(p8), float(p1), tol)
+
+    def test_g2_european_collapse_matches_gauss_hermite(self, mesh, rates_setup):
+        """Two-factor dispatch: single-date collapse onto the G2++
+        Gauss-Hermite European swaption formula."""
+        from pde_tpu.models import g2 as g2_mod
+        from pde_tpu.parallel.mc import bermudan_swaption_lsm_sharded
+
+        rates, curve, hw, sched, K = rates_setup
+        g2p = g2_mod.G2Params(
+            jnp.asarray(0.5), jnp.asarray(0.1), jnp.asarray(0.008),
+            jnp.asarray(0.006), jnp.asarray(-0.6), curve)
+        m = len(sched) - 1
+        exercise = (False,) * (m - 1) + (True,)
+        price, se = bermudan_swaption_lsm_sharded(
+            g2p, K, sched, jax.random.PRNGKey(7), mesh,
+            exercise=exercise, n_paths=8 * 4096)
+        cf = float(g2_mod.g2_swaption(g2p, K, float(sched[-2]), sched[-1:]))
+        assert abs(float(price) - cf) < 4.0 * float(se) + 1e-6, (
+            float(price), cf, float(se))
+
+    def test_g2_bermudan_floors_europeans(self, mesh, rates_setup):
+        from pde_tpu.models import g2 as g2_mod
+        from pde_tpu.parallel.mc import bermudan_swaption_lsm_sharded
+
+        rates, curve, hw, sched, K = rates_setup
+        g2p = g2_mod.G2Params(
+            jnp.asarray(0.5), jnp.asarray(0.1), jnp.asarray(0.008),
+            jnp.asarray(0.006), jnp.asarray(-0.6), curve)
+        price, se = bermudan_swaption_lsm_sharded(
+            g2p, K, sched, jax.random.PRNGKey(8), mesh, n_paths=8 * 2048)
+        eur0 = float(g2_mod.g2_swaption(g2p, K, float(sched[0]), sched[1:]))
+        assert float(price) >= eur0 - 4.0 * float(se)
+
+    def test_rejects_unknown_params_and_bad_paths(self, mesh, rates_setup):
+        from pde_tpu.parallel.mc import bermudan_swaption_lsm_sharded
+
+        rates, curve, hw, sched, K = rates_setup
+        with pytest.raises(ValueError, match="divisible"):
+            bermudan_swaption_lsm_sharded(
+                hw, K, sched, jax.random.PRNGKey(0), mesh, n_paths=8 * 64 + 1)
+        with pytest.raises(TypeError, match="HullWhiteParams or G2Params"):
+            bermudan_swaption_lsm_sharded(
+                object(), K, sched, jax.random.PRNGKey(0), mesh,
+                n_paths=8 * 64)
