@@ -997,13 +997,30 @@ def main():
             rough_calibrator=RoughHestonCalibrator(n_steps=8, max_iter=2),
             bates_calibrator=BatesCalibrator(global_maxiter=2,
                                              global_popsize=4),
+            rates_calibrator=HullWhiteCalibrator(max_iter=6),
+            g2_calibrator=G2Calibrator(max_iter=4),
         )
     orch = CalibrationOrchestrator(CalibrationConfig(
         calibrate_heston=True, calibrate_sabr=True, calibrate_ou=True,
         calibrate_rough=True, calibrate_bates=True,
+        calibrate_rates=True, calibrate_g2=True, calibrate_credit=True,
         max_options_per_underlying=128,  # keep the whole 108-quote surface
+        # this process runs f32 (TPU bench); the bootstrap round-trip is
+        # Newton-exact only to single precision here (f64 default is 1e-6)
+        max_credit_roundtrip_error=5e-4,
         risk_free_rate=0.05, dividend_yield=0.02,
     ), **orch_kw)
+    # rates/credit desk inputs for the new opt-in stages: the caplet strip,
+    # G2 swaption panel and CDS spreads already built in sections 1i-1l
+    rates_market_o = {
+        "curve": hw_curve,
+        "caplets": {"starts": hw_starts, "ends": hw_ends,
+                    "strikes": hw_ks, "quotes": hw_quotes},
+        "swaptions": {"expiries": g2_exps, "pay_times": g2_pts,
+                      "strikes": g2_ks, "quotes": g2_quotes},
+    }
+    credit_market_o = {"curve": hw_curve, "pillars": cr_pillars,
+                       "spreads": cr_spreads, "recovery": 0.4}
     market_iv_full = np.asarray(market_iv)
     chain_all = {
         "strike": np.asarray(data["strike"]),
@@ -1017,7 +1034,9 @@ def main():
     U_o = _n(4, 1)
     tasks = {
         f"TICK{i}": dict(market_options=chain_all, S0=100.0,
-                         spread_series=spread, r=0.05, q=0.02)
+                         spread_series=spread, r=0.05, q=0.02,
+                         rates_market=rates_market_o,
+                         credit_market=credit_market_o)
         for i in range(U_o)
     }
     orch.run_all(tasks)  # day 1: compile + cold caches

@@ -69,6 +69,7 @@ class G2Calibrator:
         strikes: Sequence[float],
         quotes,
         payer: bool = True,
+        x0=None,
     ) -> G2CalibrationResult:
         expiries = [jnp.asarray(e) for e in expiries]
         pay_times = [jnp.asarray(pt) for pt in pay_times]
@@ -91,7 +92,8 @@ class G2Calibrator:
                 jnp.asarray(_LOWER, dtype), jnp.asarray(_UPPER, dtype),
                 max_iter=self.max_iter)
         )
-        res = fit(jnp.asarray(self.x0, dtype))
+        # x0 warm-starts from a previous fit (orchestrator convention)
+        res = fit(jnp.asarray(self.x0 if x0 is None else tuple(x0), dtype))
         r = np.asarray(resid(res.x))
         params = G2Params(*(jnp.asarray(res.x[i]) for i in range(5)),
                           curve)

@@ -7,6 +7,13 @@ run (:160-162, :304), per-model try/except producing a
 SUCCESS/PARTIAL/FAILED status (:255-264), quality gates (:449), parameter
 persistence (:493) and cached-parameter retrieval (:502).
 
+Beyond the reference's three models, opt-in stages drive the refinement
+desks (rough Heston, Bates) and the rates/credit desks: Hull-White
+caplet/swaption fits (calibrate/rates.py), the G2++ swaption-panel fit
+(calibrate/g2.py) and the CDS hazard bootstrap (models/credit.py) — each
+with the same warm-start/gate/persistence contract, keyed under
+model_type 'hull_white' / 'g2pp' / 'cds_hazard' in the parameter store.
+
 Host-side control flow by design — the heavy math inside each calibrator is
 the jitted TPU program; this layer is scheduling, error policy and storage,
 exactly where the reference draws the same line.
@@ -49,12 +56,20 @@ class CalibrationConfig:
     calibrate_ou: bool = False  # needs spread series, opt-in
     calibrate_rough: bool = False  # rough Heston refinement, opt-in
     calibrate_bates: bool = False  # Bates jump-diffusion refinement, opt-in
+    calibrate_rates: bool = False  # Hull-White caplet/swaption fit, opt-in
+    calibrate_g2: bool = False  # G2++ swaption-panel fit, opt-in
+    calibrate_credit: bool = False  # CDS hazard bootstrap, opt-in
     max_options_per_underlying: int = 100
     min_options_required: int = 5
     use_warm_start: bool = True
     use_cached_on_failure: bool = True
     max_rmse: float = 5.0
     min_r_squared: float = 0.5
+    # rates/credit quality gates: relative price error on the instrument
+    # strip (HW/G2), and the bootstrap's reprice round-trip error (credit,
+    # exact by construction — the gate catches non-finite/negative hazards)
+    max_rates_rel_error: float = 0.05
+    max_credit_roundtrip_error: float = 1e-6
     risk_free_rate: float = 0.05
     dividend_yield: float = 0.0
 
@@ -70,6 +85,9 @@ class CalibrationRunResult:
     ou_result: Optional[Any] = None
     rough_result: Optional[Any] = None
     bates_result: Optional[Any] = None
+    rates_result: Optional[Any] = None
+    g2_result: Optional[Any] = None
+    credit_result: Optional[Any] = None
     errors: List[str] = field(default_factory=list)
     run_time: float = 0.0
     timestamp: datetime = field(default_factory=lambda: datetime.now(timezone.utc))
@@ -91,6 +109,8 @@ class CalibrationOrchestrator:
         ou_fitter: Optional[OUFitter] = None,
         rough_calibrator=None,
         bates_calibrator=None,
+        rates_calibrator=None,
+        g2_calibrator=None,
     ):
         self.config = config or CalibrationConfig()
         self.db = db
@@ -113,9 +133,13 @@ class CalibrationOrchestrator:
             self.bates = BatesCalibrator()
         else:
             self.bates = None  # built lazily if the flag is flipped later
+        self.rates = rates_calibrator  # built lazily when the stage runs
+        self.g2 = g2_calibrator  # built lazily when the stage runs
         # warm-start caches: previous successful parameters per underlying
         self._heston_warm: Dict[str, Dict[str, float]] = {}
         self._sabr_warm: Dict[str, Dict[float, Dict[str, float]]] = {}
+        self._hw_warm: Dict[str, tuple] = {}
+        self._g2_warm: Dict[str, tuple] = {}
 
     # ------------------------------------------------------------------ API
 
@@ -127,18 +151,33 @@ class CalibrationOrchestrator:
         spread_series: Optional[np.ndarray] = None,
         r: Optional[float] = None,
         q: Optional[float] = None,
+        rates_market: Optional[Dict[str, Any]] = None,
+        credit_market: Optional[Dict[str, Any]] = None,
     ) -> CalibrationRunResult:
         """Calibrate all enabled models for one underlying
-        (orchestrator.py:166-264)."""
+        (orchestrator.py:166-264).
+
+        ``rates_market`` feeds the opt-in Hull-White/G2++ stages:
+        ``{"curve": DiscountCurve, "caplets": {starts, ends, strikes,
+        quotes}}`` and/or ``{"swaptions": {expiries, pay_times, strikes,
+        quotes}}`` (HW prefers caplets, G2 needs swaptions).
+        ``credit_market`` feeds the opt-in CDS hazard bootstrap:
+        ``{"curve": DiscountCurve, "pillars": ..., "spreads": ...,
+        "recovery": 0.4}`` (curve falls back to rates_market's).
+        """
         start = time.time()
         r = self.config.risk_free_rate if r is None else r
         q = self.config.dividend_yield if q is None else q
         errors: List[str] = []
         heston_result = sabr_result = ou_result = None
 
+        options_stages_on = (
+            self.config.calibrate_heston or self.config.calibrate_sabr
+            or self.config.calibrate_rough or self.config.calibrate_bates
+        )
         market_options = self._filter_options(market_options)
         n_options = self._n_options(market_options)
-        if n_options < self.config.min_options_required:
+        if options_stages_on and n_options < self.config.min_options_required:
             return CalibrationRunResult(
                 underlying=underlying,
                 status=CalibrationStatus.FAILED,
@@ -259,16 +298,43 @@ class CalibrationOrchestrator:
             except Exception as exc:  # noqa: BLE001 - per-model isolation
                 errors.append(f"bates: {exc}")
 
+        rates_result = None
+        if self.config.calibrate_rates and rates_market is not None:
+            try:
+                rates_result = self._run_rates_stage(
+                    underlying, rates_market, errors)
+            except Exception as exc:  # noqa: BLE001 - per-model isolation
+                errors.append(f"rates: {exc}")
+
+        g2_result = None
+        if self.config.calibrate_g2 and rates_market is not None:
+            try:
+                g2_result = self._run_g2_stage(
+                    underlying, rates_market, errors)
+            except Exception as exc:  # noqa: BLE001 - per-model isolation
+                errors.append(f"g2: {exc}")
+
+        credit_result = None
+        if self.config.calibrate_credit and credit_market is not None:
+            try:
+                credit_result = self._run_credit_stage(
+                    underlying, credit_market, rates_market, errors)
+            except Exception as exc:  # noqa: BLE001 - per-model isolation
+                errors.append(f"credit: {exc}")
+
         n_requested = (
             int(self.config.calibrate_heston)
             + int(self.config.calibrate_sabr)
             + int(self.config.calibrate_ou and spread_series is not None)
             + int(self.config.calibrate_rough)
             + int(self.config.calibrate_bates)
+            + int(self.config.calibrate_rates and rates_market is not None)
+            + int(self.config.calibrate_g2 and rates_market is not None)
+            + int(self.config.calibrate_credit and credit_market is not None)
         )
         n_ok = sum(x is not None for x in
                    (heston_result, sabr_result, ou_result, rough_result,
-                    bates_result))
+                    bates_result, rates_result, g2_result, credit_result))
         if n_ok == n_requested and not errors:
             status = CalibrationStatus.SUCCESS
         elif n_ok > 0:
@@ -284,6 +350,9 @@ class CalibrationOrchestrator:
             ou_result=ou_result,
             rough_result=rough_result,
             bates_result=bates_result,
+            rates_result=rates_result,
+            g2_result=g2_result,
+            credit_result=credit_result,
             errors=errors,
             run_time=time.time() - start,
         )
@@ -323,6 +392,155 @@ class CalibrationOrchestrator:
         )
 
     # ------------------------------------------------------------ internals
+
+    def _run_rates_stage(self, underlying, rates_market, errors):
+        """Hull-White (a, sigma) fit: caplet strip preferred, swaption
+        panel otherwise.  Warm-started from the previous successful fit,
+        gated on max relative price error, persisted under model_type
+        'hull_white' (same store key shape as heston, db.py:247)."""
+        import time as _time
+
+        from .rates import HullWhiteCalibrator
+
+        if self.rates is None:
+            self.rates = HullWhiteCalibrator()
+        curve = rates_market["curve"]
+        warm = (self._hw_warm.get(underlying)
+                if self.config.use_warm_start else None)
+        t0 = _time.time()
+        if "caplets" in rates_market:
+            c = rates_market["caplets"]
+            result = self.rates.calibrate_caplets(
+                curve, c["starts"], c["ends"], c["strikes"], c["quotes"],
+                x0=warm)
+        elif "swaptions" in rates_market:
+            s = rates_market["swaptions"]
+            result = self.rates.calibrate_swaptions(
+                curve, s["expiries"], s["pay_times"], s["strikes"],
+                s["quotes"], x0=warm)
+        else:
+            raise ValueError(
+                "rates_market needs a 'caplets' or 'swaptions' block")
+        elapsed_ms = int((_time.time() - t0) * 1000)
+        if result.max_rel_error <= self.config.max_rates_rel_error:
+            self._hw_warm[underlying] = (
+                float(result.params.a), float(result.params.sigma))
+            if self.db is not None:
+                self.db.store_model_parameters(
+                    model_type="hull_white",
+                    underlying=underlying,
+                    parameters={"a": float(result.params.a),
+                                "sigma": float(result.params.sigma)},
+                    fit_quality={"rmse": result.rmse,
+                                 "max_rel_error": result.max_rel_error},
+                    maturity=None,
+                    converged=result.converged,
+                    calibration_time_ms=elapsed_ms,
+                )
+        else:
+            errors.append(
+                f"rates quality gate failed: "
+                f"max_rel_error={result.max_rel_error:.4f}")
+        return result
+
+    def _run_g2_stage(self, underlying, rates_market, errors):
+        """G2++ five-parameter swaption-panel fit; warm starts, gate and
+        persistence mirror the Hull-White stage (model_type 'g2pp')."""
+        import time as _time
+
+        from .g2 import G2Calibrator
+
+        if self.g2 is None:
+            self.g2 = G2Calibrator()
+        if "swaptions" not in rates_market:
+            raise ValueError("g2 stage needs rates_market['swaptions']")
+        curve = rates_market["curve"]
+        s = rates_market["swaptions"]
+        warm = (self._g2_warm.get(underlying)
+                if self.config.use_warm_start else None)
+        t0 = _time.time()
+        result = self.g2.calibrate_swaptions(
+            curve, s["expiries"], s["pay_times"], s["strikes"], s["quotes"],
+            x0=warm)
+        elapsed_ms = int((_time.time() - t0) * 1000)
+        if result.max_rel_error <= self.config.max_rates_rel_error:
+            p = result.params
+            self._g2_warm[underlying] = tuple(
+                float(getattr(p, k)) for k in ("a", "b", "sigma", "eta", "rho"))
+            if self.db is not None:
+                self.db.store_model_parameters(
+                    model_type="g2pp",
+                    underlying=underlying,
+                    parameters={k: float(getattr(p, k))
+                                for k in ("a", "b", "sigma", "eta", "rho")},
+                    fit_quality={"rmse": result.rmse,
+                                 "max_rel_error": result.max_rel_error},
+                    maturity=None,
+                    converged=result.converged,
+                    calibration_time_ms=elapsed_ms,
+                )
+        else:
+            errors.append(
+                f"g2 quality gate failed: "
+                f"max_rel_error={result.max_rel_error:.4f}")
+        return result
+
+    def _run_credit_stage(self, underlying, credit_market, rates_market,
+                          errors):
+        """CDS hazard bootstrap (models/credit.bootstrap_hazard): exact by
+        construction, so the gate is the reprice round-trip plus hazard
+        positivity.  Returns ``{"hazard_curve", "hazards",
+        "max_roundtrip_error"}``; hazards persist under 'cds_hazard' with
+        the pillar grid in the parameter dict."""
+        import time as _time
+
+        from ..models import credit as credit_mod
+
+        curve = credit_market.get("curve")
+        if curve is None and rates_market is not None:
+            curve = rates_market.get("curve")
+        if curve is None:
+            raise ValueError("credit stage needs a discount curve")
+        pillars = np.asarray(credit_market["pillars"], dtype=float)
+        spreads = np.asarray(credit_market["spreads"], dtype=float)
+        recovery = float(credit_market.get("recovery", 0.4))
+        t0 = _time.time()
+        hc, hazards = credit_mod.bootstrap_hazard(
+            curve, pillars, spreads, recovery=recovery)
+        reprice = np.asarray([
+            float(credit_mod.cds_par_spread(
+                curve, hc, float(t), recovery=recovery))
+            for t in pillars
+        ])
+        max_rt = float(np.max(np.abs(reprice / spreads - 1.0)))
+        elapsed_ms = int((_time.time() - t0) * 1000)
+        hz = np.asarray(hazards, dtype=float)
+        ok = (np.all(np.isfinite(hz)) and np.all(hz > 0)
+              and max_rt <= self.config.max_credit_roundtrip_error)
+        if ok and self.db is not None:
+            self.db.store_model_parameters(
+                model_type="cds_hazard",
+                underlying=underlying,
+                parameters={
+                    "pillars": pillars.tolist(),
+                    "hazards": hz.tolist(),
+                    "recovery": recovery,
+                },
+                fit_quality={"max_roundtrip_error": max_rt},
+                maturity=None,
+                converged=True,
+                calibration_time_ms=elapsed_ms,
+            )
+        if not ok:
+            errors.append(
+                f"credit quality gate failed: "
+                f"max_roundtrip_error={max_rt:.2e}, "
+                f"min_hazard={float(np.min(hz)):.2e}")
+        return {
+            "hazard_curve": hc,
+            "hazards": hz,
+            "max_roundtrip_error": max_rt,
+        }
 
     def _heston_quality_ok(self, result) -> bool:
         fq = result.fit_quality

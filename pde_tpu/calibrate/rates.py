@@ -77,7 +77,11 @@ class HullWhiteCalibrator:
         ends,
         strikes,
         quotes,
+        x0: Optional[Tuple[float, float]] = None,
     ) -> HullWhiteCalibrationResult:
+        """``x0`` warm-starts the LM from a previous fit (the orchestrator
+        passes yesterday's (a, sigma), matching the reference's warm-start
+        convention, orchestrator.py:160-162)."""
         starts = jnp.asarray(starts)
         ends = jnp.asarray(ends)
         strikes = jnp.asarray(strikes)
@@ -86,7 +90,7 @@ class HullWhiteCalibrator:
         def resid(x):
             return _caplet_residuals(x, curve, starts, ends, strikes, quotes)
 
-        res = self._run(resid, quotes.dtype)
+        res = self._run(resid, quotes.dtype, x0)
         return self._package(res, curve, resid)
 
     def calibrate_swaptions(
@@ -96,6 +100,7 @@ class HullWhiteCalibrator:
         pay_times: Sequence[Sequence[float]],
         strikes: Sequence[float],
         quotes,
+        x0: Optional[Tuple[float, float]] = None,
     ) -> HullWhiteCalibrationResult:
         expiries = [jnp.asarray(e) for e in expiries]
         pay_times = [jnp.asarray(pt) for pt in pay_times]
@@ -106,14 +111,14 @@ class HullWhiteCalibrator:
             return _swaption_residuals(
                 x, curve, expiries, pay_times, strikes, quotes)
 
-        res = self._run(resid, quotes.dtype)
+        res = self._run(resid, quotes.dtype, x0)
         return self._package(res, curve, resid)
 
     # -- internals --------------------------------------------------------
-    def _run(self, resid, dtype):
+    def _run(self, resid, dtype, x0=None):
         lower = jnp.asarray(_LOWER, dtype)
         upper = jnp.asarray(_UPPER, dtype)
-        x0 = jnp.asarray(self.x0, dtype)
+        x0 = jnp.asarray(self.x0 if x0 is None else tuple(x0), dtype)
         fit = jax.jit(
             lambda x: levenberg_marquardt(
                 resid, x, lower, upper, max_iter=self.max_iter)

@@ -402,6 +402,156 @@ class TestOrchestrator:
         assert res.status == CalibrationStatus.FAILED
 
 
+class _RecordingDB:
+    """Minimal parameter-store fake: records store calls, serves none."""
+
+    def __init__(self):
+        self.stored = []
+
+    def store_model_parameters(self, **kw):
+        self.stored.append(kw)
+
+    def get_latest_model_parameters(self, **kw):
+        return None
+
+
+class TestOrchestratorRatesCredit:
+    """The opt-in Hull-White / G2++ / CDS-bootstrap stages (round-5: wire
+    the rates/credit desks into the daily driver, reference
+    orchestrator.py:166-264 semantics — warm starts, quality gates,
+    persistence keys)."""
+
+    @pytest.fixture(scope="class")
+    def desks(self):
+        import jax.numpy as jnp
+
+        from pde_tpu.models import g2 as g2_mod
+        from pde_tpu.models import rates as rates_mod
+
+        curve = rates_mod.curve_from_zero_rates(
+            jnp.asarray([0.5, 1.0, 2.0, 5.0, 10.0, 30.0]),
+            jnp.asarray([0.030, 0.032, 0.035, 0.040, 0.042, 0.043]))
+        hw_true = rates_mod.HullWhiteParams(
+            jnp.asarray(0.12), jnp.asarray(0.011), curve)
+        starts = jnp.asarray(np.arange(0.5, 5.01, 0.5))
+        ends = starts + 0.5
+        ks = curve.forward(starts, ends)
+        cap_quotes = rates_mod.hw_caplet(hw_true, ks, starts, ends)
+
+        g2_true = g2_mod.G2Params(
+            jnp.asarray(0.5), jnp.asarray(0.05), jnp.asarray(0.011),
+            jnp.asarray(0.0085), jnp.asarray(-0.55), curve)
+        g2_exps = [1.0, 2.0, 3.0, 5.0]
+        g2_pts = [jnp.asarray(np.arange(e + 0.5, e + 3.01, 0.5))
+                  for e in g2_exps]
+        g2_ks = [float(rates_mod.hw_swap_rate(curve, e, pt))
+                 for e, pt in zip(g2_exps, g2_pts)]
+        g2_quotes = jnp.asarray([
+            float(g2_mod.g2_swaption(g2_true, k, e, pt))
+            for e, pt, k in zip(g2_exps, g2_pts, g2_ks)])
+
+        rates_market = {
+            "curve": curve,
+            "caplets": {"starts": starts, "ends": ends, "strikes": ks,
+                        "quotes": cap_quotes},
+            "swaptions": {"expiries": g2_exps, "pay_times": g2_pts,
+                          "strikes": g2_ks, "quotes": g2_quotes},
+        }
+        credit_market = {
+            "curve": curve,
+            "pillars": [1.0, 3.0, 5.0, 10.0],
+            "spreads": [0.008, 0.011, 0.013, 0.015],
+            "recovery": 0.4,
+        }
+        return hw_true, g2_true, rates_market, credit_market
+
+    def _orch(self, db=None):
+        from pde_tpu.calibrate.g2 import G2Calibrator
+        from pde_tpu.calibrate.rates import HullWhiteCalibrator
+
+        return CalibrationOrchestrator(
+            config=CalibrationConfig(
+                calibrate_heston=False, calibrate_sabr=False,
+                calibrate_rates=True, calibrate_g2=True,
+                calibrate_credit=True,
+            ),
+            db=db,
+            rates_calibrator=HullWhiteCalibrator(max_iter=40),
+            g2_calibrator=G2Calibrator(max_iter=25),
+        )
+
+    def test_stages_recover_recalibrate_and_persist(self, desks):
+        hw_true, g2_true, rates_market, credit_market = desks
+        db = _RecordingDB()
+        orch = self._orch(db)
+        res = orch.run_daily_calibration(
+            "USD", {"strike": []}, S0=100.0,
+            rates_market=rates_market, credit_market=credit_market)
+        assert res.status == CalibrationStatus.SUCCESS, res.errors
+        # HW recovered the synthetic (a, sigma)
+        np.testing.assert_allclose(
+            float(res.rates_result.params.a), float(hw_true.a), rtol=1e-3)
+        np.testing.assert_allclose(
+            float(res.rates_result.params.sigma), float(hw_true.sigma),
+            rtol=1e-3)
+        # G2 reprices the panel (the 5-param fit is not unique from 4
+        # quotes, so pin the prices, not the parameters)
+        assert res.g2_result.max_rel_error < 1e-4
+        # credit round-trip is exact by construction
+        assert res.credit_result["max_roundtrip_error"] < 1e-8
+        assert np.all(res.credit_result["hazards"] > 0)
+        # warm caches populated, one store call per stage
+        assert "USD" in orch._hw_warm and "USD" in orch._g2_warm
+        assert sorted(s["model_type"] for s in db.stored) == [
+            "cds_hazard", "g2pp", "hull_white"]
+        pillars = db.stored[[s["model_type"] for s in db.stored]
+                            .index("cds_hazard")]["parameters"]["pillars"]
+        assert pillars == [1.0, 3.0, 5.0, 10.0]
+
+    def test_warm_start_feeds_second_run(self, desks):
+        hw_true, g2_true, rates_market, credit_market = desks
+        orch = self._orch()
+        r1 = orch.run_daily_calibration(
+            "EUR", {"strike": []}, S0=100.0, rates_market=rates_market)
+        warm = orch._hw_warm["EUR"]
+        r2 = orch.run_daily_calibration(
+            "EUR", {"strike": []}, S0=100.0, rates_market=rates_market)
+        assert r1.status == r2.status == CalibrationStatus.SUCCESS
+        # warm-started refit lands on the same optimum
+        np.testing.assert_allclose(
+            float(r2.rates_result.params.a), warm[0], rtol=1e-4)
+
+    def test_quality_gate_failure_degrades_to_partial(self, desks):
+        hw_true, g2_true, rates_market, credit_market = desks
+        from pde_tpu.calibrate.g2 import G2Calibrator
+        from pde_tpu.calibrate.rates import HullWhiteCalibrator
+
+        orch = CalibrationOrchestrator(
+            config=CalibrationConfig(
+                calibrate_heston=False, calibrate_sabr=False,
+                calibrate_rates=True, calibrate_credit=True,
+                max_credit_roundtrip_error=0.0,  # force the credit gate
+            ),
+            rates_calibrator=HullWhiteCalibrator(max_iter=40),
+        )
+        res = orch.run_daily_calibration(
+            "JPY", {"strike": []}, S0=100.0,
+            rates_market=rates_market, credit_market=credit_market)
+        # stages still return results; the gate shows up in errors
+        assert res.credit_result is not None
+        assert any("credit quality gate" in e for e in res.errors)
+        assert res.status == CalibrationStatus.PARTIAL
+
+    def test_stage_only_run_skips_option_count_gate(self, desks):
+        """With every options stage off, an empty chain must not FAIL the
+        run (the rates/credit desks have no option quotes)."""
+        hw_true, g2_true, rates_market, credit_market = desks
+        orch = self._orch()
+        res = orch.run_daily_calibration(
+            "GBP", {"strike": []}, S0=100.0, rates_market=rates_market)
+        assert res.status == CalibrationStatus.SUCCESS, res.errors
+
+
 class TestReviewRegressions:
     def test_dict_input_honors_option_type(self):
         """Puts in a dict input must not be priced as calls (review find)."""
