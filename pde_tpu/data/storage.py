@@ -38,7 +38,12 @@ _TABLES = ("market_prices", "option_quotes", "model_parameters", "signals",
 
 
 class StorageManager:
-    """Admin operations over a TimeSeriesDB (storage.py:86-706)."""
+    """Admin operations over a TimeSeriesDB (storage.py:86-706).
+
+    SQLITE ENGINE ONLY (raw-connection admin: PRAGMAs, VACUUM); the
+    server engine's counterpart is
+    :class:`pde_tpu.database.timescale.TimescaleManager` (hypertables,
+    native compression, continuous aggregates)."""
 
     def __init__(self, db):
         self.db = db

@@ -20,6 +20,10 @@ class Migration:
     version: int
     name: str
     sql: str
+    # tables to convert to TimescaleDB hypertables after the DDL runs
+    # (applied only on a server with the extension; requires the table's
+    # primary key to include the time column)
+    hypertables: tuple = ()
 
 
 # The baseline schema ships in database/db.py (v1); migrations evolve it.
@@ -69,34 +73,40 @@ MIGRATIONS: List[Migration] = [
             gross_exposure REAL
         );
         """,
+        hypertables=("equity_curve",),
     ),
 ]
 
 
 class MigrationRunner:
-    """Applies pending migrations in order (the alembic-upgrade analog)."""
+    """Applies pending migrations in order (the alembic-upgrade analog).
+
+    Engine-neutral: goes through the ``TimeSeriesDB`` run_query/run_script
+    surface, so the same migration set upgrades the embedded sqlite store
+    and a postgresql/TimescaleDB server (the engine translates the DDL
+    dialect — AUTOINCREMENT, time columns — exactly as for the baseline
+    schema)."""
 
     def __init__(self, db):
         self.db = db
         self._ensure_version_table()
 
     def _ensure_version_table(self) -> None:
-        con = self.db._conn()
-        with self.db._lock, con:
-            con.execute(
-                "CREATE TABLE IF NOT EXISTS schema_version ("
-                " version INTEGER PRIMARY KEY, name TEXT, applied_at TEXT)"
+        self.db.run_script(
+            "CREATE TABLE IF NOT EXISTS schema_version ("
+            " version INTEGER PRIMARY KEY, name TEXT, applied_at TEXT)"
+        )
+        n = self.db.run_query("SELECT COUNT(*) AS n FROM schema_version")[0]["n"]
+        if n == 0:
+            self.db.run_execute(
+                "INSERT INTO schema_version VALUES (1, 'baseline', ?)",
+                (datetime.now(timezone.utc).isoformat(),),
             )
-            if con.execute("SELECT COUNT(*) FROM schema_version").fetchone()[0] == 0:
-                con.execute(
-                    "INSERT INTO schema_version VALUES (1, 'baseline', ?)",
-                    (datetime.now(timezone.utc).isoformat(),),
-                )
 
     @property
     def current_version(self) -> int:
-        con = self.db._conn()
-        return con.execute("SELECT MAX(version) FROM schema_version").fetchone()[0]
+        return self.db.run_query(
+            "SELECT MAX(version) AS v FROM schema_version")[0]["v"]
 
     def pending(self) -> List[Migration]:
         v = self.current_version
@@ -105,20 +115,30 @@ class MigrationRunner:
     def upgrade(self) -> List[int]:
         """Apply all pending migrations; returns applied versions."""
         applied = []
-        con = self.db._conn()
         for m in self.pending():
-            with self.db._lock, con:
-                con.executescript(m.sql)
-                con.execute(
-                    "INSERT INTO schema_version VALUES (?, ?, ?)",
-                    (m.version, m.name, datetime.now(timezone.utc).isoformat()),
-                )
+            self.db.run_script(m.sql)
+            if m.hypertables and getattr(self.db, "is_timescale", False):
+                for table in m.hypertables:
+                    try:
+                        self.db.run_execute(
+                            "SELECT create_hypertable(?, 'time',"
+                            " if_not_exists => TRUE, migrate_data => TRUE)",
+                            (table,),
+                        )
+                    except Exception:  # noqa: BLE001 - plain-PG fallback
+                        pass
+            self.db.run_execute(
+                "INSERT INTO schema_version VALUES (?, ?, ?)",
+                (m.version, m.name, datetime.now(timezone.utc).isoformat()),
+            )
             applied.append(m.version)
         return applied
 
     def history(self) -> List[Dict]:
-        con = self.db._conn()
-        rows = con.execute(
-            "SELECT version, name, applied_at FROM schema_version ORDER BY version"
-        ).fetchall()
-        return [{"version": r[0], "name": r[1], "applied_at": r[2]} for r in rows]
+        return [
+            {"version": r["version"], "name": r["name"],
+             "applied_at": r["applied_at"]}
+            for r in self.db.run_query(
+                "SELECT version, name, applied_at FROM schema_version"
+                " ORDER BY version")
+        ]

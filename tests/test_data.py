@@ -218,8 +218,10 @@ class TestDatabase:
         assert TimeSeriesDB._normalize_path("sqlite:///rel.db") == "rel.db"
         assert TimeSeriesDB._normalize_path("sqlite:////abs/x.db") == "/abs/x.db"
         assert TimeSeriesDB._normalize_path(":memory:") == ":memory:"
+        # postgresql:// URLs now dispatch to the server engine (covered in
+        # tests/test_pgwire.py); any OTHER scheme is still rejected
         with pytest.raises(ValueError):
-            TimeSeriesDB("postgresql://host/db")
+            TimeSeriesDB("mysql://host/db")
         db = TimeSeriesDB("sqlite:///" + str(tmp_path / "u.db"))
         assert db.path == str(tmp_path / "u.db")
 
