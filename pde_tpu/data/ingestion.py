@@ -56,13 +56,22 @@ class DataIngestionPipeline:
         self.reject_on_error = reject_on_error
 
     def ingest_symbol(self, symbol: str, start: date, end: date) -> IngestionResult:
+        from ..monitoring import metrics as _mt
+
         t0 = time.time()
         try:
             bars = self.provider.get_bars(symbol, start, end)
         except Exception as exc:  # noqa: BLE001 - per-symbol isolation
+            _mt.provider_requests.labels(
+                provider=self.provider.name, status="error").inc()
             return IngestionResult(
                 symbol, IngestionStatus.FAILED, errors=[str(exc)], elapsed_s=time.time() - t0
             )
+        # per-provider fetch breakdowns (reference metrics.py:389-417)
+        _mt.provider_latency.labels(
+            provider=self.provider.name).observe(time.time() - t0)
+        _mt.provider_requests.labels(
+            provider=self.provider.name, status="ok").inc()
         if not bars:
             return IngestionResult(symbol, IngestionStatus.SKIPPED, elapsed_s=time.time() - t0)
 
@@ -79,8 +88,6 @@ class DataIngestionPipeline:
         as_of = datetime.combine(end, datetime.min.time(), tzinfo=timezone.utc)
         report = self.validator.validate(frame, as_of=as_of)
         # per-provider data-quality exporters (reference metrics.py:389-417)
-        from ..monitoring import metrics as _mt
-
         for issue in report.issues:
             _mt.data_validation_failures.labels(
                 provider=self.provider.name, check=issue.check).inc()

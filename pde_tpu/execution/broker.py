@@ -218,6 +218,15 @@ class SimulatedBroker(BrokerGateway):
         self.account.buying_power = self.account.cash * self.margin_ratio
 
         self.fill_history.append(fill)
+        # submit-to-fill latency, per symbol and per venue (reference
+        # metrics.py:352-359 + the per-venue breakdown)
+        from ..monitoring import metrics as _mt
+
+        latency = max(
+            (fill.timestamp - order.created_at).total_seconds(), 0.0)
+        _mt.order_fill_latency.labels(symbol=order.symbol).observe(latency)
+        _mt.fill_latency_by_venue.labels(venue=fill.venue).observe(latency)
+        _mt.orders_total.labels(status="filled").inc()
         self._notify_fill(fill)
         return fill
 

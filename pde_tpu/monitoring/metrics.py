@@ -71,8 +71,11 @@ memory_usage_bytes = Gauge("qt_memory_usage_bytes", "Process resident memory", *
 disk_usage_percent = Gauge("qt_disk_usage_percent", "Data-volume disk usage percent", **_KW)
 process_uptime_seconds = Gauge("qt_process_uptime_seconds", "Seconds since process start", **_KW)
 thread_count = Gauge("qt_thread_count", "Live thread count", **_KW)
+memory_usage_percent = Gauge("qt_memory_usage_percent", "Process memory percent of system total", **_KW)
+open_file_descriptors = Gauge("qt_open_file_descriptors", "Open file descriptors", **_KW)
 
 # order lifecycle (:159-193)
+orders_total = Counter("qt_orders_total", "All order events by terminal status", ["status"], **_KW)
 orders_submitted = Counter("qt_orders_submitted_total", "Orders submitted", ["symbol", "side"], **_KW)
 orders_filled = Counter("qt_orders_filled_total", "Orders filled", ["symbol"], **_KW)
 orders_rejected = Counter("qt_orders_rejected_total", "Orders rejected", ["reason"], **_KW)
@@ -110,6 +113,7 @@ position_concentration = Gauge("qt_position_concentration", "Largest position / 
 signal_latency = Histogram("qt_signal_latency_seconds", "Signal generation latency", **_KW)
 order_latency = Histogram("qt_order_latency_seconds", "Order submission latency", **_KW)
 order_fill_latency = Histogram("qt_order_fill_latency_seconds", "Submit-to-fill latency", ["symbol"], **_KW)
+fill_latency_by_venue = Histogram("qt_fill_latency_by_venue_seconds", "Submit-to-fill latency per venue", ["venue"], **_KW)
 calibration_latency = Histogram("qt_calibration_latency_seconds", "Calibration wall time", ["model"], **_KW)
 data_ingestion_latency = Histogram("qt_data_ingestion_latency_seconds", "Ingestion latency", **_KW)
 api_latency = Histogram("qt_api_latency_seconds", "Data-service request latency", ["route"], **_KW)
@@ -120,6 +124,8 @@ data_gaps_detected = Counter("qt_data_gaps_detected_total", "Gaps found in bar s
 data_validation_failures = Counter("qt_data_validation_failures_total", "Validation failures by provider", ["provider", "check"], **_KW)
 data_age_seconds = Gauge("qt_data_age_seconds", "Age of the freshest record", ["symbol", "provider"], **_KW)
 data_completeness_percent = Gauge("qt_data_completeness_percent", "Received/expected records", ["symbol", "provider"], **_KW)
+provider_requests = Counter("qt_provider_requests_total", "Provider fetches by outcome", ["provider", "status"], **_KW)
+provider_latency = Histogram("qt_provider_latency_seconds", "Provider fetch latency", ["provider"], **_KW)
 
 # model / calibration (:422-440)
 calibration_rmse = Gauge("qt_calibration_rmse", "Latest calibration RMSE", ["model", "underlying"], **_KW)
@@ -203,3 +209,51 @@ class MetricsCollector:
         self._running = False
         if self._thread:
             self._thread.join(timeout=2.0)
+
+
+def register_system_sources(collector: MetricsCollector,
+                            data_path: str = "/") -> None:
+    """Wire the process/system gauges to stdlib sources (the reference
+    feeds these from psutil, metrics.py:527-620; /proc + resource + os
+    cover the same readings without the dependency)."""
+    import os
+    import resource
+
+    start = time.time()
+    page = os.sysconf("SC_PAGESIZE")
+
+    def rss_bytes() -> float:
+        with open("/proc/self/statm") as f:
+            return float(f.read().split()[1]) * page
+
+    def mem_percent() -> float:
+        total = os.sysconf("SC_PHYS_PAGES") * page
+        return 100.0 * rss_bytes() / total if total else 0.0
+
+    def cpu_percent() -> float:
+        # cumulative CPU time / wall time since start — a stable
+        # utilisation proxy without a sampling interval
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        wall = max(time.time() - start, 1e-9)
+        return 100.0 * (ru.ru_utime + ru.ru_stime) / wall
+
+    def fd_count() -> float:
+        try:
+            return float(len(os.listdir("/proc/self/fd")))
+        except OSError:
+            return 0.0
+
+    def disk_percent() -> float:
+        st = os.statvfs(data_path)
+        total = st.f_blocks * st.f_frsize
+        free = st.f_bavail * st.f_frsize
+        return 100.0 * (1.0 - free / total) if total else 0.0
+
+    collector.register(cpu_usage_percent, cpu_percent)
+    collector.register(memory_usage_bytes, rss_bytes)
+    collector.register(memory_usage_percent, mem_percent)
+    collector.register(open_file_descriptors, fd_count)
+    collector.register(disk_usage_percent, disk_percent)
+    collector.register(process_uptime_seconds, lambda: time.time() - start)
+    collector.register(thread_count,
+                       lambda: float(threading.active_count()))
