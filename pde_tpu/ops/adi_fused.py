@@ -244,7 +244,8 @@ def fused_douglas_march(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_spot", "n_vol", "n_time", "use_it", "interpret"),
+    static_argnames=("n_spot", "n_vol", "n_time", "use_it", "interpret",
+                     "unroll", "pcr_v"),
 )
 def fused_douglas_march_batched(
     pay,           # (nS, 1, B) per-option payoff profile on its own K-scaled grid
@@ -260,6 +261,8 @@ def fused_douglas_march_batched(
     n_time: int,
     use_it: bool = False,
     interpret: bool = False,
+    unroll: int = 1,
+    pcr_v: bool = False,
 ):
     """Douglas ADI march for a whole option BATCH inside one Pallas kernel,
     the batch riding the 128 VPU lanes.
@@ -288,6 +291,8 @@ def fused_douglas_march_batched(
     Reference counterpart: the per-option C++ solver loop around
     heston_pde.hpp:116-170; here the whole desk marches per kernel call.
     """
+    import math
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -297,6 +302,8 @@ def fused_douglas_march_batched(
     nb = B // BLK
     dtype = jnp.float32
     th = 0.5  # Douglas parameter
+    # PCR levels for the v-sweep (strides 1, 2, 4, ... until >= nv)
+    n_lev = max(1, math.ceil(math.log2(nv)))
 
     # i-axis masks as tiny inputs ((nS, 1, 1) f32) — avoids 3D iota in-kernel
     ar = jnp.arange(nS, dtype=dtype)[:, None, None]
@@ -306,14 +313,18 @@ def fused_douglas_march_batched(
     aj = jnp.arange(nv, dtype=dtype)[None, :, None]
     mj0 = (aj == 0).astype(dtype)
     mjN = (aj == nv - 1).astype(dtype)
+    jidx = aj  # (1, nv, 1) j indices: builds PCR pad-region masks in-kernel
 
     def kernel(pay_ref, sg_ref, a1_ref, i1_ref, a2_ref, i2_ref, mix_ref,
-               sc_ref, m0_ref, mN_ref, mi_ref, mj0_ref, mjN_ref,
+               sc_ref, m0_ref, mN_ref, mi_ref, mj0_ref, mjN_ref, jidx_ref,
                out_ref, *scratch):
         if use_it:
-            V_scr, d_scr, c1_scr, inv1_scr, c2_scr, inv2_scr, lam_scr = scratch
+            *rest, lam_scr = scratch
         else:
-            V_scr, d_scr, c1_scr, inv1_scr, c2_scr, inv2_scr = scratch
+            rest = scratch
+        # slot 5/6: (c2, inv2) Thomas factors, or (alpha/beta stack, 1/d)
+        # PCR level coefficients — same positions, mode-dependent meaning
+        V_scr, d_scr, c1_scr, inv1_scr, s2a_scr, s2b_scr = rest
         dt = sc_ref[0:1, :, :]      # (1, 1, B)
         r = sc_ref[1:2, :, :]
         q = sc_ref[2:3, :, :]
@@ -361,8 +372,8 @@ def fused_douglas_march_batched(
                    - sh_dn0(sh_up1(V)) + sh_dn0(sh_dn1(V)))
             return mi_ * (mix * Vxv)
 
-        # both implicit operators are time-independent: Thomas-factorize
-        # ONCE before the march; the per-step chains are then mul/fma-only.
+        # both implicit operators are time-independent: factorize ONCE
+        # before the march; the per-step chains are then mul/fma-only.
         # S system: row 0 and row nS-1 are identity (c = 0, inv = 1).
         c1_scr[0:1, :, :] = jnp.zeros((1, nv, BLK), dtype)
         inv1_scr[0:1, :, :] = jnp.ones((1, nv, BLK), dtype)
@@ -377,23 +388,61 @@ def fused_douglas_march_batched(
             inv1_scr[pl.ds(i, 1), :, :] = inv
             return 0
 
-        jax.lax.fori_loop(1, nS, fac1, 0, unroll=False)
+        jax.lax.fori_loop(1, nS, fac1, 0, unroll=unroll)
 
-        # v system: coefficients depend on (j, option) only — (1, nv, B)
-        c2_scr[:, 0:1, :] = i2_ref[2:3, 0:1, :] / i2_ref[1:2, 0:1, :]
-        inv2_scr[:, 0:1, :] = 1.0 / i2_ref[1:2, 0:1, :]
+        # shifts along the sublane (j) axis with a static stride, for PCR
+        def sh_dn1s(x, s):  # x[:, j-s, :]; zero where j < s
+            return jnp.pad(x[:, :-s, :], ((0, 0), (s, 0), (0, 0)))
 
-        def fac2(j, _):
-            lj = i2_ref[0:1, pl.ds(j, 1), :]
-            inv = 1.0 / (
-                i2_ref[1:2, pl.ds(j, 1), :]
-                - lj * c2_scr[:, pl.ds(j - 1, 1), :]
-            )
-            c2_scr[:, pl.ds(j, 1), :] = i2_ref[2:3, pl.ds(j, 1), :] * inv
-            inv2_scr[:, pl.ds(j, 1), :] = inv
-            return 0
+        def sh_up1s(x, s):  # x[:, j+s, :]; zero where j >= nv-s
+            return jnp.pad(x[:, s:, :], ((0, 0), (0, s), (0, 0)))
 
-        jax.lax.fori_loop(1, nv, fac2, 0, unroll=False)
+        if pcr_v:
+            # v system via PARALLEL CYCLIC REDUCTION: the serial-in-j
+            # Thomas sweep walks (nS, 1, B) slices — one sublane of eight
+            # live per vector op — while PCR runs log2(nv) levels of
+            # FULL-ARRAY shifted fmas.  The level coefficients
+            # (alpha, beta) and the final diagonal depend only on the
+            # bands, which are time-independent, so they precompute once
+            # here; each march step then reduces the rhs with 2 fmas per
+            # level and one multiply by 1/d.
+            jj1 = jidx_ref[:, :, :]                      # (1, nv, 1)
+            lv = i2_ref[0:1, :, :]
+            dv = i2_ref[1:2, :, :]
+            uv = i2_ref[2:3, :, :]
+            for lev in range(n_lev):
+                s = 1 << lev
+                in_lo = (jj1 >= s).astype(dtype)         # j-s exists
+                in_hi = (jj1 < nv - s).astype(dtype)     # j+s exists
+                d_dn = sh_dn1s(dv, s) + (1.0 - in_lo)    # pad d with 1
+                d_up = sh_up1s(dv, s) + (1.0 - in_hi)
+                alpha = -(lv * in_lo) / d_dn
+                beta = -(uv * in_hi) / d_up
+                s2a_scr[2 * lev:2 * lev + 1, :, :] = alpha
+                s2a_scr[2 * lev + 1:2 * lev + 2, :, :] = beta
+                lv, uv, dv = (
+                    alpha * sh_dn1s(lv, s),
+                    beta * sh_up1s(uv, s),
+                    dv + alpha * sh_dn1s(uv, s) + beta * sh_up1s(lv, s),
+                )
+            s2b_scr[:, :, :] = 1.0 / dv
+        else:
+            # v system Thomas factors: coefficients depend on (j, option)
+            # only — (1, nv, B)
+            s2a_scr[:, 0:1, :] = i2_ref[2:3, 0:1, :] / i2_ref[1:2, 0:1, :]
+            s2b_scr[:, 0:1, :] = 1.0 / i2_ref[1:2, 0:1, :]
+
+            def fac2(j, _):
+                lj = i2_ref[0:1, pl.ds(j, 1), :]
+                inv = 1.0 / (
+                    i2_ref[1:2, pl.ds(j, 1), :]
+                    - lj * s2a_scr[:, pl.ds(j - 1, 1), :]
+                )
+                s2a_scr[:, pl.ds(j, 1), :] = i2_ref[2:3, pl.ds(j, 1), :] * inv
+                s2b_scr[:, pl.ds(j, 1), :] = inv
+                return 0
+
+            jax.lax.fori_loop(1, nv, fac2, 0, unroll=unroll)
 
         def body(step, _):
             V = V_scr[:, :, :]
@@ -418,7 +467,7 @@ def fused_douglas_march_batched(
                 ) * inv1_scr[pl.ds(i, 1), :, :]
                 return 0
 
-            jax.lax.fori_loop(1, nS, fwd1, 0, unroll=False)
+            jax.lax.fori_loop(1, nS, fwd1, 0, unroll=unroll)
             out_ref[pl.ds(nS - 1, 1), :, :] = d_scr[pl.ds(nS - 1, 1), :, :]
 
             def bwd1(k, _):
@@ -429,35 +478,49 @@ def fused_douglas_march_batched(
                 )
                 return 0
 
-            jax.lax.fori_loop(0, nS - 1, bwd1, 0, unroll=False)
+            jax.lax.fori_loop(0, nS - 1, bwd1, 0, unroll=unroll)
 
             # rhs2 = Y1 - th dt A2 V
             out_ref[:, :, :] = out_ref[:, :, :] - (th * dt) * apply_a2(V)
 
-            # implicit v sweep (Thomas along the sublane dim; the j = nv-1
-            # identity row and the j = 0 one-sided row are baked into i2)
-            d_scr[:, 0:1, :] = out_ref[:, 0:1, :] * inv2_scr[:, 0:1, :]
+            if pcr_v:
+                # v solve: log2(nv) full-array shifted-fma reductions with
+                # the precomputed level coefficients, then one multiply
+                rr = out_ref[:, :, :]
+                for lev in range(n_lev):
+                    s = 1 << lev
+                    alpha = s2a_scr[2 * lev:2 * lev + 1, :, :]
+                    beta = s2a_scr[2 * lev + 1:2 * lev + 2, :, :]
+                    rr = (rr + alpha * sh_dn1s(rr, s)
+                          + beta * sh_up1s(rr, s))
+                out_ref[:, :, :] = rr * s2b_scr[:, :, :]
+            else:
+                # implicit v sweep (Thomas along the sublane dim; the
+                # j = nv-1 identity row and the j = 0 one-sided row are
+                # baked into i2)
+                d_scr[:, 0:1, :] = out_ref[:, 0:1, :] * s2b_scr[:, 0:1, :]
 
-            def fwd2(j, _):
-                lj = i2_ref[0:1, pl.ds(j, 1), :]          # (1, 1, B)
-                d_scr[:, pl.ds(j, 1), :] = (
-                    out_ref[:, pl.ds(j, 1), :]
-                    - lj * d_scr[:, pl.ds(j - 1, 1), :]
-                ) * inv2_scr[:, pl.ds(j, 1), :]
-                return 0
+                def fwd2(j, _):
+                    lj = i2_ref[0:1, pl.ds(j, 1), :]      # (1, 1, B)
+                    d_scr[:, pl.ds(j, 1), :] = (
+                        out_ref[:, pl.ds(j, 1), :]
+                        - lj * d_scr[:, pl.ds(j - 1, 1), :]
+                    ) * s2b_scr[:, pl.ds(j, 1), :]
+                    return 0
 
-            jax.lax.fori_loop(1, nv, fwd2, 0, unroll=False)
-            out_ref[:, pl.ds(nv - 1, 1), :] = d_scr[:, pl.ds(nv - 1, 1), :]
+                jax.lax.fori_loop(1, nv, fwd2, 0, unroll=unroll)
+                out_ref[:, pl.ds(nv - 1, 1), :] = d_scr[:, pl.ds(nv - 1, 1), :]
 
-            def bwd2(k, _):
-                j = nv - 2 - k
-                out_ref[:, pl.ds(j, 1), :] = (
-                    d_scr[:, pl.ds(j, 1), :]
-                    - c2_scr[:, pl.ds(j, 1), :] * out_ref[:, pl.ds(j + 1, 1), :]
-                )
-                return 0
+                def bwd2(k, _):
+                    j = nv - 2 - k
+                    out_ref[:, pl.ds(j, 1), :] = (
+                        d_scr[:, pl.ds(j, 1), :]
+                        - s2a_scr[:, pl.ds(j, 1), :]
+                        * out_ref[:, pl.ds(j + 1, 1), :]
+                    )
+                    return 0
 
-            jax.lax.fori_loop(0, nv - 1, bwd2, 0, unroll=False)
+                jax.lax.fori_loop(0, nv - 1, bwd2, 0, unroll=unroll)
             Vn = out_ref[:, :, :]
 
             if use_it:
@@ -502,9 +565,11 @@ def fused_douglas_march_batched(
     full = lambda shape: pl.BlockSpec(
         shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM
     )
+    s2a_rows = 2 * n_lev if pcr_v else 1
     scratch = (
         [pltpu.VMEM((nS, nv, BLK), dtype)] * 4          # V, d, c1, inv1
-        + [pltpu.VMEM((1, nv, BLK), dtype)] * 2         # c2, inv2
+        + [pltpu.VMEM((s2a_rows, nv, BLK), dtype),      # c2 | PCR alpha/beta
+           pltpu.VMEM((1, nv, BLK), dtype)]             # inv2 | PCR 1/d
         + ([pltpu.VMEM((nS, nv, BLK), dtype)] if use_it else [])  # lam
     )
     call = pl.pallas_call(
@@ -513,7 +578,7 @@ def fused_douglas_march_batched(
         out_shape=jax.ShapeDtypeStruct((nS, nv, B), dtype),
         in_specs=[lane((nS, 1, B))] * 2 + [lane((3, nv, B))] * 4
                  + [lane((1, nv, B)), lane((8, 1, B))]
-                 + [full((nS, 1, 1))] * 3 + [full((1, nv, 1))] * 2,
+                 + [full((nS, 1, 1))] * 3 + [full((1, nv, 1))] * 3,
         out_specs=lane((nS, nv, B)),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -522,4 +587,4 @@ def fused_douglas_march_batched(
         interpret=interpret,
     )
     args = [a.astype(dtype) for a in (pay, sg, a1b, i1b, a2b, i2b, mixb, sc)]
-    return call(*args, m0, mN, mi, mj0, mjN)
+    return call(*args, m0, mN, mi, mj0, mjN, jidx)

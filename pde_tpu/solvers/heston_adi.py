@@ -602,12 +602,13 @@ def _broadcast_batch(kappa, theta, sigma, rho, v0, r, q, T, K, is_call,
     jax.jit,
     static_argnames=(
         "use_it", "n_spot", "n_vol", "n_time",
-        "s_min_mult", "s_max_mult", "v_max", "interpret",
+        "s_min_mult", "s_max_mult", "v_max", "interpret", "unroll", "pcr_v",
     ),
 )
 def _fused_batch_impl(
     kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0, american,
     use_it, n_spot, n_vol, n_time, s_min_mult, s_max_mult, v_max, interpret,
+    unroll, pcr_v,
 ):
     from ..ops.adi_fused import fused_douglas_march_batched
     import math
@@ -690,6 +691,7 @@ def _fused_batch_impl(
         padl(a1), padl(i1), padl(a2), padl(i2),
         padl(mix[None, :, :]), padl(sc[:, None, :]),
         n_spot=nS, n_vol=nv, n_time=nT, use_it=use_it, interpret=interpret,
+        unroll=unroll, pcr_v=pcr_v,
     )[:, :, :B]                                       # (nS, nv, B)
 
     # price + Greeks per option, on its own grid (same extraction as
@@ -733,6 +735,8 @@ def solve_fused_batch(
     s_max_mult: float = 5.0,
     v_max: float = 1.0,
     interpret: bool = False,
+    unroll: int = 1,
+    pcr_v: bool = False,
 ) -> HestonPDEResult:
     """Batch PDE pricing through the lane-batched fused Pallas march.
 
@@ -766,7 +770,7 @@ def solve_fused_batch(
     return _fused_batch_impl(
         kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0, american,
         use_it, n_spot, n_vol, n_time, s_min_mult, s_max_mult, v_max,
-        interpret,
+        interpret, unroll, pcr_v,
     )
 
 

@@ -32,7 +32,7 @@ def test_bench_headline_smoke_emits_flagship_rows_then_headline():
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, cwd=REPO, capture_output=True, text=True, timeout=900,
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1800,
     )
     assert proc.returncode == 0, f"bench smoke failed:\n{proc.stderr[-4000:]}"
     rows = [json.loads(line) for line in proc.stdout.splitlines() if line.strip()]
@@ -64,7 +64,7 @@ def test_bench_full_smoke_traces_every_section():
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench_full.py")],
-        env=env, cwd=REPO, capture_output=True, text=True, timeout=900,
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1800,
     )
     assert proc.returncode == 0, f"bench_full smoke failed:\n{proc.stderr[-4000:]}"
     rows = [json.loads(line) for line in proc.stdout.splitlines() if line.strip()]

@@ -285,6 +285,29 @@ class TestHestonADI:
             np.asarray(batch.price), np.asarray(ref.price), atol=5e-4
         )
 
+    def test_solve_fused_batch_sweep_variants_agree(self):
+        """The batch-ceiling kernel variants (unrolled sweep loops; PCR
+        v-solve with precomputed level coefficients) must reproduce the
+        baseline serial-Thomas march — mixed calls/puts and Eu/Am
+        (benchmarks/adi_ceiling_experiment.py measures their speed on
+        the chip; this pins their math)."""
+        kw = dict(n_spot=32, n_vol=16, n_time=8, interpret=True)
+        K = np.array([90.0, 100.0, 110.0, 100.0])
+        T = np.array([0.5, 1.0, 1.5, 1.0])
+        is_call = np.array([1.0, 0.0, 1.0, 0.0])
+        amer = np.array([0.0, 1.0, 0.0, 1.0])
+        base = heston_adi.solve_fused_batch(
+            2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, T, K, is_call, 100.0,
+            american=amer, **kw)
+        for extra in (dict(unroll=4), dict(pcr_v=True),
+                      dict(pcr_v=True, unroll=8)):
+            var = heston_adi.solve_fused_batch(
+                2.0, 0.04, 0.3, -0.7, 0.04, 0.05, 0.02, T, K, is_call,
+                100.0, american=amer, **kw, **extra)
+            np.testing.assert_allclose(
+                np.asarray(var.price), np.asarray(base.price),
+                rtol=2e-5, atol=2e-5, err_msg=str(extra))
+
     def test_solve_fused_batch_rejects_unknown_american_method(self):
         with pytest.raises(ValueError):
             heston_adi.solve_fused_batch(
