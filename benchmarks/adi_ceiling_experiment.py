@@ -75,12 +75,14 @@ def main():
     base_prices, per0 = run("baseline")
     rows = [("baseline_thomas_unroll1", per0, 0.0, dict())]
     variants = [
-        ("thomas_unroll2", dict(unroll=2)),
-        ("thomas_unroll4", dict(unroll=4)),
-        ("thomas_unroll8", dict(unroll=8)),
+        # Mosaic fori_loop supports only unroll=1 or FULL unroll (True)
+        ("thomas_unroll_full", dict(unroll=True)),
         ("pcr_v_unroll1", dict(pcr_v=True)),
-        ("pcr_v_unroll4", dict(pcr_v=True, unroll=4)),
-        ("pcr_v_unroll8", dict(pcr_v=True, unroll=8)),
+        ("pcr_v_sweep_unroll_full", dict(pcr_v=True, unroll=True)),
+        ("pcr_both", dict(pcr_v=True, pcr_s=True)),
+        # repeats to separate variant effects from tunnel-state drift
+        ("thomas_unroll_full_rep", dict(unroll=True)),
+        ("pcr_v_unroll1_rep", dict(pcr_v=True)),
     ]
     for label, kw in variants:
         try:

@@ -245,7 +245,7 @@ def fused_douglas_march(
 @functools.partial(
     jax.jit,
     static_argnames=("n_spot", "n_vol", "n_time", "use_it", "interpret",
-                     "unroll", "pcr_v"),
+                     "unroll", "pcr_v", "pcr_s"),
 )
 def fused_douglas_march_batched(
     pay,           # (nS, 1, B) per-option payoff profile on its own K-scaled grid
@@ -261,8 +261,9 @@ def fused_douglas_march_batched(
     n_time: int,
     use_it: bool = False,
     interpret: bool = False,
-    unroll: int = 1,
+    unroll=True,
     pcr_v: bool = False,
+    pcr_s: bool = False,
 ):
     """Douglas ADI march for a whole option BATCH inside one Pallas kernel,
     the batch riding the 128 VPU lanes.
@@ -302,8 +303,10 @@ def fused_douglas_march_batched(
     nb = B // BLK
     dtype = jnp.float32
     th = 0.5  # Douglas parameter
-    # PCR levels for the v-sweep (strides 1, 2, 4, ... until >= nv)
+    # PCR levels (strides 1, 2, 4, ... until >= the sweep length);
+    # Mosaic fori_loop supports only unroll=1 or FULL unroll (True)
     n_lev = max(1, math.ceil(math.log2(nv)))
+    n_lev_s = max(1, math.ceil(math.log2(nS)))
 
     # i-axis masks as tiny inputs ((nS, 1, 1) f32) — avoids 3D iota in-kernel
     ar = jnp.arange(nS, dtype=dtype)[:, None, None]
@@ -317,11 +320,13 @@ def fused_douglas_march_batched(
 
     def kernel(pay_ref, sg_ref, a1_ref, i1_ref, a2_ref, i2_ref, mix_ref,
                sc_ref, m0_ref, mN_ref, mi_ref, mj0_ref, mjN_ref, jidx_ref,
-               out_ref, *scratch):
+               iidx_ref, out_ref, *scratch):
         if use_it:
             *rest, lam_scr = scratch
         else:
             rest = scratch
+        if pcr_s:
+            *rest, sab_scr, sinvd_scr = rest
         # slot 5/6: (c2, inv2) Thomas factors, or (alpha/beta stack, 1/d)
         # PCR level coefficients — same positions, mode-dependent meaning
         V_scr, d_scr, c1_scr, inv1_scr, s2a_scr, s2b_scr = rest
@@ -372,30 +377,63 @@ def fused_douglas_march_batched(
                    - sh_dn0(sh_up1(V)) + sh_dn0(sh_dn1(V)))
             return mi_ * (mix * Vxv)
 
-        # both implicit operators are time-independent: factorize ONCE
-        # before the march; the per-step chains are then mul/fma-only.
-        # S system: row 0 and row nS-1 are identity (c = 0, inv = 1).
-        c1_scr[0:1, :, :] = jnp.zeros((1, nv, BLK), dtype)
-        inv1_scr[0:1, :, :] = jnp.ones((1, nv, BLK), dtype)
-
-        def fac1(i, _):
-            nl = (i < nS - 1).astype(dtype)  # 0 at the last (identity) row
-            li = i1L * nl
-            dg = i1D * nl + (1.0 - nl)
-            ui = i1U * nl
-            inv = 1.0 / (dg - li * c1_scr[pl.ds(i - 1, 1), :, :])
-            c1_scr[pl.ds(i, 1), :, :] = ui * inv
-            inv1_scr[pl.ds(i, 1), :, :] = inv
-            return 0
-
-        jax.lax.fori_loop(1, nS, fac1, 0, unroll=unroll)
-
-        # shifts along the sublane (j) axis with a static stride, for PCR
+        # shifts along the sublane (j) / outer (i) axes with a static
+        # stride, for PCR
         def sh_dn1s(x, s):  # x[:, j-s, :]; zero where j < s
             return jnp.pad(x[:, :-s, :], ((0, 0), (s, 0), (0, 0)))
 
         def sh_up1s(x, s):  # x[:, j+s, :]; zero where j >= nv-s
             return jnp.pad(x[:, s:, :], ((0, 0), (0, s), (0, 0)))
+
+        def sh_dn0s(x, s):  # x[i-s, :, :]; zero where i < s
+            return jnp.pad(x[:-s], ((s, 0), (0, 0), (0, 0)))
+
+        def sh_up0s(x, s):  # x[i+s, :, :]; zero where i >= nS-s
+            return jnp.pad(x[s:], ((0, s), (0, 0), (0, 0)))
+
+        # both implicit operators are time-independent: factorize ONCE
+        # before the march; the per-step chains are then mul/fma-only.
+        if pcr_s:
+            # S system via PCR on the outer axis: full (nS, nv, B) level
+            # coefficients (boundary identity rows couple in, so unlike
+            # the v bands they do not stay i-independent across levels)
+            ii1 = iidx_ref[:, :, :]                      # (nS, 1, 1)
+            ls = i1L * mi_
+            ds = i1D * mi_ + (1.0 - mi_)
+            us = i1U * mi_
+            for lev in range(n_lev_s):
+                s = 1 << lev
+                in_lo = (ii1 >= s).astype(dtype)
+                in_hi = (ii1 < nS - s).astype(dtype)
+                d_dn = sh_dn0s(ds, s) + (1.0 - in_lo)
+                d_up = sh_up0s(ds, s) + (1.0 - in_hi)
+                alpha = -(ls * in_lo) / d_dn
+                beta = -(us * in_hi) / d_up
+                sab_scr[(2 * lev) * nS:(2 * lev + 1) * nS, :, :] = alpha
+                sab_scr[(2 * lev + 1) * nS:(2 * lev + 2) * nS, :, :] = beta
+                ls, us, ds = (
+                    alpha * sh_dn0s(ls, s),
+                    beta * sh_up0s(us, s),
+                    ds + alpha * sh_dn0s(us, s) + beta * sh_up0s(ls, s),
+                )
+            sinvd_scr[:, :, :] = 1.0 / ds
+        else:
+            # S system Thomas factors: row 0 and nS-1 are identity
+            # (c = 0, inv = 1)
+            c1_scr[0:1, :, :] = jnp.zeros((1, nv, BLK), dtype)
+            inv1_scr[0:1, :, :] = jnp.ones((1, nv, BLK), dtype)
+
+            def fac1(i, _):
+                nl = (i < nS - 1).astype(dtype)  # 0 at the last row
+                li = i1L * nl
+                dg = i1D * nl + (1.0 - nl)
+                ui = i1U * nl
+                inv = 1.0 / (dg - li * c1_scr[pl.ds(i - 1, 1), :, :])
+                c1_scr[pl.ds(i, 1), :, :] = ui * inv
+                inv1_scr[pl.ds(i, 1), :, :] = inv
+                return 0
+
+            jax.lax.fori_loop(1, nS, fac1, 0, unroll=unroll)
 
         if pcr_v:
             # v system via PARALLEL CYCLIC REDUCTION: the serial-in-j
@@ -454,31 +492,43 @@ def fused_douglas_march_batched(
                 acc = acc + dt * lam_scr[:, :, :]
             out_ref[:, :, :] = acc
 
-            # implicit S sweep (Thomas along the outer dim; row 0 identity:
-            # inv = 1, li = 0 make d[0] = rhs[0])
-            d_scr[0:1, :, :] = out_ref[0:1, :, :]
+            if pcr_s:
+                # S solve: log2(nS) full-array shifted-fma reductions
+                rr = out_ref[:, :, :]
+                for lev in range(n_lev_s):
+                    s = 1 << lev
+                    alpha = sab_scr[(2 * lev) * nS:(2 * lev + 1) * nS, :, :]
+                    beta = sab_scr[(2 * lev + 1) * nS:(2 * lev + 2) * nS, :, :]
+                    rr = (rr + alpha * sh_dn0s(rr, s)
+                          + beta * sh_up0s(rr, s))
+                out_ref[:, :, :] = rr * sinvd_scr[:, :, :]
+            else:
+                # implicit S sweep (Thomas along the outer dim; row 0
+                # identity: inv = 1, li = 0 make d[0] = rhs[0])
+                d_scr[0:1, :, :] = out_ref[0:1, :, :]
 
-            def fwd1(i, _):
-                nl = (i < nS - 1).astype(dtype)
-                li = i1L * nl
-                d_scr[pl.ds(i, 1), :, :] = (
-                    out_ref[pl.ds(i, 1), :, :]
-                    - li * d_scr[pl.ds(i - 1, 1), :, :]
-                ) * inv1_scr[pl.ds(i, 1), :, :]
-                return 0
+                def fwd1(i, _):
+                    nl = (i < nS - 1).astype(dtype)
+                    li = i1L * nl
+                    d_scr[pl.ds(i, 1), :, :] = (
+                        out_ref[pl.ds(i, 1), :, :]
+                        - li * d_scr[pl.ds(i - 1, 1), :, :]
+                    ) * inv1_scr[pl.ds(i, 1), :, :]
+                    return 0
 
-            jax.lax.fori_loop(1, nS, fwd1, 0, unroll=unroll)
-            out_ref[pl.ds(nS - 1, 1), :, :] = d_scr[pl.ds(nS - 1, 1), :, :]
+                jax.lax.fori_loop(1, nS, fwd1, 0, unroll=unroll)
+                out_ref[pl.ds(nS - 1, 1), :, :] = d_scr[pl.ds(nS - 1, 1), :, :]
 
-            def bwd1(k, _):
-                i = nS - 2 - k
-                out_ref[pl.ds(i, 1), :, :] = (
-                    d_scr[pl.ds(i, 1), :, :]
-                    - c1_scr[pl.ds(i, 1), :, :] * out_ref[pl.ds(i + 1, 1), :, :]
-                )
-                return 0
+                def bwd1(k, _):
+                    i = nS - 2 - k
+                    out_ref[pl.ds(i, 1), :, :] = (
+                        d_scr[pl.ds(i, 1), :, :]
+                        - c1_scr[pl.ds(i, 1), :, :]
+                        * out_ref[pl.ds(i + 1, 1), :, :]
+                    )
+                    return 0
 
-            jax.lax.fori_loop(0, nS - 1, bwd1, 0, unroll=unroll)
+                jax.lax.fori_loop(0, nS - 1, bwd1, 0, unroll=unroll)
 
             # rhs2 = Y1 - th dt A2 V
             out_ref[:, :, :] = out_ref[:, :, :] - (th * dt) * apply_a2(V)
@@ -570,6 +620,9 @@ def fused_douglas_march_batched(
         [pltpu.VMEM((nS, nv, BLK), dtype)] * 4          # V, d, c1, inv1
         + [pltpu.VMEM((s2a_rows, nv, BLK), dtype),      # c2 | PCR alpha/beta
            pltpu.VMEM((1, nv, BLK), dtype)]             # inv2 | PCR 1/d
+        + ([pltpu.VMEM((2 * n_lev_s * nS, nv, BLK), dtype),  # S-PCR a/b
+            pltpu.VMEM((nS, nv, BLK), dtype)]                # S-PCR 1/d
+           if pcr_s else [])
         + ([pltpu.VMEM((nS, nv, BLK), dtype)] if use_it else [])  # lam
     )
     call = pl.pallas_call(
@@ -578,7 +631,8 @@ def fused_douglas_march_batched(
         out_shape=jax.ShapeDtypeStruct((nS, nv, B), dtype),
         in_specs=[lane((nS, 1, B))] * 2 + [lane((3, nv, B))] * 4
                  + [lane((1, nv, B)), lane((8, 1, B))]
-                 + [full((nS, 1, 1))] * 3 + [full((1, nv, 1))] * 3,
+                 + [full((nS, 1, 1))] * 3 + [full((1, nv, 1))] * 3
+                 + [full((nS, 1, 1))],
         out_specs=lane((nS, nv, B)),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -587,4 +641,4 @@ def fused_douglas_march_batched(
         interpret=interpret,
     )
     args = [a.astype(dtype) for a in (pay, sg, a1b, i1b, a2b, i2b, mixb, sc)]
-    return call(*args, m0, mN, mi, mj0, mjN, jidx)
+    return call(*args, m0, mN, mi, mj0, mjN, jidx, ar)

@@ -602,13 +602,13 @@ def _broadcast_batch(kappa, theta, sigma, rho, v0, r, q, T, K, is_call,
     jax.jit,
     static_argnames=(
         "use_it", "n_spot", "n_vol", "n_time",
-        "s_min_mult", "s_max_mult", "v_max", "interpret", "unroll", "pcr_v",
+        "s_min_mult", "s_max_mult", "v_max", "interpret", "unroll", "pcr_v", "pcr_s",
     ),
 )
 def _fused_batch_impl(
     kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0, american,
     use_it, n_spot, n_vol, n_time, s_min_mult, s_max_mult, v_max, interpret,
-    unroll, pcr_v,
+    unroll, pcr_v, pcr_s,
 ):
     from ..ops.adi_fused import fused_douglas_march_batched
     import math
@@ -691,7 +691,7 @@ def _fused_batch_impl(
         padl(a1), padl(i1), padl(a2), padl(i2),
         padl(mix[None, :, :]), padl(sc[:, None, :]),
         n_spot=nS, n_vol=nv, n_time=nT, use_it=use_it, interpret=interpret,
-        unroll=unroll, pcr_v=pcr_v,
+        unroll=unroll, pcr_v=pcr_v, pcr_s=pcr_s,
     )[:, :, :B]                                       # (nS, nv, B)
 
     # price + Greeks per option, on its own grid (same extraction as
@@ -735,8 +735,9 @@ def solve_fused_batch(
     s_max_mult: float = 5.0,
     v_max: float = 1.0,
     interpret: bool = False,
-    unroll: int = 1,
+    unroll=True,
     pcr_v: bool = False,
+    pcr_s: bool = False,
 ) -> HestonPDEResult:
     """Batch PDE pricing through the lane-batched fused Pallas march.
 
@@ -752,6 +753,17 @@ def solve_fused_batch(
     Greeks: delta/gamma/vega/theta from the grid as in the reference
     (heston_pde.hpp:520-559) and :func:`solve_batch`; use :func:`greeks_ad`
     for exact adjoint sensitivities to the model parameters.
+
+    Sweep variants (the round-5 batch-ceiling investigation,
+    docs/performance.md "Lifting the fused-ADI batch ceiling"):
+    ``unroll=True`` (default) fully unrolls the Thomas sweep loops —
+    Mosaic supports only unroll=1 or full unroll — removing the
+    per-iteration loop overhead that dominated the march (bit-exact,
+    ~1.4x measured within-run); ``pcr_v=True`` replaces the serial
+    v-sweep with parallel cyclic reduction (full-tile shifted fmas,
+    ~1e-5 relative difference), and ``pcr_s=True`` does the same for
+    the S-sweep — both measured slightly behind the unrolled Thomas on
+    v5e but kept as options for other grid shapes.
     """
     if american_method not in ("projection", "it_lcp"):
         raise ValueError(
@@ -770,7 +782,7 @@ def solve_fused_batch(
     return _fused_batch_impl(
         kappa, theta, sigma, rho, v0, r, q, T, K, is_call, S0, american,
         use_it, n_spot, n_vol, n_time, s_min_mult, s_max_mult, v_max,
-        interpret, unroll, pcr_v,
+        interpret, unroll, pcr_v, pcr_s,
     )
 
 
