@@ -15,6 +15,8 @@ the reference has no rates models at all.
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass
 from typing import Sequence
 
@@ -41,6 +43,22 @@ class G2CalibrationResult:
     max_rel_error: float
     converged: bool
     n_iter: int
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("payer", "n_gh", "max_iter"))
+def _fit_g2_swaptions_jit(x0, lower, upper, curve, expiries, pay_times,
+                          strikes, quotes, *, payer, n_gh, max_iter):
+    def resid(v):
+        p = G2Params(v[0], v[1], v[2], v[3], v[4], curve)
+        model = jnp.stack([
+            g2_mod.g2_swaption(p, k, e, pt, payer=payer, n_gh=n_gh)
+            for e, pt, k in zip(expiries, pay_times, strikes)
+        ])
+        return (model - quotes) / jnp.maximum(quotes, 1e-12)
+
+    res = levenberg_marquardt(resid, x0, lower, upper, max_iter=max_iter)
+    return res, resid(res.x)
 
 
 class G2Calibrator:
@@ -71,30 +89,21 @@ class G2Calibrator:
         payer: bool = True,
         x0=None,
     ) -> G2CalibrationResult:
-        expiries = [jnp.asarray(e) for e in expiries]
-        pay_times = [jnp.asarray(pt) for pt in pay_times]
-        strikes = [jnp.asarray(k) for k in strikes]
+        expiries = tuple(jnp.asarray(e) for e in expiries)
+        pay_times = tuple(jnp.asarray(pt) for pt in pay_times)
+        strikes = tuple(jnp.asarray(k) for k in strikes)
         quotes = jnp.asarray(quotes)
-        n_gh = self.n_gh
-
-        def resid(v):
-            p = G2Params(v[0], v[1], v[2], v[3], v[4], curve)
-            model = jnp.stack([
-                g2_mod.g2_swaption(p, k, e, pt, payer=payer, n_gh=n_gh)
-                for e, pt, k in zip(expiries, pay_times, strikes)
-            ])
-            return (model - quotes) / jnp.maximum(quotes, 1e-12)
-
         dtype = quotes.dtype
-        fit = jax.jit(
-            lambda v: levenberg_marquardt(
-                resid, v,
-                jnp.asarray(_LOWER, dtype), jnp.asarray(_UPPER, dtype),
-                max_iter=self.max_iter)
-        )
-        # x0 warm-starts from a previous fit (orchestrator convention)
-        res = fit(jnp.asarray(self.x0 if x0 is None else tuple(x0), dtype))
-        r = np.asarray(resid(res.x))
+        # x0 warm-starts from a previous fit (orchestrator convention);
+        # the module-level jitted fit reuses the compiled LM across calls
+        # with the same panel shape (the daily-orchestrator pattern) and
+        # returns the final residuals from INSIDE the program
+        res, r = _fit_g2_swaptions_jit(
+            jnp.asarray(self.x0 if x0 is None else tuple(x0), dtype),
+            jnp.asarray(_LOWER, dtype), jnp.asarray(_UPPER, dtype),
+            curve, expiries, pay_times, strikes, quotes,
+            payer=bool(payer), n_gh=self.n_gh, max_iter=self.max_iter)
+        r = np.asarray(r)
         params = G2Params(*(jnp.asarray(res.x[i]) for i in range(5)),
                           curve)
         return G2CalibrationResult(

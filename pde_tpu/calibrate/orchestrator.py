@@ -67,9 +67,11 @@ class CalibrationConfig:
     min_r_squared: float = 0.5
     # rates/credit quality gates: relative price error on the instrument
     # strip (HW/G2), and the bootstrap's reprice round-trip error (credit,
-    # exact by construction — the gate catches non-finite/negative hazards)
+    # exact by construction — the gate catches non-finite/negative
+    # hazards).  None = dtype-aware default: 1e-6 under float64, 5e-4
+    # under the float32 TPU path (Newton exactness is precision-bound)
     max_rates_rel_error: float = 0.05
-    max_credit_roundtrip_error: float = 1e-6
+    max_credit_roundtrip_error: Optional[float] = None
     risk_free_rate: float = 0.05
     dividend_yield: float = 0.0
 
@@ -507,16 +509,19 @@ class CalibrationOrchestrator:
         t0 = _time.time()
         hc, hazards = credit_mod.bootstrap_hazard(
             curve, pillars, spreads, recovery=recovery)
-        reprice = np.asarray([
-            float(credit_mod.cds_par_spread(
-                curve, hc, float(t), recovery=recovery))
-            for t in pillars
-        ])
+        # one jitted strip reprice: a per-pillar loop pays one device
+        # round-trip each (RTT-bound over a tunnelled TPU)
+        reprice = np.asarray(credit_mod.cds_par_spreads(
+            curve, hc, pillars, recovery=recovery))
         max_rt = float(np.max(np.abs(reprice / spreads - 1.0)))
         elapsed_ms = int((_time.time() - t0) * 1000)
         hz = np.asarray(hazards, dtype=float)
-        ok = (np.all(np.isfinite(hz)) and np.all(hz > 0)
-              and max_rt <= self.config.max_credit_roundtrip_error)
+        tol = self.config.max_credit_roundtrip_error
+        if tol is None:
+            import jax as _jax
+
+            tol = 1e-6 if _jax.config.jax_enable_x64 else 5e-4
+        ok = (np.all(np.isfinite(hz)) and np.all(hz > 0) and max_rt <= tol)
         if ok and self.db is not None:
             self.db.store_model_parameters(
                 model_type="cds_hazard",

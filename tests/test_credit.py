@@ -61,6 +61,17 @@ def test_bootstrap_roundtrip_exact(curve):
         assert abs(r / float(s) - 1.0) < 1e-10
 
 
+def test_par_spread_strip_matches_scalar_calls(curve):
+    """cds_par_spreads (one jitted program per pillar grid) must equal
+    the per-maturity scalar calls exactly."""
+    hz = credit.flat_hazard(0.02)
+    mats = [1.0, 3.0, 5.0, 10.0]
+    strip = np.asarray(credit.cds_par_spreads(curve, hz, mats))
+    singles = np.asarray([
+        float(credit.cds_par_spread(curve, hz, m)) for m in mats])
+    np.testing.assert_allclose(strip, singles, rtol=1e-12)
+
+
 def test_cds_broken_maturity_schedule_tiles_exactly(curve):
     """Maturity NOT a multiple of freq (4.9y, quarterly): the schedule
     snaps to n_pay equal periods whose accruals tile [0, T] exactly, so
