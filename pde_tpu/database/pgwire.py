@@ -214,7 +214,13 @@ class PgConnection:
                 return
             if mtype == b"E":
                 err = _parse_error_fields(payload)
-                self._drain_to_ready()
+                try:
+                    self._drain_to_ready()
+                except ConnectionError:
+                    # fatal startup errors (bad database/credentials)
+                    # close the stream without ReadyForQuery — surface
+                    # the server's message, not the hangup
+                    pass
                 raise PgError(err)
             self._handle_async(mtype, payload)
 

@@ -127,7 +127,7 @@ def fused_douglas_march(
             inv1_scr[i, :] = inv
             return 0
 
-        jax.lax.fori_loop(1, nS, fac1, 0, unroll=False)
+        jax.lax.fori_loop(1, nS, fac1, 0, unroll=True)
 
         c2_scr[0, :] = jnp.full((nS,), i2U_ref[0]/i2D_ref[0])
         inv2_scr[0, :] = jnp.full((nS,), 1.0/i2D_ref[0])
@@ -139,7 +139,7 @@ def fused_douglas_march(
             inv2_scr[j, :] = inv
             return 0
 
-        jax.lax.fori_loop(1, nv, fac2, 0, unroll=False)
+        jax.lax.fori_loop(1, nv, fac2, 0, unroll=True)
 
         def body(step, _):
             V = V_scr[:, :]
@@ -157,7 +157,7 @@ def fused_douglas_march(
                 d_scr[i, :] = (t_scr[i, :] - li*d_scr[i - 1, :])*inv1_scr[i, :]
                 return 0
 
-            jax.lax.fori_loop(1, nS, fwd1, 0, unroll=False)
+            jax.lax.fori_loop(1, nS, fwd1, 0, unroll=True)
             t_scr[nS - 1, :] = d_scr[nS - 1, :]
 
             def bwd1(k, _):
@@ -165,7 +165,7 @@ def fused_douglas_march(
                 t_scr[i, :] = d_scr[i, :] - c_scr[i, :]*t_scr[i + 1, :]
                 return 0
 
-            jax.lax.fori_loop(0, nS - 1, bwd1, 0, unroll=False)
+            jax.lax.fori_loop(0, nS - 1, bwd1, 0, unroll=True)
             Y1 = t_scr[:, :]
 
             # implicit v sweep: transpose once in VMEM, sweep along sublanes
@@ -177,7 +177,7 @@ def fused_douglas_march(
                 d2_scr[j, :] = (t2_scr[j, :] - lj*d2_scr[j - 1, :])*inv2_scr[j, :]
                 return 0
 
-            jax.lax.fori_loop(1, nv, fwd2, 0, unroll=False)
+            jax.lax.fori_loop(1, nv, fwd2, 0, unroll=True)
             t2_scr[nv - 1, :] = d2_scr[nv - 1, :]
 
             def bwd2(k, _):
@@ -185,7 +185,7 @@ def fused_douglas_march(
                 t2_scr[j, :] = d2_scr[j, :] - c2_scr[j, :]*t2_scr[j + 1, :]
                 return 0
 
-            jax.lax.fori_loop(0, nv - 1, bwd2, 0, unroll=False)
+            jax.lax.fori_loop(0, nv - 1, bwd2, 0, unroll=True)
             Vn = t2_scr[:, :].T
 
             # Ikonen–Toivanen multiplier update: V_new - dt lam_new =
