@@ -59,6 +59,9 @@ __all__ = [
     "hw_simulate",
     "bachelier_price",
     "bachelier_implied_vol",
+    "black_caplet_price",
+    "black_cap_price",
+    "strip_caplet_vols",
 ]
 
 
@@ -470,3 +473,136 @@ def bachelier_implied_vol(price, forward, strike, expiry, annuity=1.0,
 
     v, _ = jax.lax.scan(body, v0, None, length=n_newton)
     return v
+
+
+# ---------------------------------------------------------------------------
+# Black-76 (lognormal) quoting + caplet vol stripping — the CAP market's
+# vol convention (swaptions quote Bachelier above).  The stripping closes
+# the quote-to-calibration loop: market flat cap vols -> forward caplet
+# vols -> caplet PRICES -> calibrate.rates.HullWhiteCalibrator (which
+# takes prices by design, heston_calibrator.py:486-513 objective parity).
+
+
+def black_caplet_price(curve: DiscountCurve, strike_rate, start, end, vol,
+                       notional=1.0):
+    """Black-76 caplet: the rate fixes at ``start``, pays at ``end``.
+
+        tau P(0, end) [ F Phi(d1) - K Phi(d2) ],
+        d1 = (ln(F/K) + v^2 start / 2) / (v sqrt(start))
+
+    with F the simple forward over [start, end].  Broadcasts over all
+    arguments (vectorize strikes/expiries freely).
+    """
+    start = jnp.asarray(start)
+    end = jnp.asarray(end)
+    k = jnp.asarray(strike_rate)
+    v = jnp.asarray(vol)
+    f = curve.forward(start, end)
+    tau = end - start
+    sq = jnp.maximum(v * jnp.sqrt(start), 1e-12)
+    d1 = (jnp.log(jnp.maximum(f, 1e-12) / jnp.maximum(k, 1e-12))
+          + 0.5 * sq * sq) / sq
+    d2 = d1 - sq
+    return (notional * tau * curve.df(end)
+            * (f * _norm_cdf(d1) - k * _norm_cdf(d2)))
+
+
+def black_cap_price(curve: DiscountCurve, strike_rate, maturity, vol,
+                    freq: float = 0.25, notional=1.0, first_reset=None):
+    """Cap = caplet strip at ONE flat Black vol (the market quote).
+
+    Resets every ``freq`` years from ``first_reset`` (default ``freq`` —
+    the spot-starting convention skips the already-fixed first period) to
+    ``maturity``; concrete schedule, traced vol/strike/curve.
+    """
+    import numpy as np
+
+    m = float(maturity)
+    f0 = float(freq if first_reset is None else first_reset)
+    starts = jnp.asarray(np.arange(f0, m - 1e-9, float(freq)))
+    ends = starts + float(freq)
+    return jnp.sum(black_caplet_price(
+        curve, strike_rate, starts, ends, vol, notional))
+
+
+_STRIP_JIT_CACHE: dict = {}
+
+
+def strip_caplet_vols(curve: DiscountCurve, strike_rate, cap_maturities,
+                      flat_vols, freq: float = 0.25, n_newton: int = 20):
+    """Bootstrap FORWARD caplet vols from flat cap vols.
+
+    Market caps quote one flat Black vol per maturity; consistent caplet
+    pricing needs the forward vol term structure.  Standard strip: for
+    each successive cap, the caplets added since the previous maturity
+    share one forward vol, solved (fixed-trip safeguarded Newton, Black
+    vega > 0) so the strip reprices the cap at its flat vol exactly —
+    the same pricer-consistent sequential-bootstrap pattern as
+    models/credit.bootstrap_hazard, and like it the whole strip runs as
+    ONE jitted program cached per (maturity grid, freq).
+
+    Returns ``(starts, ends, fwd_vols)`` — per-caplet reset schedule and
+    forward vols, ready to price with :func:`black_caplet_price` and
+    feed :meth:`pde_tpu.calibrate.rates.HullWhiteCalibrator.calibrate_caplets`.
+    Cap maturities must be concrete; strike/vols/curve may be traced.
+    """
+    import numpy as np
+
+    mats = tuple(float(t) for t in np.asarray(cap_maturities))
+    key = (mats, float(freq), int(n_newton))
+    fn = _STRIP_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(functools.partial(
+            _strip_impl, mats=mats, freq=float(freq), n_newton=int(n_newton)))
+        _STRIP_JIT_CACHE[key] = fn
+    return fn(curve, jnp.asarray(strike_rate), jnp.asarray(flat_vols))
+
+
+def _strip_impl(curve, strike_rate, flat_vols, *, mats, freq, n_newton):
+    import numpy as np
+
+    starts_np = np.arange(freq, mats[-1] - 1e-9, freq)
+    starts = jnp.asarray(starts_np)
+    ends = starts + freq
+    dtype = result_dtype(flat_vols, curve.dfs)
+
+    # cap prices at their quoted flat vols (the strip's targets)
+    caps = []
+    for i, m in enumerate(mats):
+        in_cap = starts_np < m - 1e-9
+        caps.append(jnp.sum(jnp.where(
+            jnp.asarray(in_cap),
+            black_caplet_price(curve, strike_rate, starts, ends,
+                               flat_vols[i]),
+            0.0)))
+
+    fwd_segments = []
+    prev_m = 0.0
+    prev_strip = jnp.asarray(0.0, dtype)
+    for i, m in enumerate(mats):
+        new = (starts_np >= prev_m - 1e-9) & (starts_np < m - 1e-9)
+        new_mask = jnp.asarray(new)
+        target = caps[i] - prev_strip     # value the NEW caplets must add
+
+        def seg_price(v, new_mask=new_mask):
+            return jnp.sum(jnp.where(
+                new_mask,
+                black_caplet_price(curve, strike_rate, starts, ends, v),
+                0.0))
+
+        dseg = jax.grad(seg_price)
+
+        def newton(v, _, seg_price=seg_price, dseg=dseg, target=target):
+            step = (seg_price(v) - target) / jnp.maximum(dseg(v), 1e-12)
+            return jnp.clip(v - step, 1e-4, 5.0), None
+
+        v0 = flat_vols[i].astype(dtype)   # the flat vol is the natural seed
+        v_seg, _ = jax.lax.scan(newton, v0, None, length=n_newton)
+        fwd_segments.append((new_mask, v_seg))
+        prev_strip = prev_strip + seg_price(v_seg)
+        prev_m = m
+
+    fwd_vols = jnp.zeros(starts.shape, dtype)
+    for new_mask, v_seg in fwd_segments:
+        fwd_vols = jnp.where(new_mask, v_seg, fwd_vols)
+    return starts.astype(dtype), ends.astype(dtype), fwd_vols

@@ -316,3 +316,90 @@ def test_bachelier_quotes_hw_swaption():
     assert 0.001 < iv < 0.05
     re = float(bachelier_price(K, K, iv, expiry, annuity))
     assert abs(re - price) < 1e-10
+
+
+class TestBlackCapletStripping:
+    """Black-76 cap quoting + the flat-to-forward caplet vol strip
+    (models/rates.py; closes the quote-to-calibration loop the HW
+    calibrator's price-space objective requires)."""
+
+    @pytest.fixture(scope="class")
+    def curve(self):
+        from pde_tpu.models.rates import curve_from_zero_rates
+
+        return curve_from_zero_rates(
+            jnp.asarray([0.5, 1.0, 2.0, 5.0, 10.0, 30.0]),
+            jnp.asarray([0.030, 0.032, 0.035, 0.040, 0.042, 0.043]))
+
+    def test_black_caplet_monotone_in_vol_and_positive(self, curve):
+        from pde_tpu.models.rates import black_caplet_price
+
+        k = float(curve.forward(1.0, 1.25))
+        lo = float(black_caplet_price(curve, k, 1.0, 1.25, 0.10))
+        hi = float(black_caplet_price(curve, k, 1.0, 1.25, 0.30))
+        assert 0.0 < lo < hi
+
+    def test_cap_is_caplet_sum(self, curve):
+        from pde_tpu.models.rates import (black_cap_price,
+                                          black_caplet_price)
+
+        starts = np.arange(0.25, 2.0 - 1e-9, 0.25)
+        total = sum(
+            float(black_caplet_price(curve, 0.035, s, s + 0.25, 0.2))
+            for s in starts)
+        cap = float(black_cap_price(curve, 0.035, 2.0, 0.2))
+        np.testing.assert_allclose(cap, total, rtol=1e-12)
+
+    def test_flat_vol_strips_to_flat_forward_vols(self, curve):
+        """All caps quoted at the SAME flat vol -> every forward caplet
+        vol equals it (the strip's exactness pin)."""
+        from pde_tpu.models.rates import strip_caplet_vols
+
+        mats = [1.0, 2.0, 3.0, 5.0]
+        vols = jnp.full(4, 0.22)
+        starts, ends, fwd = strip_caplet_vols(curve, 0.035, mats, vols)
+        np.testing.assert_allclose(np.asarray(fwd), 0.22, rtol=1e-8)
+
+    def test_strip_reprices_every_cap_exactly(self, curve):
+        """The stripped forward vols must reprice each cap at its own
+        flat vol — pricer-consistent by construction."""
+        from pde_tpu.models.rates import (black_cap_price,
+                                          black_caplet_price,
+                                          strip_caplet_vols)
+
+        mats = [1.0, 2.0, 3.0, 5.0]
+        vols = jnp.asarray([0.26, 0.24, 0.22, 0.20])  # downward sloping
+        starts, ends, fwd = strip_caplet_vols(curve, 0.035, mats, vols)
+        s_np = np.asarray(starts)
+        for i, m in enumerate(mats):
+            quoted = float(black_cap_price(curve, 0.035, m, vols[i]))
+            mask = s_np < m - 1e-9
+            stripped = float(jnp.sum(jnp.where(
+                jnp.asarray(mask),
+                black_caplet_price(curve, 0.035, starts, ends, fwd), 0.0)))
+            np.testing.assert_allclose(stripped, quoted, rtol=1e-9)
+        # forward vols decline like the quotes but steeper at the long end
+        fwd_np = np.asarray(fwd)
+        assert fwd_np[-1] < fwd_np[0]
+
+    def test_strip_feeds_hw_calibration(self, curve):
+        """End-to-end: flat cap vols -> strip -> caplet prices -> HW
+        (a, sigma) fit; the fitted model must reprice the caplet strip
+        within the LM's convergence tolerance."""
+        from pde_tpu.calibrate.rates import HullWhiteCalibrator
+        from pde_tpu.models.rates import (black_caplet_price,
+                                          strip_caplet_vols, hw_caplet)
+
+        mats = [1.0, 2.0, 3.0]
+        vols = jnp.asarray([0.25, 0.23, 0.215])
+        k = 0.036
+        starts, ends, fwd = strip_caplet_vols(curve, k, mats, vols)
+        prices = black_caplet_price(curve, k, starts, ends, fwd)
+        res = HullWhiteCalibrator(max_iter=60).calibrate_caplets(
+            curve, starts, ends, jnp.full(starts.shape, k), prices)
+        # one-factor HW cannot match an arbitrary vol slope exactly;
+        # a few percent max relative price error is the usual fit
+        assert res.rmse < 0.05, res
+        model = np.asarray(hw_caplet(
+            res.params, k, starts, ends))
+        assert np.all(model > 0)
