@@ -352,6 +352,37 @@ def cmd_rates(args) -> int:
             "european_price": euro,
             "early_exercise_premium": float(price) - euro,
         }
+    if args.cap_vols is not None:
+        # market cap vols -> forward caplet vols -> prices -> HW refit:
+        # the full quote-to-calibration path (models/rates.py stripping)
+        from .calibrate.rates import HullWhiteCalibrator
+
+        mats = list(args.cap_maturities)[:len(args.cap_vols)]
+        k_cap = args.cap_strike
+        if k_cap is None:
+            pay = np.arange(0.5, mats[-1] + 0.01, 0.5)
+            k_cap = float(rates.hw_swap_rate(curve, 0.5, jnp.asarray(pay)))
+        c_starts, c_ends, fwd = rates.strip_caplet_vols(
+            curve, k_cap, mats, jnp.asarray(args.cap_vols))
+        prices = rates.black_caplet_price(curve, k_cap, c_starts, c_ends,
+                                          fwd)
+        fit = HullWhiteCalibrator().calibrate_caplets(
+            curve, c_starts, c_ends,
+            jnp.full(c_starts.shape, k_cap), prices)
+        out["cap_vol_strip"] = {
+            "strike": k_cap,
+            "forward_vols": [
+                {"start": float(s), "end": float(e), "vol": float(v),
+                 "price": float(p)}
+                for s, e, v, p in zip(np.asarray(c_starts),
+                                      np.asarray(c_ends),
+                                      np.asarray(fwd), np.asarray(prices))
+            ],
+            "fitted": {"a": float(fit.params.a),
+                       "sigma": float(fit.params.sigma),
+                       "rmse": fit.rmse,
+                       "converged": fit.converged},
+        }
     print(json.dumps(out, indent=2))
     return 0
 
@@ -704,6 +735,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bermudan", action="store_true",
                    help="also price the ATM Bermudan (first expiry, "
                         "semi-annual calls; x-grid PDE)")
+    p.add_argument("--cap-vols", type=float, nargs="+", default=None,
+                   help="flat Black cap vols: strip forward caplet vols, "
+                        "price the strip, and fit (a, sigma) to it")
+    p.add_argument("--cap-maturities", type=float, nargs="+",
+                   default=[1.0, 2.0, 3.0, 5.0])
+    p.add_argument("--cap-strike", type=float, default=None,
+                   help="cap strike (default: ATM swap rate to the "
+                        "longest maturity)")
     p.set_defaults(func=cmd_rates, config=None)
 
     p = sub.add_parser("credit", help="CDS bootstrap + swap CVA")

@@ -304,6 +304,24 @@ class TestCLI:
         assert bm["early_exercise_premium"] == pytest.approx(
             bm["payer_price"] - bm["european_price"], abs=1e-12)
 
+    def test_rates_command_cap_vol_strip(self, capsys):
+        """--cap-vols drives the full quote-to-calibration path: strip
+        forward caplet vols, price the strip, refit (a, sigma)."""
+        rc = cli_main(["rates", "--cap-vols", "0.25", "0.22",
+                       "--cap-maturities", "1.0", "2.0",
+                       "--caplet-starts", "1.0",
+                       "--swaption-expiries", "1.0"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        strip = out["cap_vol_strip"]
+        vols = [row["vol"] for row in strip["forward_vols"]]
+        assert len(vols) == 7  # quarterly resets 0.25..1.75
+        assert vols[0] == pytest.approx(0.25, rel=1e-6)  # first cap flat
+        assert vols[-1] < vols[0]  # declining quotes -> declining forwards
+        assert all(row["price"] > 0 for row in strip["forward_vols"])
+        assert strip["fitted"]["converged"]
+        assert strip["fitted"]["sigma"] > 0
+
     def test_price_command_cf(self, capsys):
         rc = cli_main(["price", "--method", "cf", "--strikes", "90", "100", "110"])
         assert rc == 0
